@@ -1,0 +1,299 @@
+"""Functional RWKV-5/6 forward pass (one implementation for every mode).
+
+Semantics match the reference's training blocks (src/model.py:376-477
+RWKV_Tmix_x060, :616-644 RWKV_CMix_x060, :292-374 RWKV_TimeMix_RWKV5,
+:818-933 Block) and its streaming blocks (src/model_run.py:130-621) — which
+are the same math with state threaded explicitly. Here state is *always*
+threaded, so train (T=ctx, zero state), prefill (chunked), decode (T=1) and
+TBPTT are all the same jittable function.
+
+Precision policy (matches the CUDA kernels' bf16-I/O/fp32-state contract):
+projections and elementwise math in cfg.dtype (bf16 on TPU), WKV state,
+LayerNorm/GroupNorm statistics in fp32.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_lm_ext_tpu.ops import wkv
+from rwkv_lm_ext_tpu.models.state import init_model_state
+
+
+def layer_norm(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(x: jax.Array, p: Dict, n_groups: int, eps: float) -> jax.Array:
+    """torch.nn.GroupNorm semantics over the last axis split into groups."""
+    *lead, C = x.shape
+    xf = x.astype(jnp.float32).reshape(*lead, n_groups, C // n_groups)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(*lead, C)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _token_shift(x: jax.Array, shift_state: jax.Array) -> jax.Array:
+    """prev-token stream: [shift_state, x[0], ..., x[T-2]].
+
+    State-threaded version of the reference's ZeroPad2d((0,0,1,-1)) shift
+    (src/model.py:428) / concat with carried xx (src/model_run.py:376-380).
+    """
+    prev = jnp.concatenate(
+        [shift_state.astype(x.dtype)[:, None, :], x[:, :-1]], axis=1
+    )
+    return prev
+
+
+def time_mix_v6(
+    p: Dict,
+    cfg,
+    x: jax.Array,
+    att_shift: jax.Array,
+    wkv_state: jax.Array,
+    *,
+    wkv_backend: str = "auto",
+    chunk_size: int = 32,
+    state_param_override: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """RWKV-6 time mix (src/model.py:434-477 jit_func/jit_func_2/forward).
+
+    x: (B, T, C). Returns (out (B,T,C), new_att_shift (B,C), new_wkv).
+    `state_param_override`: a learnable (H,N,N) initial state (state-tuning,
+    src/model.py:481-584 RWKV_Tmix_x060_state) used *instead of* the carried
+    wkv_state.
+    """
+    B, T, C = x.shape
+    H, N = cfg.n_head, cfg.head_size
+    dt = x.dtype
+
+    prev = _token_shift(x, att_shift)
+    xx = prev - x
+
+    # data-dependent 5-way lerp (ddlerp)
+    maa_x = p["time_maa_x"].astype(dt)
+    xxx = x + xx * maa_x
+    m = jnp.tanh(xxx @ p["time_maa_w1"].astype(dt))          # (B,T,5D)
+    D = m.shape[-1] // 5
+    m = m.reshape(B, T, 5, D)
+    # (B,T,5,D) x (5,D,C) -> (5,B,T,C)
+    m = jnp.einsum("btfd,fdc->fbtc", m, p["time_maa_w2"].astype(dt))
+    mw, mk, mv, mr, mg = m[0], m[1], m[2], m[3], m[4]
+
+    xw = x + xx * (p["time_maa_w"].astype(dt) + mw)
+    xk = x + xx * (p["time_maa_k"].astype(dt) + mk)
+    xv = x + xx * (p["time_maa_v"].astype(dt) + mv)
+    xr = x + xx * (p["time_maa_r"].astype(dt) + mr)
+    xg = x + xx * (p["time_maa_g"].astype(dt) + mg)
+
+    r = xr @ p["receptance"].astype(dt)
+    k = xk @ p["key"].astype(dt)
+    v = xv @ p["value"].astype(dt)
+    g = jax.nn.silu(xg @ p["gate"].astype(dt))
+
+    # data-dependent decay (fp32: feeds exp(-exp(w)))
+    ww = jnp.tanh(xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32))
+    ww = ww @ p["time_decay_w2"].astype(jnp.float32)
+    w = p["time_decay"].astype(jnp.float32) + ww             # (B,T,C_att)
+
+    if state_param_override is not None:
+        s0 = jnp.broadcast_to(
+            state_param_override.astype(jnp.float32)[None], (B, H, N, N)
+        )
+    else:
+        s0 = wkv_state
+
+    y, new_wkv = wkv(
+        r.reshape(B, T, H, N),
+        k.reshape(B, T, H, N),
+        v.reshape(B, T, H, N),
+        w.reshape(B, T, H, N),
+        p["time_faaaa"],
+        s0,
+        backend=wkv_backend,
+        chunk_size=chunk_size,
+    )
+    y = y.reshape(B, T, C).astype(dt)
+
+    y = group_norm(y, p["ln_x"], H, cfg.ln_x_eps)
+    out = (y * g) @ p["output"].astype(dt)
+    return out, x[:, -1].astype(jnp.float32), new_wkv
+
+
+def time_mix_v5(
+    p: Dict,
+    cfg,
+    x: jax.Array,
+    att_shift: jax.Array,
+    wkv_state: jax.Array,
+    *,
+    wkv_backend: str = "auto",
+    chunk_size: int = 32,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """RWKV-5.x (Eagle) time mix (src/model.py:292-374): static lerp mixing,
+    per-channel constant decay, GroupNorm on y/head_size_divisor."""
+    B, T, C = x.shape
+    H, N = cfg.n_head, cfg.head_size
+    dt = x.dtype
+
+    prev = _token_shift(x, att_shift)
+
+    def lerp(mix):
+        mixd = p[mix].astype(dt)
+        return x * mixd + prev * (1 - mixd)
+
+    r = lerp("time_mix_r") @ p["receptance"].astype(dt)
+    k = lerp("time_mix_k") @ p["key"].astype(dt)
+    v = lerp("time_mix_v") @ p["value"].astype(dt)
+    has_gate = "gate" in p  # v5.1+
+    g = jax.nn.silu(lerp("time_mix_g") @ p["gate"].astype(dt)) if has_gate else None
+
+    w = jnp.broadcast_to(
+        p["time_decay"].astype(jnp.float32).reshape(1, 1, H, N), (B, T, H, N)
+    )
+    y, new_wkv = wkv(
+        r.reshape(B, T, H, N),
+        k.reshape(B, T, H, N),
+        v.reshape(B, T, H, N),
+        w,
+        p["time_faaaa"],
+        wkv_state,
+        backend=wkv_backend,
+        chunk_size=chunk_size,
+    )
+    y = y.reshape(B, T, C).astype(dt) / cfg.head_size_divisor
+    y = group_norm(y, p["ln_x"], H, 1e-5)
+    if g is not None:
+        y = y * g
+    out = y @ p["output"].astype(dt)
+    return out, x[:, -1].astype(jnp.float32), new_wkv
+
+
+def channel_mix(
+    p: Dict, cfg, x: jax.Array, ffn_shift: jax.Array, *, v6: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """RWKV channel mix (src/model.py:616-644 x060 / :587-614 legacy)."""
+    dt = x.dtype
+    prev = _token_shift(x, ffn_shift)
+    if v6:
+        xx = prev - x
+        xk = x + xx * p["time_maa_k"].astype(dt)
+        xr = x + xx * p["time_maa_r"].astype(dt)
+    else:
+        mk = p["time_mix_k"].astype(dt)
+        mr = p["time_mix_r"].astype(dt)
+        xk = x * mk + prev * (1 - mk)
+        xr = x * mr + prev * (1 - mr)
+    k = xk @ p["key"].astype(dt)
+    k = jnp.square(jax.nn.relu(k))
+    kv = k @ p["value"].astype(dt)
+    out = jax.nn.sigmoid(xr @ p["receptance"].astype(dt)) * kv
+    return out, x[:, -1].astype(jnp.float32)
+
+
+def block_forward(
+    p: Dict,
+    cfg,
+    x: jax.Array,
+    layer_state: Tuple[jax.Array, jax.Array, jax.Array],
+    *,
+    layer_id: int,
+    wkv_backend: str = "auto",
+    chunk_size: int = 32,
+    state_param_override: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """One residual block: ln0 (layer 0) -> att -> ffn (src/model.py:818-933)."""
+    att_shift, wkv_state, ffn_shift = layer_state
+    if layer_id == 0 and "ln0" in p:
+        x = layer_norm(x, p["ln0"])
+    v6 = cfg.version >= 6
+    tm = time_mix_v6 if v6 else time_mix_v5
+    kwargs = dict(wkv_backend=wkv_backend, chunk_size=chunk_size)
+    if v6:
+        kwargs["state_param_override"] = state_param_override
+    att_out, att_shift, wkv_state = tm(
+        p["att"], cfg, layer_norm(x, p["ln1"]), att_shift, wkv_state, **kwargs
+    )
+    x = x + att_out
+    ffn_out, ffn_shift = channel_mix(
+        p["ffn"], cfg, layer_norm(x, p["ln2"]), ffn_shift, v6=v6
+    )
+    x = x + ffn_out
+    return x, (att_shift, wkv_state, ffn_shift)
+
+
+def rwkv_forward(
+    params: Dict,
+    cfg,
+    tokens: jax.Array,
+    state: Optional[Dict] = None,
+    *,
+    wkv_backend: str = "auto",
+    chunk_size: int = 32,
+    remat: bool = False,
+    use_state_params: bool = False,
+    return_hidden: bool = False,
+    return_logits: bool = True,
+) -> Tuple[jax.Array, Dict]:
+    """Full model: emb -> blocks -> ln_out -> head (src/model.py:1193-1243).
+
+    tokens: (B, T) int32. state: ModelState or None (zeros).
+    use_state_params: read each block's learnable att.time_state as the WKV
+      initial state (state-tuning training / "states" serving).
+    Returns (logits (B,T,V) [or hidden (B,T,C) if return_hidden], new_state).
+    """
+    B, T = tokens.shape
+    if state is None:
+        state = init_model_state(cfg, B)
+    dt = cfg.compute_dtype
+    x = jnp.take(params["emb"], tokens, axis=0).astype(dt)
+
+    new_att_shift, new_wkv, new_ffn_shift = [], [], []
+
+    def run_block(bp, x, ls, layer_id):
+        spo = bp["att"].get("time_state") if use_state_params else None
+        return block_forward(
+            bp, cfg, x, ls,
+            layer_id=layer_id,
+            wkv_backend=wkv_backend,
+            chunk_size=chunk_size,
+            state_param_override=spo,
+        )
+
+    for i, bp in enumerate(params["blocks"]):
+        ls = (state["att_shift"][i], state["wkv"][i], state["ffn_shift"][i])
+        fn = run_block
+        if remat:
+            fn = jax.checkpoint(
+                functools.partial(run_block, layer_id=i), static_argnums=()
+            )
+            x, ls = fn(bp, x, ls)
+        else:
+            x, ls = run_block(bp, x, ls, i)
+        new_att_shift.append(ls[0])
+        new_wkv.append(ls[1])
+        new_ffn_shift.append(ls[2])
+
+    new_state = {
+        "att_shift": jnp.stack(new_att_shift),
+        "wkv": jnp.stack(new_wkv),
+        "ffn_shift": jnp.stack(new_ffn_shift),
+    }
+
+    x = layer_norm(x, params["ln_out"])
+    if return_hidden and not return_logits:
+        return x, new_state
+    logits = x @ params["head"].astype(dt)
+    if return_hidden:
+        return (logits, x), new_state
+    return logits, new_state

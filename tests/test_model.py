@@ -1,0 +1,132 @@
+"""Model forward: one implementation must serve train/prefill/decode.
+
+Checks that full-sequence forward == chunked-prefill forward == token-by-
+token decode (the property the reference needs five model files to get,
+src/model.py vs model_run.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.models import init_model_state, init_rwkv_params, rwkv_forward
+
+CFG6 = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=100, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+CFG5 = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=100, head_size=16, version=5.2,
+    dtype="float32", param_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def params6():
+    return init_rwkv_params(jax.random.PRNGKey(0), CFG6)
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    return jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, 100)
+
+
+def test_full_vs_chunked_prefill(params6, tokens):
+    logits_full, state_full = rwkv_forward(
+        params6, CFG6, tokens, wkv_backend="chunked", chunk_size=8
+    )
+    s = init_model_state(CFG6, 2)
+    l1, s = rwkv_forward(
+        params6, CFG6, tokens[:, :10], s, wkv_backend="chunked", chunk_size=8
+    )
+    l2, s = rwkv_forward(
+        params6, CFG6, tokens[:, 10:], s, wkv_backend="chunked", chunk_size=8
+    )
+    np.testing.assert_allclose(
+        jnp.concatenate([l1, l2], 1), logits_full, rtol=2e-4, atol=2e-4
+    )
+    for k in state_full:
+        np.testing.assert_allclose(s[k], state_full[k], rtol=2e-4, atol=2e-4)
+
+
+def test_decode_loop_matches_full(params6, tokens):
+    logits_full, _ = rwkv_forward(
+        params6, CFG6, tokens, wkv_backend="reference"
+    )
+    s = init_model_state(CFG6, 2)
+    step = jax.jit(
+        lambda tok, s: rwkv_forward(
+            params6, CFG6, tok, s, wkv_backend="reference"
+        )
+    )
+    outs = []
+    for t in range(tokens.shape[1]):
+        l, s = step(tokens[:, t : t + 1], s)
+        outs.append(l)
+    np.testing.assert_allclose(
+        jnp.concatenate(outs, 1), logits_full, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_backends_agree_on_model(params6, tokens):
+    l_ref, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="reference")
+    l_chk, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="chunked")
+    np.testing.assert_allclose(l_ref, l_chk, rtol=2e-4, atol=2e-4)
+
+
+def test_remat_matches(params6, tokens):
+    l_a, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="chunked")
+    l_b, _ = rwkv_forward(
+        params6, CFG6, tokens, wkv_backend="chunked", remat=True
+    )
+    np.testing.assert_allclose(l_a, l_b, rtol=1e-5, atol=1e-5)
+
+
+def test_v5_forward_runs_and_streams():
+    params = init_rwkv_params(jax.random.PRNGKey(2), CFG5)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, 100)
+    lf, sf = rwkv_forward(params, CFG5, tokens, wkv_backend="reference")
+    s = init_model_state(CFG5, 2)
+    l1, s = rwkv_forward(params, CFG5, tokens[:, :7], s, wkv_backend="reference")
+    l2, s = rwkv_forward(params, CFG5, tokens[:, 7:], s, wkv_backend="reference")
+    np.testing.assert_allclose(
+        jnp.concatenate([l1, l2], 1), lf, rtol=2e-4, atol=2e-4
+    )
+    assert lf.shape == (2, 16, 100)
+
+
+def test_state_tuning_param_used():
+    params = init_rwkv_params(jax.random.PRNGKey(4), CFG6, with_state_params=True)
+    # the reference init zeroes att.output (residual branches start dead,
+    # src/model.py:1321-1327) — give them weight so state changes reach logits
+    for b in params["blocks"]:
+        b["att"]["output"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(8), b["att"]["output"].shape
+        )
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (1, 8), 0, 100)
+    l0, _ = rwkv_forward(params, CFG6, tokens, use_state_params=True)
+    # perturb one block's time_state -> logits must change
+    params["blocks"][1]["att"]["time_state"] = (
+        params["blocks"][1]["att"]["time_state"] + 1.0
+    )
+    l1, _ = rwkv_forward(params, CFG6, tokens, use_state_params=True)
+    assert not np.allclose(l0, l1)
+    # and without use_state_params it is ignored
+    l2, _ = rwkv_forward(params, CFG6, tokens)
+    l3, _ = rwkv_forward(params, CFG6, tokens)
+    np.testing.assert_allclose(l2, l3)
+
+
+def test_grad_flows():
+    params = init_rwkv_params(jax.random.PRNGKey(6), CFG6)
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (1, 12), 0, 100)
+
+    def loss(p):
+        logits, _ = rwkv_forward(p, CFG6, tokens, wkv_backend="chunked", remat=True)
+        return jnp.mean(logits**2)
+
+    g = jax.grad(loss)(params)
+    gn = jnp.sqrt(
+        sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g))
+    )
+    assert jnp.isfinite(gn) and gn > 0
