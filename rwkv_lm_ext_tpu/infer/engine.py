@@ -1,0 +1,157 @@
+"""Stateful generation engine: chunked prefill + jitted decode.
+
+TPU-native replacement for the reference's streaming runtime + generate
+loop (src/model_run.py:130-621, 1264-1315): one functional forward serves
+prefill (bucketed chunk lengths, each compiled once — no dynamic shapes)
+and decode (T=1, donated state buffers, fused sampling on device). The
+recurrent state is an explicit pytree, so sessions/beams fork by array ops
+instead of deep-copying module state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, sample_token
+from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+from rwkv_lm_ext_tpu.models.state import init_model_state
+
+
+def _chunk_plan(n: int, chunk_len: int) -> List[int]:
+    """Decompose n into [chunk_len]*k + descending powers of two (each a
+    separately-compiled static shape; ~log2(chunk_len) programs total)."""
+    plan = []
+    while n >= chunk_len:
+        plan.append(chunk_len)
+        n -= chunk_len
+    p = 1 << (chunk_len - 1).bit_length() - 1 if chunk_len > 1 else 1
+    p = min(p, chunk_len)
+    size = p
+    while n > 0 and size >= 1:
+        if n >= size:
+            plan.append(size)
+            n -= size
+        else:
+            size //= 2
+    return plan
+
+
+class GenerationEngine:
+    """Holds jitted programs for one (params, cfg) pair.
+
+    Batch size 1 decode (the reference's serving shape); batched encode
+    paths live in heads.embed_sequences / eval harnesses.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer=None,
+        *,
+        chunk_len: int = 256,
+        wkv_backend: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.chunk_len = chunk_len
+        self.wkv_backend = wkv_backend
+
+        def fwd(params, tokens, state):
+            return rwkv_forward(
+                params, cfg, tokens, state, wkv_backend=wkv_backend
+            )
+
+        # donate the state argument: decode updates in place on device
+        self._fwd = jax.jit(fwd, donate_argnums=(2,))
+
+        def decode_and_sample(params, token, state, occ, key, sp):
+            logits, state = rwkv_forward(
+                params, cfg, token[None, None], state, wkv_backend=wkv_backend
+            )
+            key, sub = jax.random.split(key)
+            tok, occ = sample_token(sub, logits[0, -1], occ, sp)
+            return tok, state, occ, key
+
+        self._decode_and_sample = jax.jit(
+            decode_and_sample, static_argnums=(5,), donate_argnums=(2, 3)
+        )
+
+    def init_state(self, batch_size: int = 1, wkv_init=None):
+        return init_model_state(self.cfg, batch_size, wkv_init=wkv_init)
+
+    def prefill(
+        self, tokens: Sequence[int], state=None
+    ) -> Tuple[jax.Array, dict]:
+        """Run the prompt; returns (last-token logits (V,), state)."""
+        if state is None:
+            state = self.init_state(1)
+        tok = jnp.asarray(tokens, jnp.int32)
+        logits = None
+        off = 0
+        for size in _chunk_plan(len(tokens), self.chunk_len):
+            piece = tok[off : off + size][None]
+            logits, state = self._fwd(self.params, piece, state)
+            off += size
+        assert logits is not None, "empty prompt"
+        return logits[0, -1], state
+
+    def generate(
+        self,
+        prompt,
+        *,
+        max_tokens: int = 128,
+        sampling: SamplingParams = SamplingParams(),
+        state=None,
+        seed: int = 0,
+        callback: Optional[Callable[[str], None]] = None,
+        return_state: bool = False,
+    ):
+        """Autoregressive sampling generation (the reference's generate,
+        src/model_run.py:1264-1315: occurrence penalties, token ban/stop,
+        UTF-8-safe streaming callback)."""
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "need a tokenizer for str prompts"
+            prompt_ids = self.tokenizer.encode(prompt)
+        else:
+            prompt_ids = list(prompt)
+
+        logits, state = self.prefill(prompt_ids, state)
+        occ = jnp.zeros((self.cfg.vocab_size,), jnp.float32)
+        key = jax.random.PRNGKey(seed)
+
+        # first sample comes from the prefill logits
+        key, sub = jax.random.split(key)
+        token, occ = sample_token(sub, logits, occ, sampling)
+
+        out_ids: List[int] = []
+        decoder = (
+            self.tokenizer.streaming_decoder() if self.tokenizer else None
+        )
+        stop = set(sampling.token_stop)
+        for _ in range(max_tokens):
+            t = int(token)
+            if t in stop:
+                break
+            out_ids.append(t)
+            if decoder is not None and callback is not None:
+                piece = decoder.push(t)
+                if piece:
+                    callback(piece)
+            token, state, occ, key = self._decode_and_sample(
+                self.params, token, state, occ, key, sampling
+            )
+        if decoder is not None and callback is not None:
+            tail = decoder.flush()
+            if tail:
+                callback(tail)
+
+        text = self.tokenizer.decode(out_ids) if self.tokenizer else None
+        result = text if text is not None else out_ids
+        if return_state:
+            return result, state
+        return result

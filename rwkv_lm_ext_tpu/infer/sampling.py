@@ -1,0 +1,100 @@
+"""On-device sampling pipeline.
+
+jittable equivalents of the reference's sample_logits + logits processors
+(src/model_run.py:1230-1260, src/logits_processors.py:3-48) and the
+occurrence-based presence/frequency penalties of its generate loop
+(src/model_run.py:1286-1297). Everything operates on a full (V,) logits
+vector on device — no host round-trips in the decode loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 1.0
+    top_p: float = 0.85
+    top_k: int = 0                 # 0 = disabled
+    alpha_presence: float = 0.25   # occurrence presence penalty
+    alpha_frequency: float = 0.25  # occurrence frequency penalty
+    alpha_decay: float = 0.996     # per-step decay of occurrence counts
+    repetition_penalty: float = 1.0  # HF-style (logits_processors.py:30-48)
+    token_ban: Tuple[int, ...] = ()
+    token_stop: Tuple[int, ...] = (0,)  # reference defaults to stopping on 0
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0:
+        return logits
+    kth = jnp.sort(logits)[..., -k]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
+    """Nucleus filtering (matches the reference's >cutoff keep rule,
+    src/model_run.py:1236-1243)."""
+    if p >= 1.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cdf = jnp.cumsum(sorted_probs, axis=-1)
+    # first index where cumulative >= p; keep tokens with prob >= cutoff
+    idx = jnp.argmax(cdf >= p, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_probs, idx[..., None], axis=-1)
+    return jnp.where(probs < cutoff, -jnp.inf, logits)
+
+
+def apply_repetition_penalty(
+    logits: jax.Array, occurrences: jax.Array, penalty: float
+) -> jax.Array:
+    """HF-style: seen tokens' positive logits divided by penalty, negative
+    multiplied (src/logits_processors.py:30-48)."""
+    if penalty == 1.0:
+        return logits
+    seen = occurrences > 0
+    scaled = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, scaled, logits)
+
+
+def penalize_and_filter(
+    logits: jax.Array,
+    occurrences: jax.Array,
+    sp: SamplingParams,
+) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    if sp.token_ban:
+        ban = jnp.array(sp.token_ban)
+        logits = logits.at[..., ban].set(-jnp.inf)
+    logits = (
+        logits
+        - sp.alpha_presence * (occurrences > 0)
+        - sp.alpha_frequency * occurrences
+    )
+    logits = apply_repetition_penalty(logits, occurrences, sp.repetition_penalty)
+    logits = apply_top_k(logits, sp.top_k)
+    logits = apply_top_p(logits, sp.top_p)
+    return logits
+
+
+def sample_token(
+    key: jax.Array,
+    logits: jax.Array,
+    occurrences: jax.Array,
+    sp: SamplingParams,
+) -> Tuple[jax.Array, jax.Array]:
+    """One penalize→filter→sample step. Returns (token, new_occurrences)."""
+    filtered = penalize_and_filter(logits, occurrences, sp)
+    if sp.temperature != 1.0:
+        filtered = filtered / max(sp.temperature, 1e-6)
+    if sp.temperature == 0.0:
+        token = jnp.argmax(filtered, axis=-1)
+    else:
+        token = jax.random.categorical(key, filtered, axis=-1)
+    occ = occurrences * sp.alpha_decay
+    occ = occ.at[token].add(1.0)
+    return token, occ

@@ -1,0 +1,98 @@
+"""Generation engine: prefill equivalence, decode loop, sampling pipeline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.infer import GenerationEngine, SamplingParams
+from rwkv_lm_ext_tpu.infer.engine import _chunk_plan
+from rwkv_lm_ext_tpu.infer.sampling import (
+    apply_top_k,
+    apply_top_p,
+    sample_token,
+)
+from rwkv_lm_ext_tpu.models import init_rwkv_params, rwkv_forward
+
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=100, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG)
+    # make output projections nonzero so generation isn't degenerate
+    keys = jax.random.split(jax.random.PRNGKey(1), len(params["blocks"]))
+    for bk, b in zip(keys, params["blocks"]):
+        b["att"]["output"] = 0.05 * jax.random.normal(bk, b["att"]["output"].shape)
+    return GenerationEngine(params, CFG, chunk_len=8)
+
+
+def test_chunk_plan():
+    assert _chunk_plan(17, 8) == [8, 8, 1]
+    assert _chunk_plan(23, 8) == [8, 8, 4, 2, 1]
+    assert _chunk_plan(3, 256) == [2, 1]
+    assert _chunk_plan(256, 256) == [256]
+    assert sum(_chunk_plan(1000, 64)) == 1000
+
+
+def test_prefill_matches_full_forward(engine):
+    prompt = list(range(1, 20))
+    logits, state = engine.prefill(prompt)
+    full, full_state = rwkv_forward(
+        engine.params, CFG, jnp.asarray(prompt, jnp.int32)[None]
+    )
+    np.testing.assert_allclose(logits, full[0, -1], rtol=2e-4, atol=2e-4)
+    for k in state:
+        np.testing.assert_allclose(
+            state[k], full_state[k], rtol=2e-4, atol=2e-4
+        )
+
+
+def test_generate_greedy_deterministic(engine):
+    sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    a = engine.generate([5, 6, 7], max_tokens=10, sampling=sp)
+    b = engine.generate([5, 6, 7], max_tokens=10, sampling=sp)
+    assert a == b and len(a) == 10
+    assert all(0 <= t < CFG.vocab_size for t in a)
+
+
+def test_generate_stop_token(engine):
+    sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    ids = engine.generate([5, 6, 7], max_tokens=5, sampling=sp)
+    # now stop on the first generated token -> empty output
+    sp2 = SamplingParams(temperature=0.0, top_p=1.0, token_stop=(ids[0],))
+    ids2 = engine.generate([5, 6, 7], max_tokens=5, sampling=sp2)
+    assert ids2 == []
+
+
+def test_top_k_top_p():
+    logits = jnp.array([1.0, 2.0, 3.0, 4.0, -1.0])
+    lk = apply_top_k(logits, 2)
+    assert jnp.isneginf(lk[0]) and jnp.isneginf(lk[1]) and jnp.isneginf(lk[4])
+    assert lk[3] == 4.0
+    lp = apply_top_p(logits, 0.5)  # top token has prob ~0.64 >= 0.5
+    assert lp[3] == 4.0 and jnp.isneginf(lp[0])
+
+
+def test_occurrence_penalties_reduce_repeats():
+    sp = SamplingParams(
+        temperature=0.0, top_p=1.0, alpha_presence=100.0, alpha_frequency=0.0
+    )
+    logits = jnp.array([10.0, 9.0, 8.0, 0.0])
+    occ = jnp.zeros(4)
+    t1, occ = sample_token(jax.random.PRNGKey(0), logits, occ, sp)
+    t2, occ = sample_token(jax.random.PRNGKey(0), logits, occ, sp)
+    t3, occ = sample_token(jax.random.PRNGKey(0), logits, occ, sp)
+    assert (int(t1), int(t2), int(t3)) == (0, 1, 2)  # massive presence penalty
+
+
+def test_generate_with_carried_state(engine):
+    """state carry: generating after a prefix equals prefilling the whole."""
+    sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    _, state = engine.prefill([5, 6])
+    out_a = engine.generate([7, 8], max_tokens=5, sampling=sp, state=state)
+    out_b = engine.generate([5, 6, 7, 8], max_tokens=5, sampling=sp)
+    assert out_a == out_b
