@@ -1,0 +1,13 @@
+"""Device-mesh parallelism: mesh construction + sharding rules.
+
+Replaces the reference's NCCL/DeepSpeed/Lightning distributed stack
+(SURVEY §2.4) with single-controller JAX SPMD: pick a Mesh, annotate
+shardings, let XLA/GSPMD insert the collectives over ICI.
+"""
+from rwkv_lm_ext_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_shardings,
+    batch_shardings,
+    state_shardings,
+    zero_shardings,
+)
