@@ -1,0 +1,118 @@
+"""Headline benchmark: embedded seqs/sec/chip, RWKV-6 1B6, ctx 512.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >= 5000 embedded seqs/sec/chip on v5e.
+
+Methodology: the timed region is a single jitted lax.scan of BENCH_ITERS
+embedding batches where each iteration's tokens depend on the previous
+iteration's embeddings (a data chain), ending in a scalar fetched to host —
+so neither async dispatch nor any runtime result-caching can elide work.
+
+Env knobs: BENCH_BATCH (default 64), BENCH_CTX (512), BENCH_ITERS (8),
+BENCH_SMALL=1 tiny model (CI smoke), BENCH_BACKEND (wkv backend).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "16" if small else "64"))
+    T = int(os.environ.get("BENCH_CTX", "512"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    backend = os.environ.get("BENCH_BACKEND", "chunked")
+
+    from rwkv_lm_ext_tpu.config import ModelConfig, rwkv6_1b6, EMB_ID
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.heads import embed_sequences
+
+    if small:
+        cfg = ModelConfig(
+            n_layer=2, n_embd=128, vocab_size=1000, head_size=32,
+            param_dtype="bfloat16",
+        )
+    else:
+        cfg = rwkv6_1b6(param_dtype="bfloat16")
+
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+    params = jax.device_put(params)
+
+    tokens0 = jax.random.randint(
+        jax.random.PRNGKey(1), (B, T), 4, cfg.vocab_size - 4, dtype=jnp.int32
+    )
+
+    lo, hi = 4, cfg.vocab_size - 4
+    n_feed = min(T, cfg.n_embd)
+
+    def one_batch(tokens):
+        tokens = tokens.at[:, -1].set(EMB_ID)  # emb-terminated sequences
+        return embed_sequences(
+            params, cfg, tokens,
+            pooling_type="weightedmean", wkv_backend=backend,
+        )
+
+    def make_chained(n_iters):
+        @jax.jit
+        def chained(tokens):
+            def body(toks, _):
+                emb = one_batch(toks)
+                # data chain: next batch's tokens depend on these embeddings
+                delta = (
+                    jnp.abs(emb[:, :n_feed] * 100.0).astype(jnp.int32) % 17
+                )
+                toks = toks.at[:, :n_feed].add(delta)
+                toks = lo + (toks - lo) % (hi - lo)
+                return toks, jnp.sum(emb.astype(jnp.float32))
+
+            toks, sums = jax.lax.scan(body, tokens, None, length=n_iters)
+            return jnp.sum(sums)
+
+        return chained
+
+    def log(msg):
+        if os.environ.get("BENCH_VERBOSE"):
+            import sys
+
+            print(msg, file=sys.stderr, flush=True)
+
+    # compile + warmup (fetch forces completion through the tunnel)
+    chained_1 = make_chained(1)
+    chained_n = make_chained(iters)
+    t0 = time.perf_counter()
+    float(chained_1(tokens0))
+    log(f"compile+run chained_1: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    float(chained_n(tokens0))
+    log(f"compile+run chained_n: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    s_n = float(chained_n(tokens0))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_1 = float(chained_1(tokens0))
+    dt_1 = time.perf_counter() - t0
+    assert s_n == s_n and s_1 == s_1, "NaN in benchmark outputs"
+
+    # subtract the single-iteration + round-trip floor measured by dt_1
+    per_iter = (dt_n - dt_1) / (iters - 1) if iters > 1 else dt_n
+    seqs_per_sec = B / per_iter
+    print(
+        json.dumps(
+            {
+                "metric": "embedded_seqs_per_sec_chip (RWKV-6 1B6, ctx 512, weightedmean)"
+                if not small
+                else "embedded_seqs_per_sec_chip (smoke model)",
+                "value": round(seqs_per_sec, 2),
+                "unit": "seq/s/chip",
+                "vs_baseline": round(seqs_per_sec / 5000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""PEFT adapters as parameter-tree transforms.
+
+LoRA / PiSSA / state-tuning do not wrap modules (the reference's
+LoraLinear approach, src/rwkvLinear.py + src/layers.py) — they are pure
+functions over the parameter pytree: init builds an adapter tree, merge
+produces serving weights, and a registry hot-swaps named adapters on one
+base model (the BiCrossFusionEncoder pattern, infer/encoders.py:27-115).
+"""
+from rwkv_lm_ext_tpu.adapters.lora import (  # noqa: F401
+    LoraConfig,
+    init_lora_params,
+    merge_lora,
+    pissa_init,
+    lora_trainable_mask,
+    lora_state_dict_to_tree,
+    lora_tree_to_state_dict,
+)
+from rwkv_lm_ext_tpu.adapters.registry import AdapterRegistry  # noqa: F401

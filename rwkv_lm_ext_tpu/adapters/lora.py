@@ -1,0 +1,203 @@
+"""LoRA / PiSSA as parameter-tree transforms.
+
+Semantics from the reference:
+- train-time LoraLinear (src/rwkvLinear.py:42-120): W @ x + scaling * B(A(dropout(x))),
+  scaling = alpha/r, A kaiming-init, B zero; PiSSA: A,B from top-r SVD and
+  the base weight *reduced* by B@A (pissa_init, :66-75); pissa forward has
+  no scaling (:92-95).
+- run-time multi-adapter LoraLinear/LoraEmbedding (src/layers.py:6-81):
+  named adapter dicts, "default" = base only.
+- LORA_CONFIG parts {'att','ffn'} choose which Linears adapt
+  (make_linear_att/ffn, rwkvLinear.py:122-139).
+
+Here: an adapter is a pytree {path: {"A": (in,r), "B": (r,out)}} aligned
+with the base tree; `merge_lora` produces serving weights W + scale*A@B
+(weight-merge — one matmul ahead of time, zero per-step overhead on TPU);
+training materializes the merge inside the loss with the base frozen.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ATT_TARGETS = ("receptance", "key", "value", "gate", "output")
+_FFN_TARGETS = ("key", "value", "receptance")
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 8
+    alpha: float = 32.0
+    dropout: float = 0.0
+    parts: Tuple[str, ...] = ("att", "ffn")  # + "emb" to adapt embeddings
+    pissa: bool = False
+
+    @property
+    def scaling(self) -> float:
+        # PiSSA merges at scale 1 (rwkvLinear.py:92-95)
+        return 1.0 if self.pissa else self.alpha / self.r
+
+
+def _iter_targets(params: Dict, lc: LoraConfig):
+    """Yield (block_idx | None, sub, name, kernel) for every adapted leaf."""
+    for i, block in enumerate(params["blocks"]):
+        if "att" in lc.parts:
+            for name in _ATT_TARGETS:
+                if name in block["att"]:
+                    yield i, "att", name, block["att"][name]
+        if "ffn" in lc.parts:
+            for name in _FFN_TARGETS:
+                if name in block["ffn"]:
+                    yield i, "ffn", name, block["ffn"][name]
+    if "emb" in lc.parts:
+        yield None, "emb", "emb", params["emb"]
+    if "head" in lc.parts and "head" in params:
+        yield None, "head", "head", params["head"]
+
+
+def _adapter_key(i, sub, name) -> str:
+    return f"blocks.{i}.{sub}.{name}" if i is not None else name
+
+
+def init_lora_params(key: jax.Array, params: Dict, lc: LoraConfig) -> Dict:
+    """Fresh adapter tree: A ~ kaiming-uniform, B = 0 (rwkvLinear.py:52-56)."""
+    adapter: Dict[str, Dict[str, jax.Array]] = {}
+    for i, sub, name, kernel in _iter_targets(params, lc):
+        key, k1 = jax.random.split(key)
+        fan_in = kernel.shape[0]
+        bound = float(np.sqrt(3.0) * np.sqrt(2.0 / fan_in))  # kaiming a=√5 ~ gain sqrt(2/(1+5))... matches torch default scale
+        A = jax.random.uniform(
+            k1, (kernel.shape[0], lc.r), jnp.float32, -bound, bound
+        )
+        B = jnp.zeros((lc.r, kernel.shape[1]), jnp.float32)
+        adapter[_adapter_key(i, sub, name)] = {"A": A, "B": B}
+    return adapter
+
+
+def _svd_lowrank(M: jax.Array, r: int, niter: int = 4, key=None):
+    """Randomized top-r SVD (torch.svd_lowrank equivalent) — subspace
+    iteration with QR re-orthogonalization."""
+    m, n = M.shape
+    key = key if key is not None else jax.random.PRNGKey(0)
+    Q = jax.random.normal(key, (n, min(2 * r, n)), jnp.float32)
+    Y = M @ Q
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(niter):
+        Z = M.T @ Q
+        Z, _ = jnp.linalg.qr(Z)
+        Y = M @ Z
+        Q, _ = jnp.linalg.qr(Y)
+    B_small = Q.T @ M                      # (k, n)
+    U_s, S, Vt = jnp.linalg.svd(B_small, full_matrices=False)
+    U = Q @ U_s
+    return U[:, :r], S[:r], Vt[:r]
+
+
+def pissa_init(
+    params: Dict, lc: LoraConfig, *, svd_niter: int = 4, key=None
+) -> Tuple[Dict, Dict]:
+    """PiSSA: adapter = top-r SVD of each target weight, base weight
+    reduced by the extracted component (rwkvLinear.py:66-75).
+
+    Returns (new_params, adapter). new_params shares un-adapted leaves."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    adapter: Dict[str, Dict[str, jax.Array]] = {}
+    new_params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    new_params["blocks"] = [dict(b) for b in params["blocks"]]
+    for i, b in enumerate(new_params["blocks"]):
+        b["att"] = dict(b["att"])
+        b["ffn"] = dict(b["ffn"])
+
+    for i, sub, name, kernel in _iter_targets(params, lc):
+        key, k1 = jax.random.split(key)
+        W = kernel.astype(jnp.float32)
+        U, S, Vt = _svd_lowrank(W, lc.r, niter=svd_niter, key=k1)
+        sq = jnp.sqrt(S)
+        A = U * sq[None, :]                 # (in, r)
+        B = sq[:, None] * Vt                # (r, out)
+        adapter[_adapter_key(i, sub, name)] = {"A": A, "B": B}
+        residual = (W - A @ B).astype(kernel.dtype)
+        if i is not None:
+            new_params["blocks"][i][sub][name] = residual
+        elif name == "emb":
+            new_params["emb"] = residual
+        else:
+            new_params["head"] = residual
+    return new_params, adapter
+
+
+def merge_lora(params: Dict, adapter: Dict, lc: LoraConfig) -> Dict:
+    """Serving weights: W + scaling * A @ B per adapted leaf (the weight-
+    merge strategy; the per-token fused low-rank path of the reference's
+    LoraLinear costs extra HBM reads every step on TPU — merging is free
+    after the first use)."""
+    scale = lc.scaling
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    out["blocks"] = [dict(b) for b in params["blocks"]]
+    for i, b in enumerate(out["blocks"]):
+        b["att"] = dict(b["att"])
+        b["ffn"] = dict(b["ffn"])
+    for keyname, ab in adapter.items():
+        delta = (scale * (ab["A"] @ ab["B"])).astype(jnp.float32)
+        if keyname.startswith("blocks."):
+            _, idx, sub, name = keyname.split(".")
+            i = int(idx)
+            base = out["blocks"][i][sub][name]
+            out["blocks"][i][sub][name] = (
+                base.astype(jnp.float32) + delta
+            ).astype(base.dtype)
+        else:
+            base = out[keyname]
+            out[keyname] = (base.astype(jnp.float32) + delta).astype(base.dtype)
+    return out
+
+
+def lora_trainable_mask(adapter: Dict) -> Dict:
+    return jax.tree_util.tree_map(lambda _: True, adapter)
+
+
+def lora_tree_to_state_dict(adapter: Dict, lc: LoraConfig) -> Dict[str, np.ndarray]:
+    """Reference on-disk LoRA layout: `<path>.lora_A` (r, in) and
+    `<path>.lora_B` (out, r) (rwkvLinear.py:42-56, trainer save filters)."""
+    sd = {}
+    for keyname, ab in adapter.items():
+        sd[f"{keyname}.lora_A"] = np.asarray(ab["A"], np.float32).T
+        sd[f"{keyname}.lora_B"] = np.asarray(ab["B"], np.float32).T
+    return sd
+
+
+def lora_state_dict_to_tree(
+    sd: Dict[str, Any], *, adapter_name: Optional[str] = None
+) -> Dict:
+    """Read reference/HF-peft LoRA checkpoints into an adapter tree.
+
+    Accepts both `<path>.lora_A` / `.lora_B` (reference trainer format,
+    possibly with a `.weight` suffix) and HF-peft
+    `<path>.lora_A.<adapter>.weight` (src/layers.py:125-169 key mapping,
+    peft_train/hf2rwkv_lora.py)."""
+    tree: Dict[str, Dict[str, np.ndarray]] = {}
+    pat = re.compile(
+        r"^(?:base_model\.model\.)?(?P<path>.+?)\.lora_(?P<ab>[AB])"
+        r"(?:\.(?P<name>[^.]+))?(?:\.weight)?$"
+    )
+    for k, v in sd.items():
+        m = pat.match(k)
+        if not m:
+            continue
+        if adapter_name and m.group("name") not in (None, adapter_name):
+            continue
+        path = m.group("path")
+        # HF peft embedding keys: lora_embedding_A/B
+        entry = tree.setdefault(path, {})
+        arr = np.asarray(v, np.float32)
+        entry["A" if m.group("ab") == "A" else "B"] = arr.T
+    out = {}
+    for path, ab in tree.items():
+        if "A" in ab and "B" in ab:
+            out[path] = {"A": jnp.asarray(ab["A"]), "B": jnp.asarray(ab["B"])}
+    return out

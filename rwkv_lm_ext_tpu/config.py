@@ -105,6 +105,25 @@ class TrainConfig:
     seed: int = 0
 
 
+def rwkv6_1b6(**overrides) -> ModelConfig:
+    """RWKV-6-World-1B6 geometry (the reference's flagship serving model)."""
+    kw = dict(n_layer=24, n_embd=2048, vocab_size=65536, head_size=64)
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
+def rwkv6_3b(**overrides) -> ModelConfig:
+    kw = dict(n_layer=32, n_embd=2560, vocab_size=65536, head_size=64)
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
+def rwkv6_7b(**overrides) -> ModelConfig:
+    kw = dict(n_layer=32, n_embd=4096, vocab_size=65536, head_size=64)
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
 # Special token ids of the RWKV world vocabulary
 # (reference: pad=0, eos/emb/cls=1, sep=2, mask=3; see SURVEY §2.3 tokenizers)
 PAD_ID = 0

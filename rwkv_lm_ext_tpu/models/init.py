@@ -22,7 +22,13 @@ def _ln(C, dtype):
     }
 
 
+_FAST_INIT = False  # scaled-normal instead of orthogonal (benchmarks only)
+
+
 def _orthogonal(key, in_dim, out_dim, gain, dtype):
+    if _FAST_INIT:
+        std = gain / jnp.sqrt(jnp.asarray(in_dim, jnp.float32))
+        return (jax.random.normal(key, (in_dim, out_dim), jnp.float32) * std).astype(dtype)
     init = jax.nn.initializers.orthogonal(scale=gain)
     return init(key, (in_dim, out_dim), jnp.float32).astype(dtype)
 
@@ -139,12 +145,35 @@ def init_rwkv_params(
     *,
     emb_init_scale: float = 1e-4,
     with_state_params: bool = False,
+    fast_init: bool = False,
 ) -> Dict:
     """Build a full parameter tree (fresh model).
 
     with_state_params: add a zero (H,N,N) att.time_state per block — the
     state-tuning parameter (src/model.py:481-584 RWKV_Tmix_x060_state).
+    fast_init: scaled-normal instead of orthogonal projections (for
+    benchmarks / smoke tests where init statistics don't matter).
     """
+    global _FAST_INIT
+    if fast_init:
+        _FAST_INIT = True
+    try:
+        return _init_rwkv_params(
+            key, cfg,
+            emb_init_scale=emb_init_scale,
+            with_state_params=with_state_params,
+        )
+    finally:
+        _FAST_INIT = False
+
+
+def _init_rwkv_params(
+    key: jax.Array,
+    cfg,
+    *,
+    emb_init_scale: float = 1e-4,
+    with_state_params: bool = False,
+) -> Dict:
     dtype = cfg.params_dtype
     keys = jax.random.split(key, cfg.n_layer + 2)
     blocks = []

@@ -1,0 +1,124 @@
+"""LoRA / PiSSA adapter-tree transforms."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.adapters import (
+    AdapterRegistry,
+    LoraConfig,
+    init_lora_params,
+    lora_state_dict_to_tree,
+    lora_tree_to_state_dict,
+    merge_lora,
+    pissa_init,
+)
+from rwkv_lm_ext_tpu.models import init_rwkv_params, rwkv_forward
+
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=100, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+LC = LoraConfig(r=4, alpha=16.0)
+
+
+def _params():
+    return init_rwkv_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_fresh_lora_is_identity():
+    """B=0 at init -> merged model == base model (rwkvLinear.py:56)."""
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    merged = merge_lora(params, adapter, LC)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 100)
+    l0, _ = rwkv_forward(params, CFG, tokens)
+    l1, _ = rwkv_forward(merged, CFG, tokens)
+    np.testing.assert_allclose(l0, l1, atol=1e-6)
+    assert len(adapter) == 2 * (5 + 3)  # 2 blocks x (5 att + 3 ffn)
+
+
+def test_nonzero_lora_changes_logits():
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in adapter.values():
+        ab["B"] = 0.01 * jnp.ones_like(ab["B"])
+    merged = merge_lora(params, adapter, LC)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 100)
+    l0, _ = rwkv_forward(params, CFG, tokens)
+    l1, _ = rwkv_forward(merged, CFG, tokens)
+    assert not np.allclose(l0, l1)
+
+
+def test_pissa_preserves_function():
+    """residual + A@B == original weight -> same logits after re-merge."""
+    params = _params()
+    new_params, adapter = pissa_init(params, LoraConfig(r=4, pissa=True))
+    # adapted weights differ from base
+    assert not np.allclose(
+        new_params["blocks"][0]["att"]["receptance"],
+        params["blocks"][0]["att"]["receptance"],
+    )
+    merged = merge_lora(new_params, adapter, LoraConfig(r=4, pissa=True))
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 100)
+    l0, _ = rwkv_forward(params, CFG, tokens)
+    l1, _ = rwkv_forward(merged, CFG, tokens)
+    np.testing.assert_allclose(l0, l1, rtol=2e-4, atol=2e-4)
+
+
+def test_pissa_svd_is_top_r():
+    """PiSSA residual must have smaller norm than any random-r deflation."""
+    params = _params()
+    W = np.asarray(params["blocks"][0]["att"]["receptance"], np.float64)
+    new_params, adapter = pissa_init(params, LoraConfig(r=8, pissa=True))
+    res = np.asarray(new_params["blocks"][0]["att"]["receptance"], np.float64)
+    s = np.linalg.svd(W, compute_uv=False)
+    optimal = np.sqrt((s[8:] ** 2).sum())
+    assert np.linalg.norm(res) <= optimal * 1.05
+
+
+def test_lora_checkpoint_roundtrip():
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in adapter.values():
+        ab["B"] = 0.1 * jnp.ones_like(ab["B"])
+    sd = lora_tree_to_state_dict(adapter, LC)
+    back = lora_state_dict_to_tree(sd)
+    assert set(back) == set(adapter)
+    for k in adapter:
+        np.testing.assert_allclose(adapter[k]["A"], back[k]["A"], atol=1e-6)
+        np.testing.assert_allclose(adapter[k]["B"], back[k]["B"], atol=1e-6)
+
+
+def test_hf_peft_key_format():
+    sd = {
+        "base_model.model.blocks.0.att.key.lora_A.embedding_lora.weight":
+            np.ones((4, 64), np.float32),
+        "base_model.model.blocks.0.att.key.lora_B.embedding_lora.weight":
+            np.ones((64, 4), np.float32),
+        "base_model.model.blocks.0.att.value.lora_A.other.weight":
+            np.ones((4, 64), np.float32),
+    }
+    tree = lora_state_dict_to_tree(sd, adapter_name="embedding_lora")
+    assert list(tree) == ["blocks.0.att.key"]
+    assert tree["blocks.0.att.key"]["A"].shape == (64, 4)
+
+
+def test_adapter_registry_hot_swap():
+    params = _params()
+    reg = AdapterRegistry(params)
+    a1 = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in a1.values():
+        ab["B"] = 0.01 * jnp.ones_like(ab["B"])
+    a2 = init_lora_params(jax.random.PRNGKey(2), params, LC)
+    reg.register("embedding", a1, LC)
+    reg.register("rerank", a2, LC)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, 100)
+    l_def, _ = rwkv_forward(reg.materialize("default"), CFG, tokens)
+    l_emb, _ = rwkv_forward(reg.materialize("embedding"), CFG, tokens)
+    l_rr, _ = rwkv_forward(reg.materialize("rerank"), CFG, tokens)
+    assert not np.allclose(l_def, l_emb)
+    np.testing.assert_allclose(l_def, l_rr, atol=1e-6)  # fresh B=0 adapter
+    # swap back and forth: cached, deterministic
+    l_emb2, _ = rwkv_forward(reg.materialize("embedding"), CFG, tokens)
+    np.testing.assert_allclose(l_emb, l_emb2, atol=0)
