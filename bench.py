@@ -48,18 +48,18 @@ def main():
     lo, hi = 4, cfg.vocab_size - 4
     n_feed = min(T, cfg.n_embd)
 
-    def one_batch(tokens):
+    def one_batch(p, tokens):
         tokens = tokens.at[:, -1].set(EMB_ID)  # emb-terminated sequences
         return embed_sequences(
-            params, cfg, tokens,
+            p, cfg, tokens,
             pooling_type="weightedmean", wkv_backend=backend,
         )
 
     def make_chained(n_iters):
         @jax.jit
-        def chained(tokens):
+        def chained(p, tokens):
             def body(toks, _):
-                emb = one_batch(toks)
+                emb = one_batch(p, toks)
                 # data chain: next batch's tokens depend on these embeddings
                 delta = (
                     jnp.abs(emb[:, :n_feed] * 100.0).astype(jnp.int32) % 17
@@ -83,17 +83,17 @@ def main():
     chained_1 = make_chained(1)
     chained_n = make_chained(iters)
     t0 = time.perf_counter()
-    float(chained_1(tokens0))
+    float(chained_1(params, tokens0))
     log(f"compile+run chained_1: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    float(chained_n(tokens0))
+    float(chained_n(params, tokens0))
     log(f"compile+run chained_n: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    s_n = float(chained_n(tokens0))
+    s_n = float(chained_n(params, tokens0))
     dt_n = time.perf_counter() - t0
     t0 = time.perf_counter()
-    s_1 = float(chained_1(tokens0))
+    s_1 = float(chained_1(params, tokens0))
     dt_1 = time.perf_counter() - t0
     assert s_n == s_n and s_1 == s_1, "NaN in benchmark outputs"
 

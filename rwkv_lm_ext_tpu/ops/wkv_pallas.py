@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for the chunked WKV scan.
+
+The TPU replacement for all of the reference's cuda/*.cu WKV kernels: one
+fused kernel computes the chunk-parallel formulation of wkv_chunked.py with
+the running (K, V) state held in VMEM scratch for the whole sequence — the
+state never touches HBM between chunks (the CUDA kernels keep it in
+registers per thread; VMEM is the TPU analogue).
+
+Grid: (B*H, T/L). TPU grids execute sequentially with the last axis
+innermost, so scratch carries the state across the chunk axis and resets
+when a new (batch, head) program begins. Intra-chunk work is (L,N)x(N,L)
+and (L,L)x(L,N) matmuls on the MXU in fp32.
+
+Backward: custom_vjp recomputes through the XLA chunked path (fla
+checkpoint_level-style recompute) — a fused Pallas backward is a later
+optimization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rwkv_lm_ext_tpu.ops.wkv_chunked import MAX_EXP, wkv_chunked
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _wkv_kernel(
+    r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,  # inputs
+    y_ref, sout_ref,                            # outputs
+    state,                                      # VMEM scratch (N,N) f32
+    *, L: int, N: int,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        state[:, :] = s0_ref[0].astype(jnp.float32)
+
+    r = r_ref[0].astype(jnp.float32)            # (L,N)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    w = w_ref[0].astype(jnp.float32)
+    u = u_ref[0].astype(jnp.float32)            # (1,N) row
+
+    lw = -jnp.exp(w)                            # <= 0
+    # inclusive prefix sum as a lower-triangular matmul (Pallas TPU has no
+    # cumsum primitive; (L,L)x(L,N) rides the MXU anyway)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tril_inc = (row0 >= col0).astype(jnp.float32)
+    winc = jax.lax.dot_general(
+        tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # (L,N) inclusive
+    wexc = winc - lw                            # exclusive
+    wlast = winc[L - 1, :][None, :]             # (1,N)
+    wmid = winc[L // 2, :][None, :]
+
+    q_inter = r * jnp.exp(wexc)
+    q_intra = r * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
+    k_intra = k * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
+    k_state = k * jnp.exp(wlast - winc)
+
+    # intra-chunk attention (strictly causal) + u-bonus diagonal
+    A = jax.lax.dot_general(
+        q_intra, k_intra,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # (L,L): A[t,s]
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    A = jnp.where(row > col, A, 0.0)
+    diag = jnp.sum(r * u * k, axis=1, keepdims=True)  # (L,1)
+
+    y = jax.lax.dot_general(
+        A, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y += diag * v
+    y += jax.lax.dot_general(
+        q_inter, state[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y_ref[0] = y.astype(y_ref.dtype)
+
+    # state update: S = decay_total ⊙_K S + k_state^T @ v
+    new_s = state[:, :] * jnp.exp(wlast)[0][:, None]
+    new_s += jax.lax.dot_general(
+        k_state, v, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    state[:, :] = new_s
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        sout_ref[0] = new_s
+
+
+def _wkv_pallas_fwd_impl(
+    r, k, v, w, u, s0, *, chunk_size: int, interpret: bool = False
+):
+    """r,k,v,w: (B,T,H,N); u (H,N); s0 (B,H,N,N) fp32."""
+    B, T, H, N = r.shape
+    L = chunk_size
+    pad = (-T) % L
+    if pad:
+        cfg = [(0, 0)] * 4
+        cfg[1] = (0, pad)
+        r = jnp.pad(r, cfg)
+        k = jnp.pad(k, cfg)
+        v = jnp.pad(v, cfg)
+        w = jnp.pad(w, cfg, constant_values=-1e30)  # decay 1 on dead steps
+    Tp = T + pad
+    NC = Tp // L
+
+    def to_bh(x):  # (B,Tp,H,N) -> (B*H, Tp, N)
+        return x.transpose(0, 2, 1, 3).reshape(B * H, Tp, N)
+
+    rb, kb, vb, wb = (to_bh(x) for x in (r, k, v, w))
+    ub = jnp.broadcast_to(u[None], (B, H, N)).reshape(B * H, 1, N)
+    s0b = s0.reshape(B * H, N, N)
+
+    in_specs = [
+        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        pl.BlockSpec((1, 1, N), lambda i, c: (i, 0, 0)),
+        pl.BlockSpec((1, N, N), lambda i, c: (i, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        pl.BlockSpec((1, N, N), lambda i, c: (i, 0, 0)),
+    ]
+    y, sout = pl.pallas_call(
+        functools.partial(_wkv_kernel, L=L, N=N),
+        grid=(B * H, NC),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Tp, N), r.dtype),
+            jax.ShapeDtypeStruct((B * H, N, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tp * N * (2 * N + L),
+            bytes_accessed=4 * B * H * Tp * N * 4,
+            transcendentals=B * H * Tp * N * 4,
+        ),
+    )(rb, kb, vb, wb, ub, s0b)
+
+    y = y.reshape(B, H, Tp, N).transpose(0, 2, 1, 3)[:, :T]
+    return y, sout.reshape(B, H, N, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _wkv_pallas(r, k, v, w, u, s0, chunk_size, interpret):
+    return _wkv_pallas_fwd_impl(
+        r, k, v, w, u, s0, chunk_size=chunk_size, interpret=interpret
+    )
+
+
+def _fwd(r, k, v, w, u, s0, chunk_size, interpret):
+    out = _wkv_pallas_fwd_impl(
+        r, k, v, w, u, s0, chunk_size=chunk_size, interpret=interpret
+    )
+    return out, (r, k, v, w, u, s0)
+
+
+def _bwd(chunk_size, interpret, residuals, cts):
+    r, k, v, w, u, s0 = residuals
+    gy, gs = cts
+
+    def f(r, k, v, w, u, s0):
+        y, sT = wkv_chunked(
+            r, k, v, w, u, s0, chunk_size=chunk_size, remat=True
+        )
+        return y.astype(r.dtype), sT
+
+    _, vjp = jax.vjp(f, r, k, v, w, u, s0)
+    return vjp((gy, gs))
+
+
+_wkv_pallas.defvjp(_fwd, _bwd)
+
+
+def wkv_pallas(
+    r: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    w: jax.Array,
+    u: Optional[jax.Array],
+    initial_state: Optional[jax.Array] = None,
+    *,
+    chunk_size: int = 64,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Same contract as wkv_reference/wkv_chunked (y is returned in fp32
+    for head-side GroupNorm precision; internals accumulate fp32)."""
+    B, T, H, N = r.shape
+    if u is None:
+        u = jnp.zeros((H, N), jnp.float32)
+    if initial_state is None:
+        initial_state = jnp.zeros((B, H, N, N), jnp.float32)
+    if interpret is None:
+        interpret = not pallas_available()
+    chunk_size = min(chunk_size, max(8, T))
+    y, sout = _wkv_pallas(
+        r, k, v, w.astype(jnp.float32), u.astype(jnp.float32),
+        initial_state.astype(jnp.float32), chunk_size, interpret,
+    )
+    return y.astype(jnp.float32), sout
