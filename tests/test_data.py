@@ -1,0 +1,153 @@
+"""Data pipeline: binidx round-trip, bucket sampler sharding, collators,
+pretrain sampler coverage."""
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu.data.binidx import IndexedDataset, IndexedDatasetWriter
+from rwkv_lm_ext_tpu.data.buckets import (
+    BucketBatchSampler,
+    LengthBucketedDataset,
+)
+from rwkv_lm_ext_tpu.data.collators import (
+    cross_encoder_collate,
+    mae_collate,
+    mlm_collate,
+    sft_collate,
+    triplet_collate,
+)
+from rwkv_lm_ext_tpu.data.pretrain import (
+    PretrainSampler,
+    maybe_is_prime,
+    pick_magic_prime,
+)
+from rwkv_lm_ext_tpu.data.sft import encode_sft_example
+
+
+def test_binidx_roundtrip(tmp_path):
+    prefix = str(tmp_path / "corpus")
+    docs = [list(range(10)), [7, 8, 9], list(range(100, 160))]
+    with IndexedDatasetWriter(prefix, dtype=np.uint16) as w:
+        for d in docs:
+            w.add_document(d)
+    ds = IndexedDataset(prefix)
+    assert len(ds) == 3
+    for i, d in enumerate(docs):
+        np.testing.assert_array_equal(ds[i], d)
+    np.testing.assert_array_equal(ds.get(2, offset=5, length=3), [105, 106, 107])
+    assert ds.total_tokens == sum(len(d) for d in docs)
+
+
+def test_binidx_torch_reference_compat(tmp_path):
+    """Our files must parse with the same header the reference writes."""
+    prefix = str(tmp_path / "c2")
+    with IndexedDatasetWriter(prefix, dtype=np.int32) as w:
+        w.add_document([1, 2, 3])
+    raw = open(prefix + ".idx", "rb").read()
+    assert raw[:9] == b"MMIDIDX\x00\x00"
+    assert raw[9:17] == (1).to_bytes(8, "little")
+    assert raw[17] == 4  # int32 code
+
+
+def test_bucket_sampler_rank_sharding():
+    ds = LengthBucketedDataset(buckets=(8, 16))
+    for i in range(40):
+        ds.add({"id": i}, 5)       # 40 into bucket 8
+    for i in range(40, 60):
+        ds.add({"id": i}, 12)      # 20 into bucket 16
+    bs = {8: 4, 16: 2}
+    seen = {0: [], 1: []}
+    for rank in (0, 1):
+        sampler = BucketBatchSampler(
+            ds, bs, world_size=2, rank=rank
+        )
+        for bi, idxs in sampler:
+            assert len(idxs) == bs[ds.buckets[bi].fixed_len]
+            seen[rank].extend((bi, i) for i in idxs)
+    # ranks see disjoint examples covering everything (up to drop_last)
+    assert not (set(seen[0]) & set(seen[1]))
+    assert len(seen[0]) == len(seen[1])
+    # resume: skipping k batches drops exactly k batches
+    s_full = list(BucketBatchSampler(ds, bs, world_size=2, rank=0))
+    s_skip = list(
+        BucketBatchSampler(ds, bs, world_size=2, rank=0, skipped_batches=3)
+    )
+    assert s_full[3:] == s_skip
+
+
+def test_sft_collate_shift():
+    ex = {"input_ids": [10, 11, 12, 13], "labels": [-100, -100, 12, 13]}
+    out = sft_collate([ex], 8)
+    assert out["input_ids"].shape == (1, 8)
+    # labels shifted: target at position t is labels_raw[t+1]
+    np.testing.assert_array_equal(
+        out["labels"][0], [-100, 12, 13, -100, -100, -100, -100, -100]
+    )
+
+
+def test_triplet_collate():
+    ex = {
+        "query": [5, 6],
+        "positive": [[7, 8, 9], [1, 2]],
+        "negative": [3, 4],
+    }
+    out = triplet_collate([ex], 6)
+    assert set(out) == {"query", "positive", "negative"}
+    assert out["query"][0, 2] == 1  # emb_id terminator
+    assert out["query"].shape == (1, 6)
+
+
+def test_cross_encoder_collate_truncation():
+    ex = {"query": list(range(10, 20)), "document": list(range(30, 60)), "label": 0}
+    out = cross_encoder_collate([ex], 16)
+    row = out["input_ids"][0]
+    assert row[-1] == 1 or 1 in row  # cls terminator present
+    assert (row == 2).sum() == 1     # exactly one sep
+    assert out["labels"][0] == 0
+
+
+def test_mlm_collate_masks_and_labels():
+    ex = {"input_ids": list(range(10, 40))}
+    out = mlm_collate([ex], 32, mask_prob=0.3, seed=1)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    masked = ids == 3
+    assert masked.any()
+    # labels exactly at masked positions hold the original token
+    assert (labels[masked] >= 10).all()
+    assert (labels[~masked] == -100).all()
+
+
+def test_mae_collate_dupmae():
+    ex = {"input_ids": list(range(10, 30))}
+    out = mae_collate([ex], 24, bag_of_words=True, vocab_size=100, seed=2)
+    assert out["encoder_input_ids"].shape == (1, 24)
+    assert out["decoder_labels"].shape == (1, 24)
+    w = out["bag_word_weight"][0]
+    assert abs(w.sum() - 1.0) < 1e-5
+
+
+def test_pretrain_sampler_full_coverage():
+    class FakeData:
+        total_tokens = 4 * 19 + 1
+
+        def slice_tokens(self, start, length):
+            return np.arange(start, start + length)
+
+    p = pick_magic_prime(FakeData.total_tokens, 4)
+    assert p == 17 and maybe_is_prime(p) and p % 3 == 2
+    s = PretrainSampler(
+        FakeData(), 4, magic_prime=17, world_size=1, epoch_steps=17
+    )
+    offsets = {s.sample_offset(0, i) for i in range(17)}
+    assert len(offsets) == 17  # x -> x^3 permutes Z_p when p ≡ 2 (mod 3)
+
+
+def test_sft_encoding_labels():
+    class Tok:
+        def encode(self, s):
+            return [ord(c) % 97 + 5 for c in s]
+
+    ex = encode_sft_example(Tok(), "do", "x", "yz")
+    n_prompt = len(Tok().encode("🐱:do\nx\n🤖:"))
+    assert ex["labels"][:n_prompt] == [-100] * n_prompt
+    assert ex["input_ids"][-1] == 1  # eos supervised
+    assert ex["labels"][-1] == 1
