@@ -24,7 +24,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "16" if small else "64"))
     T = int(os.environ.get("BENCH_CTX", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    backend = os.environ.get("BENCH_BACKEND", "chunked")
+    backend = os.environ.get("BENCH_BACKEND", "auto")
 
     from rwkv_lm_ext_tpu.config import ModelConfig, rwkv6_1b6, EMB_ID
     from rwkv_lm_ext_tpu.models import init_rwkv_params

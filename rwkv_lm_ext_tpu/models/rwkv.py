@@ -55,26 +55,13 @@ def _token_shift(x: jax.Array, shift_state: jax.Array) -> jax.Array:
     return prev
 
 
-def time_mix_v6(
-    p: Dict,
-    cfg,
-    x: jax.Array,
-    att_shift: jax.Array,
-    wkv_state: jax.Array,
-    *,
-    wkv_backend: str = "auto",
-    chunk_size: int = 32,
-    state_param_override: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """RWKV-6 time mix (src/model.py:434-477 jit_func/jit_func_2/forward).
-
-    x: (B, T, C). Returns (out (B,T,C), new_att_shift (B,C), new_wkv).
-    `state_param_override`: a learnable (H,N,N) initial state (state-tuning,
-    src/model.py:481-584 RWKV_Tmix_x060_state) used *instead of* the carried
-    wkv_state.
-    """
+def tmix_v6_projections(
+    p: Dict, cfg, x: jax.Array, att_shift: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The ddlerp + projection half of RWKV-6 time mix (jit_func,
+    src/model.py:434-459): returns (r, k, v, g, w). Factored out so the
+    bidirectional and MAE-decoder variants can recombine streams."""
     B, T, C = x.shape
-    H, N = cfg.n_head, cfg.head_size
     dt = x.dtype
 
     prev = _token_shift(x, att_shift)
@@ -105,6 +92,42 @@ def time_mix_v6(
     ww = jnp.tanh(xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32))
     ww = ww @ p["time_decay_w2"].astype(jnp.float32)
     w = p["time_decay"].astype(jnp.float32) + ww             # (B,T,C_att)
+    return r, k, v, g, w
+
+
+def tmix_v6_output(
+    p: Dict, cfg, y: jax.Array, g: jax.Array
+) -> jax.Array:
+    """GroupNorm(ln_x) + gated output projection (jit_func_2,
+    src/model.py:461-468)."""
+    dt = g.dtype
+    y = group_norm(y.astype(dt), p["ln_x"], cfg.n_head, cfg.ln_x_eps)
+    return (y * g) @ p["output"].astype(dt)
+
+
+def time_mix_v6(
+    p: Dict,
+    cfg,
+    x: jax.Array,
+    att_shift: jax.Array,
+    wkv_state: jax.Array,
+    *,
+    wkv_backend: str = "auto",
+    chunk_size: int = 32,
+    state_param_override: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """RWKV-6 time mix (src/model.py:434-477 jit_func/jit_func_2/forward).
+
+    x: (B, T, C). Returns (out (B,T,C), new_att_shift (B,C), new_wkv).
+    `state_param_override`: a learnable (H,N,N) initial state (state-tuning,
+    src/model.py:481-584 RWKV_Tmix_x060_state) used *instead of* the carried
+    wkv_state.
+    """
+    B, T, C = x.shape
+    H, N = cfg.n_head, cfg.head_size
+    dt = x.dtype
+
+    r, k, v, g, w = tmix_v6_projections(p, cfg, x, att_shift)
 
     if state_param_override is not None:
         s0 = jnp.broadcast_to(
@@ -123,10 +146,8 @@ def time_mix_v6(
         backend=wkv_backend,
         chunk_size=chunk_size,
     )
-    y = y.reshape(B, T, C).astype(dt)
-
-    y = group_norm(y, p["ln_x"], H, cfg.ln_x_eps)
-    out = (y * g) @ p["output"].astype(dt)
+    y = y.reshape(B, T, C)
+    out = tmix_v6_output(p, cfg, y, g)
     return out, x[:, -1].astype(jnp.float32), new_wkv
 
 

@@ -1,0 +1,104 @@
+"""Bidirectional encoder family: average/fused modes, MAE, one-layer decoder."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+from rwkv_lm_ext_tpu.models.bidirectional import (
+    dupmae_bow_loss,
+    encode_sentence,
+    encoder_forward,
+    init_one_layer_decoder,
+    mae_forward,
+    sequence_lengths,
+)
+
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=100, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    p = init_rwkv_params(jax.random.PRNGKey(0), CFG)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(p["blocks"]))
+    for bk, b in zip(keys, p["blocks"]):
+        b["att"]["output"] = 0.05 * jax.random.normal(bk, b["att"]["output"].shape)
+    return p
+
+
+def _tokens(B=2, T=12):
+    t = jax.random.randint(jax.random.PRNGKey(2), (B, T), 4, 100)
+    t = t.at[0, 8].set(1)   # emb_id
+    t = t.at[0, 9:].set(0)  # pad after emb
+    t = t.at[1, -1].set(1)
+    return t
+
+
+def test_sequence_lengths():
+    t = _tokens()
+    L = sequence_lengths(t)
+    assert list(np.asarray(L)) == [9, 12]
+
+
+@pytest.mark.parametrize("mode", ["average", "fused"])
+def test_bidirectional_uses_future_context(params, mode):
+    """Changing a FUTURE token (within the valid prefix) must change an
+    earlier position's hidden state — impossible for a causal model."""
+    t = _tokens()
+    h0 = encoder_forward(params, CFG, t, mode=mode)
+    t2 = t.at[1, 10].set(50)
+    h1 = encoder_forward(params, CFG, t2, mode=mode)
+    assert not np.allclose(h0[1, 0], h1[1, 0])
+    # but row 0 (unchanged) is identical
+    np.testing.assert_allclose(h0[0], h1[0], atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["average", "fused"])
+def test_padding_does_not_leak(params, mode):
+    """Tokens beyond the valid prefix must not affect valid positions."""
+    t = _tokens()
+    h0 = encoder_forward(params, CFG, t, mode=mode)
+    t2 = t.at[0, 10].set(77)  # inside row 0's padding region
+    h1 = encoder_forward(params, CFG, t2, mode=mode)
+    np.testing.assert_allclose(h0[0, :9], h1[0, :9], atol=1e-5)
+
+
+def test_encode_sentence_position(params):
+    t = _tokens()
+    emb = encode_sentence(params, CFG, t)
+    h = encoder_forward(params, CFG, t)
+    np.testing.assert_allclose(emb[0], h[0, 8], atol=1e-6)
+    np.testing.assert_allclose(emb[1], h[1, 11], atol=1e-6)
+
+
+def test_mae_forward_shapes(params):
+    p = dict(params)
+    p["onelayer_decoder"] = init_one_layer_decoder(jax.random.PRNGKey(3), CFG)
+    enc_ids = _tokens()
+    dec_ids = _tokens()
+    out = mae_forward(p, CFG, enc_ids, dec_ids, bidirectional=True)
+    assert out["seq_emb"].shape == (2, 64)
+    assert out["encoder_logits"].shape == (2, 12, 100)
+    assert out["decoder_logits"].shape == (2, 12, 100)
+    assert out["ot_logits"].shape == (2, 100)
+    bow = jnp.ones((2, 100)) / 100.0
+    loss = dupmae_bow_loss(out["ot_logits"], bow)
+    assert jnp.isfinite(loss)
+
+
+def test_mae_uni_adds_bottleneck(params):
+    """Unidirectional MAE adds seq_emb to token states before the MLM head
+    (src/model_ext.py:907-908) -> logits differ from plain hidden@emb.T."""
+    enc_ids = _tokens()
+    out_uni = mae_forward(params, CFG, enc_ids, bidirectional=False)
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+
+    hidden, _ = rwkv_forward(
+        params, CFG, enc_ids, return_hidden=True, return_logits=False
+    )
+    plain = hidden @ jnp.asarray(params["emb"]).T
+    assert not np.allclose(out_uni["encoder_logits"], plain)
