@@ -137,6 +137,72 @@ def mlm_logits(
     return hidden.astype(jnp.float32) @ lm_head.astype(jnp.float32)
 
 
+def instructor_embed(
+    params: Dict,
+    cfg,
+    tokens: jax.Array,
+    inst_head: Dict,
+    *,
+    pooling_type: str = "weightedmean",
+    embedding_id: int = EMB_ID,
+    wkv_backend: str = "auto",
+) -> jax.Array:
+    """Instructor-style embedder (RwkvInstructorForSequenceEmbedding,
+    src/model_ext.py:1042-1364): instruction-prefixed text -> pooled hidden
+    -> dense(output_dim) -> LayerNorm. inst_head:
+    {"dense": {"kernel","bias"}, "ln": {"scale","bias"}}."""
+    from rwkv_lm_ext_tpu.models.rwkv import layer_norm
+
+    hidden, _ = rwkv_forward(
+        params, cfg, tokens, wkv_backend=wkv_backend,
+        return_hidden=True, return_logits=False,
+    )
+    actual_len = first_token_position(tokens, embedding_id)
+    emb = pool_hidden(hidden, actual_len, pooling_type)
+    d = inst_head["dense"]
+    emb = emb @ d["kernel"].astype(emb.dtype) + d["bias"].astype(emb.dtype)
+    return layer_norm(emb, inst_head["ln"])
+
+
+def embed_sequences_chunked(
+    params: Dict,
+    cfg,
+    tokens: jax.Array,
+    *,
+    chunk_ctx: int,
+    head_params: Optional[Dict] = None,
+    pooling_type: str = "weightedmean",
+    embedding_id: int = EMB_ID,
+    wkv_backend: str = "auto",
+) -> jax.Array:
+    """Infinite-context embedder (RwkvStatesForSequenceEmbedding,
+    src/model_ext.py:1366-1688): run the sequence in chunk_ctx pieces
+    carrying recurrent state, reassemble the full hidden sequence, pool.
+    O(chunk) activation memory for arbitrarily long inputs."""
+    B, T = tokens.shape
+    pad = (-T) % chunk_ctx
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad)))
+    state = None
+    pieces = []
+    for s in range(0, T + pad, chunk_ctx):
+        h, state = rwkv_forward(
+            params, cfg, tokens[:, s : s + chunk_ctx], state,
+            wkv_backend=wkv_backend,
+            return_hidden=True, return_logits=False,
+        )
+        pieces.append(h)
+    hidden = jnp.concatenate(pieces, axis=1)[:, :T]
+    actual_len = first_token_position(tokens[:, :T], embedding_id)
+    emb = pool_hidden(hidden, actual_len, pooling_type)
+    if head_params is not None and "dense" in head_params:
+        d = head_params["dense"]
+        emb = jnp.tanh(
+            emb @ d["kernel"].astype(emb.dtype) + d["bias"].astype(emb.dtype)
+        )
+    return emb
+
+
 def init_embedding_head(key, cfg, output_dim: int = 0) -> Dict:
     """Parameters for the add_mlp dense+tanh head."""
     out = output_dim or cfg.n_embd
