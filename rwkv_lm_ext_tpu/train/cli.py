@@ -1,0 +1,531 @@
+"""Trainer entry points (one typed CLI instead of the reference's seven
+peft_train/ + train_scripts/ argparse scripts).
+
+Subcommands (reference equivalents):
+  sft            peft_train/peft_train_sft.py  (full / lora / pissa /
+                 states / infctx train types)
+  bi-encoder     peft_train/peft_train_bi_encoder(_birwkv).py
+  cross-encoder  peft_train/peft_train_cross_encoder.py
+  mlm / mae      train_scripts/train_mlm.py / train_mae.py
+
+Usage: python -m rwkv_lm_ext_tpu.train.cli sft --model base.pth \\
+           --train-data data.jsonl --output-dir out --train-type lora
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _common_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", required=True, help="base .pth checkpoint")
+    p.add_argument("--train-data", required=True, help="jsonl input")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--vocab", default=None, help="world-vocab path")
+    p.add_argument("--lr-init", type=float, default=3e-4)
+    p.add_argument("--lr-final", type=float, default=1e-5)
+    p.add_argument("--lr-schedule", default="cosine")
+    p.add_argument("--warmup-steps", type=int, default=50)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--micro-bsz", type=int, default=4)
+    p.add_argument("--accumulate-grad-batches", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=0, help="0 = all data")
+    p.add_argument("--ctx-len", type=int, default=512)
+    p.add_argument("--chunk-ctx", type=int, default=0, help="TBPTT (infctx)")
+    p.add_argument("--dp", type=int, default=0, help="0 = all devices")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-every-steps", type=int, default=0)
+    p.add_argument("--skip-steps", type=int, default=0, help="resume skip")
+    p.add_argument("--wandb-project", default=None)
+    p.add_argument("--log-every", type=int, default=10)
+
+
+def _load_base(args):
+    from rwkv_lm_ext_tpu.checkpoint import load_rwkv_checkpoint
+
+    params, cfg = load_rwkv_checkpoint(args.model)
+    return params, cfg
+
+
+def _train_config(args, total_steps: int):
+    from rwkv_lm_ext_tpu.config import TrainConfig
+
+    return TrainConfig(
+        lr_init=args.lr_init,
+        lr_final=args.lr_final,
+        warmup_steps=args.warmup_steps,
+        weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip,
+        lr_schedule=args.lr_schedule,
+        total_steps=total_steps,
+        micro_bsz=args.micro_bsz,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        chunk_ctx=args.chunk_ctx,
+        seed=args.seed,
+    )
+
+
+def _mesh(args):
+    from rwkv_lm_ext_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    if args.tp == 1 and (args.dp == 1 or (args.dp == 0 and n == 1)):
+        return None
+    dp = args.dp or n // args.tp
+    return make_mesh(dp=dp, tp=args.tp)
+
+
+def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
+              frozen=None, save_fn=None):
+    from rwkv_lm_ext_tpu.train.callbacks import MetricsLogger
+    from rwkv_lm_ext_tpu.train.loop import place_batch, place_train_state
+    from rwkv_lm_ext_tpu.train.optim import make_schedule
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = _mesh(args)
+    ts = init_fn(init_params)
+    if mesh is not None:
+        ts = place_train_state(ts, mesh)
+    schedule = make_schedule(tc)
+    logger = MetricsLogger(
+        args.output_dir,
+        wandb_project=args.wandb_project,
+        ctx_len=args.ctx_len,
+        real_bsz=args.micro_bsz * args.accumulate_grad_batches,
+    )
+    step = 0
+    epoch_losses = []
+    for epoch in range(args.epochs):
+        for batch in batches(epoch):
+            if step < args.skip_steps:
+                step += 1
+                continue
+            if args.max_steps and step >= args.max_steps:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = place_batch(batch, mesh)
+            if frozen is not None:
+                ts, metrics = step_fn(ts, batch, frozen)
+            else:
+                ts, metrics = step_fn(ts, batch)
+            loss = float(metrics["loss"])
+            epoch_losses.append(loss)
+            if step % args.log_every == 0:
+                m = logger.on_step(step, metrics, float(schedule(step)))
+                print(f"step {step}: {json.dumps(m)}", flush=True)
+            step += 1
+            if (
+                save_fn is not None
+                and args.save_every_steps
+                and step % args.save_every_steps == 0
+            ):
+                save_fn(ts, step)
+        logger.on_epoch_end(
+            epoch, float(np.mean(epoch_losses or [0.0])), float(schedule(step))
+        )
+        epoch_losses = []
+        if save_fn is not None:
+            save_fn(ts, step)
+    return ts
+
+
+def _sft_batches(args, tokenizer):
+    from rwkv_lm_ext_tpu.data.buckets import BucketBatchSampler
+    from rwkv_lm_ext_tpu.data.collators import sft_collate
+    from rwkv_lm_ext_tpu.data.sft import load_sft_jsonl
+
+    ds = load_sft_jsonl(args.train_data, tokenizer)
+    sizes = {
+        b.fixed_len: max(1, args.micro_bsz * 64 // b.fixed_len)
+        for b in ds.buckets
+    }
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            yield sft_collate(examples, fixed_len)
+
+    return batches
+
+
+def cmd_sft(args):
+    from rwkv_lm_ext_tpu.adapters import (
+        LoraConfig,
+        init_lora_params,
+        merge_lora,
+        pissa_init,
+    )
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.init import init_rwkv_params
+    from rwkv_lm_ext_tpu.train.callbacks import (
+        save_lora_checkpoint,
+        save_states_checkpoint,
+    )
+    from rwkv_lm_ext_tpu.train.loop import make_train_step, sft_loss_fn
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    batches = _sft_batches(args, tokenizer)
+    n_batches = sum(1 for _ in batches(0))
+    total = args.max_steps or n_batches * args.epochs
+    tc = _train_config(args, total)
+
+    if args.train_type in ("lora", "pissa"):
+        lc = LoraConfig(
+            r=args.lora_r, alpha=args.lora_alpha,
+            pissa=args.train_type == "pissa",
+        )
+        if args.train_type == "pissa":
+            params, adapter = pissa_init(params, lc)
+        else:
+            adapter = init_lora_params(jax.random.PRNGKey(args.seed), params, lc)
+        if args.peft_checkpoint:
+            from rwkv_lm_ext_tpu.adapters import lora_state_dict_to_tree
+            from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
+
+            adapter = lora_state_dict_to_tree(load_torch_pth(args.peft_checkpoint))
+
+        def loss_fn(adapter_p, frozen, cfg_, batch):
+            merged = merge_lora(frozen, adapter_p, lc)
+            return sft_loss_fn(merged, cfg_, batch, remat=True)
+
+        init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+        def save_fn(ts, step):
+            save_lora_checkpoint(
+                ts.params, lc,
+                os.path.join(args.output_dir, f"lora-step{step}.pth"),
+            )
+
+        _run_loop(
+            args, cfg, tc, adapter, step_fn, init_fn, batches,
+            frozen=params, save_fn=save_fn,
+        )
+        return
+
+    if args.train_type in ("state", "states"):
+        # add zero state params, train only them
+        for b in params["blocks"]:
+            if "time_state" not in b["att"]:
+                b["att"]["time_state"] = jnp.zeros(
+                    (cfg.n_head, cfg.head_size, cfg.head_size), jnp.float32
+                )
+
+        def loss_fn(p, cfg_, batch):
+            from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+            from rwkv_lm_ext_tpu.train.losses import causal_lm_loss
+
+            logits, _ = rwkv_forward(
+                p, cfg_, batch["input_ids"], remat=True, use_state_params=True
+            )
+            return causal_lm_loss(logits, batch["labels"])
+
+        init_fn, step_fn = make_train_step(
+            cfg, tc, loss_fn=loss_fn, train_type="states"
+        )
+
+        def save_fn(ts, step):
+            save_states_checkpoint(
+                ts.params, cfg,
+                os.path.join(args.output_dir, f"states-step{step}.pth"),
+            )
+
+        _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
+        return
+
+    # full fine-tune (incl. infctx TBPTT via --chunk-ctx)
+    init_fn, step_fn = make_train_step(cfg, tc)
+
+    def save_fn(ts, step):
+        save_torch_pth(
+            os.path.join(args.output_dir, f"model-step{step}.pth"),
+            params_to_state_dict(ts.params, cfg),
+        )
+
+    _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
+
+
+def _contrastive_batches(args, tokenizer, collate):
+    from rwkv_lm_ext_tpu.data.buckets import (
+        BucketBatchSampler,
+        LengthBucketedDataset,
+    )
+
+    ds = LengthBucketedDataset()
+    with open(args.train_data, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            ex = {
+                k: (
+                    [tokenizer.encode(x) for x in v]
+                    if isinstance(v, list)
+                    else tokenizer.encode(v)
+                )
+                for k, v in row.items()
+                if k in ("query", "positive", "negative", "document")
+            }
+            if "label" in row:
+                ex["label"] = row["label"]
+            length = len(ex.get("query", [])) + 1
+            ds.add(ex, min(length, args.ctx_len))
+    sizes = {
+        b.fixed_len: max(1, args.micro_bsz * 64 // b.fixed_len)
+        for b in ds.buckets
+    }
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            yield collate(examples, min(fixed_len * 2, args.ctx_len))
+
+    return batches
+
+
+def cmd_bi_encoder(args):
+    from rwkv_lm_ext_tpu.adapters import LoraConfig, init_lora_params, merge_lora
+    from rwkv_lm_ext_tpu.data.collators import triplet_collate
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.heads import embed_sequences
+    from rwkv_lm_ext_tpu.train.callbacks import save_lora_checkpoint
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import cosent_loss, in_batch_infonce
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    batches = _contrastive_batches(args, tokenizer, triplet_collate)
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+    lc = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+    adapter = init_lora_params(jax.random.PRNGKey(args.seed), params, lc)
+    use_infonce = args.loss == "infonce"
+
+    def loss_fn(adapter_p, frozen, cfg_, batch):
+        merged = merge_lora(frozen, adapter_p, lc)
+        embs = {
+            k: embed_sequences(
+                merged, cfg_, batch[k], pooling_type=args.pooling, remat=True
+            )
+            for k in ("query", "positive", "negative")
+            if k in batch
+        }
+        fn = in_batch_infonce if use_infonce else cosent_loss
+        return fn(
+            embs["query"], embs["positive"], embs.get("negative")
+        )
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        save_lora_checkpoint(
+            ts.params, lc,
+            os.path.join(args.output_dir, f"bi-encoder-step{step}.pth"),
+        )
+
+    _run_loop(
+        args, cfg, tc, adapter, step_fn, init_fn, batches,
+        frozen=params, save_fn=save_fn,
+    )
+
+
+def cmd_cross_encoder(args):
+    from rwkv_lm_ext_tpu.adapters import LoraConfig, init_lora_params, merge_lora
+    from rwkv_lm_ext_tpu.data.collators import cross_encoder_collate
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.heads import (
+        classify_sequences,
+        init_classification_head,
+    )
+    from rwkv_lm_ext_tpu.train.callbacks import save_lora_checkpoint
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    batches = _contrastive_batches(args, tokenizer, cross_encoder_collate)
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+    lc = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+    adapter = init_lora_params(jax.random.PRNGKey(args.seed), params, lc)
+    score = init_classification_head(jax.random.PRNGKey(args.seed + 1), cfg, 1)
+    trainable = {"adapter": adapter, "score": score}
+
+    from rwkv_lm_ext_tpu.train.losses import classification_loss
+
+    def loss_fn(tp, frozen, cfg_, batch):
+        merged = merge_lora(frozen, tp["adapter"], lc)
+        scores = classify_sequences(
+            merged, cfg_, batch["input_ids"], tp["score"], remat=True
+        )
+        # scalar scores -> MSE on 0/1 labels (RwkvForClassification
+        # num_labels==1 semantics, src/model_ext.py:238-249)
+        return classification_loss(scores, batch["labels"])
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        save_lora_checkpoint(
+            ts.params["adapter"], lc,
+            os.path.join(args.output_dir, f"cross-encoder-step{step}.pth"),
+        )
+        save_torch_pth(
+            os.path.join(args.output_dir, f"score-step{step}.pth"),
+            {"score.weight": np.asarray(ts.params["score"]["kernel"], np.float32).T},
+        )
+
+    _run_loop(
+        args, cfg, tc, trainable, step_fn, init_fn, batches,
+        frozen=params, save_fn=save_fn,
+    )
+
+
+def cmd_mlm(args, mae: bool = False):
+    from rwkv_lm_ext_tpu.data.buckets import (
+        BucketBatchSampler,
+        LengthBucketedDataset,
+    )
+    from rwkv_lm_ext_tpu.data.collators import mae_collate, mlm_collate
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.bidirectional import (
+        dupmae_bow_loss,
+        init_one_layer_decoder,
+        mae_forward,
+    )
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import mlm_loss
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    if mae:
+        params["onelayer_decoder"] = init_one_layer_decoder(
+            jax.random.PRNGKey(args.seed), cfg
+        )
+
+    ds = LengthBucketedDataset()
+    with open(args.train_data, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            ids = tokenizer.encode(row["text"] if isinstance(row, dict) else row)
+            ds.add({"input_ids": ids}, min(len(ids) + 1, args.ctx_len))
+    sizes = {
+        b.fixed_len: max(1, args.micro_bsz * 64 // b.fixed_len)
+        for b in ds.buckets
+    }
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            if mae:
+                yield mae_collate(
+                    examples, fixed_len, bag_of_words=args.dup_mae,
+                    vocab_size=cfg.vocab_size, seed=args.seed + epoch,
+                )
+            else:
+                yield mlm_collate(
+                    examples, fixed_len, seed=args.seed + epoch, emb_id=1
+                )
+
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+
+    if mae:
+        def loss_fn(p, cfg_, batch):
+            out = mae_forward(
+                p, cfg_, batch["encoder_input_ids"],
+                batch["decoder_input_ids"], bidirectional=not args.uni,
+                remat=True,
+            )
+            loss = mlm_loss(out["encoder_logits"], batch["encoder_labels"])
+            loss += mlm_loss(out["decoder_logits"], batch["decoder_labels"])
+            if args.dup_mae and "bag_word_weight" in batch:
+                loss += dupmae_bow_loss(
+                    out["ot_logits"], batch["bag_word_weight"]
+                )
+            return loss
+    else:
+        def loss_fn(p, cfg_, batch):
+            from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
+            from rwkv_lm_ext_tpu.models.heads import mlm_logits
+
+            hidden = encoder_forward(
+                p, cfg_, batch["input_ids"], remat=True
+            )
+            return mlm_loss(mlm_logits(p, cfg_, hidden), batch["labels"])
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        p = dict(ts.params)
+        dec = p.pop("onelayer_decoder", None)
+        save_torch_pth(
+            os.path.join(args.output_dir, f"encoder-step{step}.pth"),
+            params_to_state_dict(p, cfg),
+        )
+
+    _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="rwkv_lm_ext_tpu.train")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("sft")
+    _common_args(p)
+    p.add_argument("--train-type", default="lora",
+                   choices=["full", "lora", "pissa", "state", "states"])
+    p.add_argument("--lora-r", type=int, default=8)
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--peft-checkpoint", default=None)
+    p.set_defaults(fn=cmd_sft)
+
+    p = sub.add_parser("bi-encoder")
+    _common_args(p)
+    p.add_argument("--lora-r", type=int, default=8)
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--pooling", default="weightedmean")
+    p.add_argument("--loss", default="infonce", choices=["infonce", "cosent"])
+    p.set_defaults(fn=cmd_bi_encoder)
+
+    p = sub.add_parser("cross-encoder")
+    _common_args(p)
+    p.add_argument("--lora-r", type=int, default=8)
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.set_defaults(fn=cmd_cross_encoder)
+
+    p = sub.add_parser("mlm")
+    _common_args(p)
+    p.set_defaults(fn=lambda a: cmd_mlm(a, mae=False))
+
+    p = sub.add_parser("mae")
+    _common_args(p)
+    p.add_argument("--dup-mae", action="store_true")
+    p.add_argument("--uni", action="store_true",
+                   help="unidirectional encoder (seq-emb bottleneck add)")
+    p.set_defaults(fn=lambda a: cmd_mlm(a, mae=True))
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -126,10 +126,15 @@ def make_train_step(
         tx = build_tx(params)
         return TrainState.create(params, tx)
 
-    def step_fn(ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+    def step_fn(ts: TrainState, batch, frozen=None) -> Tuple[TrainState, Dict]:
+        """frozen: optional pytree of non-trained parameters (e.g. the LoRA
+        base weights) passed through to loss_fn as a real argument so jit
+        doesn't bake it in as constants."""
         tx = build_tx(ts.params)
 
         def single(params, b):
+            if frozen is not None:
+                return loss_fn(params, frozen, cfg, b)
             return loss_fn(params, cfg, b)
 
         accum = tc.accumulate_grad_batches

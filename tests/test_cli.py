@@ -1,0 +1,102 @@
+"""End-to-end trainer CLI runs on a tiny model + tiny data (CPU)."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth, save_torch_pth
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+from rwkv_lm_ext_tpu.train.cli import main
+
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def base_ckpt(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt") / "base.pth")
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG)
+    save_torch_pth(path, params_to_state_dict(params, CFG))
+    return path
+
+
+@pytest.fixture(scope="module")
+def sft_jsonl(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "sft.jsonl")
+    rows = [
+        {"instruction": "translate", "input": f"hello {i}", "output": f"bonjour {i}"}
+        for i in range(8)
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return path
+
+
+def test_sft_lora(base_ckpt, sft_jsonl, tmp_path):
+    out = str(tmp_path / "out")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "lora",
+        "--max-steps", "2", "--micro-bsz", "2", "--log-every", "1",
+        "--save-every-steps", "2", "--warmup-steps", "1", "--dp", "1",
+    ])
+    files = os.listdir(out)
+    assert any(f.startswith("lora-step") for f in files)
+    lora = load_torch_pth(os.path.join(
+        out, sorted(f for f in files if f.startswith("lora-step"))[-1]
+    ))
+    assert any(k.endswith(".lora_A") for k in lora)
+    # B matrices actually moved off zero
+    bs = [v for k, v in lora.items() if k.endswith(".lora_B")]
+    assert any(np.abs(b).max() > 0 for b in bs)
+
+
+def test_sft_states(base_ckpt, sft_jsonl, tmp_path):
+    out = str(tmp_path / "out_states")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "states",
+        "--max-steps", "2", "--micro-bsz", "2", "--warmup-steps", "1", "--dp", "1",
+    ])
+    f = [x for x in os.listdir(out) if x.startswith("states-step")][-1]
+    sd = load_torch_pth(os.path.join(out, f))
+    assert set(sd) == {f"blocks.{i}.att.time_state" for i in range(2)}
+
+
+def test_bi_encoder(base_ckpt, tmp_path):
+    data = str(tmp_path / "pairs.jsonl")
+    with open(data, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({
+                "query": f"question {i}",
+                "positive": f"answer {i}",
+                "negative": f"junk {i}",
+            }) + "\n")
+    out = str(tmp_path / "out_bi")
+    main([
+        "bi-encoder", "--model", base_ckpt, "--train-data", data,
+        "--output-dir", out, "--max-steps", "2", "--micro-bsz", "2",
+        "--warmup-steps", "1", "--dp", "1",
+    ])
+    assert any(f.startswith("bi-encoder-step") for f in os.listdir(out))
+
+
+def test_mae(base_ckpt, tmp_path):
+    data = str(tmp_path / "texts.jsonl")
+    with open(data, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"text": f"some document text number {i} with words"}) + "\n")
+    out = str(tmp_path / "out_mae")
+    main([
+        "mae", "--model", base_ckpt, "--train-data", data,
+        "--output-dir", out, "--dup-mae", "--max-steps", "2",
+        "--micro-bsz", "2", "--warmup-steps", "1", "--dp", "1", "--dp", "1",
+    ])
+    assert any(f.startswith("encoder-step") for f in os.listdir(out))
