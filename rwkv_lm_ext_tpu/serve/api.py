@@ -1,0 +1,203 @@
+"""Serving endpoints.
+
+Covers the reference's two demo services with one service object:
+- demo/states_runner.py: POST /process_text {"text", "action"} -> named
+  state-tuned generation with per-action instruction templates.
+- demo/fill_mask_api.py: POST /fill_mask {"text"} ([MASK] -> predictions
+  with cumulative-probability cutoff), POST /similarity {"texts_a",
+  "texts_b"}, plus /embed, /rerank, /generate.
+
+Transport: stdlib ThreadingHTTPServer JSON endpoints (zero deps; the TPU
+runtime handles requests sequentially per service object), or a FastAPI
+app via make_fastapi_app when fastapi is installed.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_lm_ext_tpu.config import MASK_ID, PAD_ID
+
+MASK_TOKEN = "[MASK]"
+
+
+class ServingService:
+    def __init__(
+        self,
+        *,
+        engine=None,                 # GenerationEngine (chat / states)
+        states_registry=None,        # StatesRegistry
+        bi_encoder=None,             # BiEncoder
+        cross_encoder=None,          # CrossEncoder
+        encoder_params=None,         # bidirectional encoder params (fill-mask)
+        encoder_cfg=None,
+        tokenizer=None,
+        mask_id: int = MASK_ID,
+    ):
+        self.engine = engine
+        self.states = states_registry
+        self.bi = bi_encoder
+        self.cross = cross_encoder
+        self.encoder_params = encoder_params
+        self.encoder_cfg = encoder_cfg
+        self.tokenizer = tokenizer or (engine.tokenizer if engine else None)
+        self.mask_id = mask_id
+        self._lock = threading.Lock()
+
+    # ---- endpoints -------------------------------------------------
+    def process_text(self, text: str, action: str, **gen_kw) -> Dict:
+        """Named-states generation (demo/states_runner.py /process_text)."""
+        assert self.states is not None and self.engine is not None
+        with self._lock:
+            out = self.states.generate(self.engine, action, text, **gen_kw)
+        return {"action": action, "output": out}
+
+    def generate(self, prompt: str, **gen_kw) -> Dict:
+        assert self.engine is not None
+        with self._lock:
+            out = self.engine.generate(prompt, **gen_kw)
+        return {"output": out}
+
+    def fill_mask(
+        self, text: str, *, top_k: int = 10, cumulative_prob: float = 0.95
+    ) -> Dict:
+        """[MASK] slots -> candidate tokens until the cumulative
+        probability cutoff (demo/fill_mask_api.py semantics)."""
+        assert self.encoder_params is not None and self.tokenizer is not None
+        from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
+        from rwkv_lm_ext_tpu.models.heads import mlm_logits
+
+        parts = text.split(MASK_TOKEN)
+        ids: List[int] = []
+        mask_positions: List[int] = []
+        for i, part in enumerate(parts):
+            ids.extend(self.tokenizer.encode(part) if part else [])
+            if i < len(parts) - 1:
+                mask_positions.append(len(ids))
+                ids.append(self.mask_id)
+        ids.append(1)  # emb terminator
+        tokens = jnp.asarray([ids], jnp.int32)
+        with self._lock:
+            hidden = encoder_forward(
+                self.encoder_params, self.encoder_cfg, tokens
+            )
+            logits = mlm_logits(self.encoder_params, self.encoder_cfg, hidden)
+        import jax
+
+        probs = np.asarray(jax.nn.softmax(logits[0], axis=-1), np.float64)
+        results = []
+        for pos in mask_positions:
+            p = probs[pos]
+            order = np.argsort(-p)[:top_k]
+            cands, acc = [], 0.0
+            for tok in order:
+                cands.append(
+                    {
+                        "token": self.tokenizer.decode([int(tok)]),
+                        "token_id": int(tok),
+                        "prob": float(p[tok]),
+                    }
+                )
+                acc += float(p[tok])
+                if acc >= cumulative_prob:
+                    break
+            results.append(cands)
+        return {"masks": results}
+
+    def similarity(self, texts_a: List[str], texts_b: List[str]) -> Dict:
+        assert self.bi is not None
+        with self._lock:
+            ea = self.bi.encode_texts(texts_a)
+            eb = self.bi.encode_texts(texts_b)
+        sims = (ea @ eb.T).tolist()
+        return {"similarity": sims}
+
+    def embed(self, texts: List[str]) -> Dict:
+        assert self.bi is not None
+        with self._lock:
+            e = self.bi.encode_texts(texts)
+        return {"embeddings": e.tolist()}
+
+    def rerank(self, query: str, documents: List[str]) -> Dict:
+        assert self.cross is not None
+        with self._lock:
+            scores = self.cross.score_pairs([(query, d) for d in documents])
+        order = np.argsort(-scores)
+        return {
+            "scores": scores.tolist(),
+            "ranking": order.tolist(),
+        }
+
+    # ---- dispatch --------------------------------------------------
+    def handle(self, route: str, payload: Dict) -> Dict:
+        if route == "/process_text":
+            return self.process_text(
+                payload["text"], payload.get("action", "default")
+            )
+        if route == "/generate":
+            return self.generate(
+                payload["prompt"],
+                max_tokens=int(payload.get("max_tokens", 128)),
+            )
+        if route == "/fill_mask":
+            return self.fill_mask(
+                payload["text"],
+                top_k=int(payload.get("top_k", 10)),
+                cumulative_prob=float(payload.get("cumulative_prob", 0.95)),
+            )
+        if route == "/similarity":
+            return self.similarity(payload["texts_a"], payload["texts_b"])
+        if route == "/embed":
+            return self.embed(payload["texts"])
+        if route == "/rerank":
+            return self.rerank(payload["query"], payload["documents"])
+        raise KeyError(route)
+
+
+def serve_http(service: ServingService, host: str = "0.0.0.0", port: int = 8000):
+    """Run a blocking stdlib JSON HTTP server. Returns the server object
+    (call .shutdown() from another thread to stop)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                result = service.handle(self.path, payload)
+                body = json.dumps(result).encode()
+                self.send_response(200)
+            except KeyError:
+                body = b'{"error": "unknown route"}'
+                self.send_response(404)
+            except Exception as e:  # noqa: BLE001
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server
+
+
+def make_fastapi_app(service: ServingService):
+    """Optional FastAPI wrapper (same routes) when fastapi is installed."""
+    from fastapi import FastAPI, Request
+
+    app = FastAPI(title="rwkv_lm_ext_tpu")
+
+    @app.post("/{route:path}")
+    async def dispatch(route: str, request: Request):
+        payload = await request.json()
+        return service.handle("/" + route, payload)
+
+    return app

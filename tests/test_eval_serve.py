@@ -1,0 +1,179 @@
+"""Eval harness metrics + serving endpoints + orbax round-trip."""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.eval import rerank_metrics, retrieval_metrics
+from rwkv_lm_ext_tpu.eval.sts import SimilarityEvaluator, _spearman
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+
+def test_spearman_matches_scipy():
+    from scipy import stats
+
+    rng = np.random.default_rng(0)
+    a, b = rng.normal(size=50), rng.normal(size=50)
+    b[10:20] = b[10]  # ties
+    ours = _spearman(a, b)
+    ref = stats.spearmanr(a, b).statistic
+    np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_similarity_evaluator_csv(tmp_path):
+    def fake_encode(texts):
+        rng = np.random.default_rng(1)
+        return np.stack([
+            rng.normal(size=8) + len(t) * 0.1 * np.ones(8) for t in texts
+        ])
+
+    ev = SimilarityEvaluator(
+        ["aa", "bbbb", "cc"], ["aa", "bbbb", "ccddee"], [1.0, 0.9, 0.2],
+        csv_dir=str(tmp_path),
+    )
+    out = ev(fake_encode, epoch=0, steps=10)
+    assert set(k.split("_")[0] for k in out) == {
+        "cosine", "euclidean", "manhattan", "dot"
+    }
+    rows = open(tmp_path / "similarity_evaluation_sts_results.csv").readlines()
+    assert len(rows) == 2 and rows[0].startswith("epoch,steps,cosine_pearson")
+
+
+def test_rerank_metrics():
+    scores = [[0.9, 0.1, 0.5], [0.2, 0.8]]
+    labels = [[1, 0, 0], [1, 0]]
+    m = rerank_metrics(scores, labels)
+    assert m["P@1"] == 0.5
+    np.testing.assert_allclose(m["MAP"], (1.0 + 0.5) / 2)
+
+
+def test_retrieval_metrics_perfect():
+    q = np.eye(4, 8)
+    c = np.eye(6, 8)
+    qrels = [[0], [1], [2], [3]]
+    m = retrieval_metrics(q, c, qrels)
+    assert m["recall@1"] == 1.0 and m["MRR@10"] == 1.0 and m["nDCG@10"] == 1.0
+
+
+def test_orbax_roundtrip(tmp_path):
+    from rwkv_lm_ext_tpu.checkpoint.orbax_io import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {"a": jnp.arange(8.0), "b": {"c": jnp.ones((4, 4))}}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, tree)
+    back = load_checkpoint(path, target=tree)
+    np.testing.assert_allclose(back["a"], tree["a"])
+    np.testing.assert_allclose(back["b"]["c"], tree["b"]["c"])
+
+
+@pytest.fixture(scope="module")
+def service():
+    from rwkv_lm_ext_tpu.infer.encoders import BiEncoder, CrossEncoder
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.infer.states_registry import StatesRegistry
+    from rwkv_lm_ext_tpu.models.heads import init_classification_head
+    from rwkv_lm_ext_tpu.serve import ServingService
+
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(10 + i), b["att"]["output"].shape
+        )
+
+    class CharTok:
+        def encode(self, s):
+            return [ord(c) % 60000 + 10 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr((i - 10) % 60000) for i in ids)
+
+        def streaming_decoder(self):
+            class _D:
+                def push(self, t):
+                    return ""
+
+                def flush(self):
+                    return ""
+
+            return _D()
+
+    tok = CharTok()
+    engine = GenerationEngine(params, CFG, tok, chunk_len=8)
+    reg = StatesRegistry(CFG)
+    reg.register(
+        "summarize", 0.05 * np.ones((2, 4, 16, 16), np.float32),
+        template="sum: {input}",
+    )
+    return ServingService(
+        engine=engine,
+        states_registry=reg,
+        bi_encoder=BiEncoder(params, CFG, tok),
+        cross_encoder=CrossEncoder(
+            params, CFG, tok,
+            init_classification_head(jax.random.PRNGKey(3), CFG, 1),
+        ),
+        encoder_params=params,
+        encoder_cfg=CFG,
+        tokenizer=tok,
+    )
+
+
+def test_service_routes(service):
+    out = service.handle("/similarity", {"texts_a": ["abc"], "texts_b": ["abc", "zzz"]})
+    sims = np.asarray(out["similarity"])
+    assert sims.shape == (1, 2) and sims[0, 0] > sims[0, 1]
+
+    out = service.handle("/rerank", {"query": "q", "documents": ["a", "b"]})
+    assert len(out["scores"]) == 2 and sorted(out["ranking"]) == [0, 1]
+
+    out = service.handle(
+        "/fill_mask", {"text": "hello [MASK] world", "top_k": 5}
+    )
+    assert len(out["masks"]) == 1 and len(out["masks"][0]) >= 1
+    assert all("prob" in c for c in out["masks"][0])
+
+    out = service.handle(
+        "/process_text", {"text": "abc", "action": "summarize"}
+    )
+    assert isinstance(out["output"], str)
+
+
+def test_http_server_roundtrip(service):
+    from rwkv_lm_ext_tpu.serve import serve_http
+
+    server = serve_http(service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/similarity",
+            data=json.dumps(
+                {"texts_a": ["xy"], "texts_b": ["xy"]}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = json.loads(resp.read())
+        np.testing.assert_allclose(body["similarity"][0][0], 1.0, atol=1e-4)
+        # unknown route -> 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/nope", data=b"{}"
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=60)
+    finally:
+        server.shutdown()
