@@ -1,0 +1,135 @@
+"""Weight-only quantization (int8 / nf4) for serving memory.
+
+The reference quantizes LoRA base weights with bitsandbytes
+(rwkv_quantize/rwkv_dequantize, src/rwkvLinear.py:8-29, LORA_CONFIG
+quant). TPU-native version: pure-jnp codecs over the parameter tree —
+int8 per-output-channel absmax, or NF4 (NormalFloat4) block-64 absmax
+with the QLoRA codebook. Quantized leaves are dicts
+{"qformat", "q", "scale"}; the model's weight accessor (models.rwkv
+as_weight) dequantizes on use, so int8/uint8 stays in HBM and the convert
+fuses into the consuming matmul.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# QLoRA NF4 codebook: quantiles of N(0,1), normalized to [-1, 1]
+NF4_CODE = jnp.asarray(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495,
+        0.0, 0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    jnp.float32,
+)
+
+
+def quantize_int8(w: jax.Array) -> Dict:
+    """Per-output-channel (last axis) absmax int8."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"qformat": "int8", "q": q, "scale": scale}
+
+
+def dequantize_int8(d: Dict, dtype=jnp.float32) -> jax.Array:
+    return (d["q"].astype(jnp.float32) * d["scale"]).astype(dtype)
+
+
+def quantize_nf4(w: jax.Array, block: int = 64) -> Dict:
+    """Blockwise NF4: each `block` consecutive values share an absmax."""
+    wf = w.astype(jnp.float32)
+    shape = wf.shape
+    flat = wf.reshape(-1)
+    pad = (-flat.size) % block
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, block)
+    absmax = jnp.maximum(jnp.max(jnp.abs(blocks), axis=1, keepdims=True), 1e-12)
+    normed = blocks / absmax
+    idx = jnp.argmin(
+        jnp.abs(normed[..., None] - NF4_CODE[None, None, :]), axis=-1
+    ).astype(jnp.uint8)
+    # pack two 4-bit codes per byte
+    lo = idx[:, 0::2]
+    hi = idx[:, 1::2]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return {
+        "qformat": "nf4",
+        "q": packed,
+        "scale": absmax[:, 0],
+        "shape": tuple(shape),
+        "block": block,
+        "pad": int(pad),
+    }
+
+
+def dequantize_nf4(d: Dict, dtype=jnp.float32) -> jax.Array:
+    packed = d["q"]
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    idx = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+    vals = NF4_CODE[idx] * d["scale"][:, None]
+    flat = vals.reshape(-1)
+    if d["pad"]:
+        flat = flat[: -d["pad"]]
+    return flat.reshape(d["shape"]).astype(dtype)
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and "qformat" in leaf
+
+
+def dequantize(leaf, dtype=jnp.float32) -> jax.Array:
+    if leaf["qformat"] == "int8":
+        return dequantize_int8(leaf, dtype)
+    if leaf["qformat"] == "nf4":
+        return dequantize_nf4(leaf, dtype)
+    raise ValueError(leaf["qformat"])
+
+
+_ATT_TARGETS = ("receptance", "key", "value", "gate", "output")
+_FFN_TARGETS = ("key", "value", "receptance")
+
+
+def quantize_tree(params: Dict, mode: str = "int8") -> Dict:
+    """Quantize every block linear (the LORA_CONFIG['quant'] targets:
+    the same Linears make_linear_att/ffn wraps). emb/head/ln stay full."""
+    enc = quantize_int8 if mode == "int8" else quantize_nf4
+    out = dict(params)
+    out["blocks"] = []
+    for b in params["blocks"]:
+        nb = dict(b)
+        nb["att"] = dict(b["att"])
+        nb["ffn"] = dict(b["ffn"])
+        for name in _ATT_TARGETS:
+            if name in nb["att"] and not is_quantized(nb["att"][name]):
+                nb["att"][name] = enc(nb["att"][name])
+        for name in _FFN_TARGETS:
+            if name in nb["ffn"] and not is_quantized(nb["ffn"][name]):
+                nb["ffn"][name] = enc(nb["ffn"][name])
+        out["blocks"].append(nb)
+    return out
+
+
+def dequantize_tree(params: Dict, dtype=jnp.float32) -> Dict:
+    def walk(leaf):
+        return dequantize(leaf, dtype) if is_quantized(leaf) else leaf
+
+    out = dict(params)
+    out["blocks"] = []
+    for b in params["blocks"]:
+        nb = {}
+        for k, v in b.items():
+            if k in ("att", "ffn"):
+                nb[k] = {kk: walk(vv) for kk, vv in v.items()}
+            else:
+                nb[k] = v
+        out["blocks"].append(nb)
+    return out

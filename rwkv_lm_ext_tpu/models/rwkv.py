@@ -23,6 +23,16 @@ from rwkv_lm_ext_tpu.ops import wkv
 from rwkv_lm_ext_tpu.models.state import init_model_state
 
 
+
+def as_weight(leaf, dt):
+    """Weight accessor: dequantizes {"qformat",...} leaves (adapters.quant)
+    so quantized trees run through the same forward."""
+    if isinstance(leaf, dict) and "qformat" in leaf:
+        from rwkv_lm_ext_tpu.adapters.quant import dequantize
+
+        return dequantize(leaf, dt)
+    return leaf.astype(dt)
+
 def layer_norm(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -83,10 +93,10 @@ def tmix_v6_projections(
     xr = x + xx * (p["time_maa_r"].astype(dt) + mr)
     xg = x + xx * (p["time_maa_g"].astype(dt) + mg)
 
-    r = xr @ p["receptance"].astype(dt)
-    k = xk @ p["key"].astype(dt)
-    v = xv @ p["value"].astype(dt)
-    g = jax.nn.silu(xg @ p["gate"].astype(dt))
+    r = xr @ as_weight(p["receptance"], dt)
+    k = xk @ as_weight(p["key"], dt)
+    v = xv @ as_weight(p["value"], dt)
+    g = jax.nn.silu(xg @ as_weight(p["gate"], dt))
 
     # data-dependent decay (fp32: feeds exp(-exp(w)))
     ww = jnp.tanh(xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32))
@@ -102,7 +112,7 @@ def tmix_v6_output(
     src/model.py:461-468)."""
     dt = g.dtype
     y = group_norm(y.astype(dt), p["ln_x"], cfg.n_head, cfg.ln_x_eps)
-    return (y * g) @ p["output"].astype(dt)
+    return (y * g) @ as_weight(p["output"], dt)
 
 
 def time_mix_v6(
@@ -173,11 +183,11 @@ def time_mix_v5(
         mixd = p[mix].astype(dt)
         return x * mixd + prev * (1 - mixd)
 
-    r = lerp("time_mix_r") @ p["receptance"].astype(dt)
-    k = lerp("time_mix_k") @ p["key"].astype(dt)
-    v = lerp("time_mix_v") @ p["value"].astype(dt)
+    r = lerp("time_mix_r") @ as_weight(p["receptance"], dt)
+    k = lerp("time_mix_k") @ as_weight(p["key"], dt)
+    v = lerp("time_mix_v") @ as_weight(p["value"], dt)
     has_gate = "gate" in p  # v5.1+
-    g = jax.nn.silu(lerp("time_mix_g") @ p["gate"].astype(dt)) if has_gate else None
+    g = jax.nn.silu(lerp("time_mix_g") @ as_weight(p["gate"], dt)) if has_gate else None
 
     w = jnp.broadcast_to(
         p["time_decay"].astype(jnp.float32).reshape(1, 1, H, N), (B, T, H, N)
@@ -196,7 +206,7 @@ def time_mix_v5(
     y = group_norm(y, p["ln_x"], H, 1e-5)
     if g is not None:
         y = y * g
-    out = y @ p["output"].astype(dt)
+    out = y @ as_weight(p["output"], dt)
     return out, x[:, -1].astype(jnp.float32), new_wkv
 
 
@@ -215,10 +225,10 @@ def channel_mix(
         mr = p["time_mix_r"].astype(dt)
         xk = x * mk + prev * (1 - mk)
         xr = x * mr + prev * (1 - mr)
-    k = xk @ p["key"].astype(dt)
+    k = xk @ as_weight(p["key"], dt)
     k = jnp.square(jax.nn.relu(k))
-    kv = k @ p["value"].astype(dt)
-    out = jax.nn.sigmoid(xr @ p["receptance"].astype(dt)) * kv
+    kv = k @ as_weight(p["value"], dt)
+    out = jax.nn.sigmoid(xr @ as_weight(p["receptance"], dt)) * kv
     return out, x[:, -1].astype(jnp.float32)
 
 
@@ -314,7 +324,7 @@ def rwkv_forward(
     x = layer_norm(x, params["ln_out"])
     if return_hidden and not return_logits:
         return x, new_state
-    logits = x @ params["head"].astype(dt)
+    logits = x @ as_weight(params["head"], dt)
     if return_hidden:
         return (logits, x), new_state
     return logits, new_state
