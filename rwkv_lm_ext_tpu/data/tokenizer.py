@@ -22,8 +22,64 @@ _DEFAULT_VOCAB = os.path.join(
 )
 
 
+class _NativeTrie:
+    """ctypes wrapper over native/trie_tokenizer.cpp (the data-loader hot
+    path in C++; Python remains the fallback)."""
+
+    def __init__(self, lib, idx_to_token):
+        import ctypes
+        import struct
+
+        self._lib = lib
+        lib.tok_create.restype = ctypes.c_void_p
+        lib.tok_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.tok_encode.restype = ctypes.c_int64
+        lib.tok_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.tok_destroy.argtypes = [ctypes.c_void_p]
+        blob = bytearray()
+        for idx, tok in idx_to_token.items():
+            blob += struct.pack("<ii", idx, len(tok)) + tok
+        blob = bytes(blob)
+        self._handle = lib.tok_create(blob, len(blob))
+        self._ctypes = ctypes
+
+    def encode(self, data: bytes):
+        import numpy as np
+
+        ct = self._ctypes
+        out = (ct.c_int32 * max(len(data), 1))()
+        n = self._lib.tok_encode(self._handle, data, len(data), out)
+        if n < 0:
+            pos = -int(n) - 1
+            raise ValueError(f"byte {data[pos]:#x} at {pos} not in vocabulary")
+        return np.frombuffer(out, dtype=np.int32, count=int(n)).tolist()
+
+    def __del__(self):
+        try:
+            self._lib.tok_destroy(self._handle)
+        except Exception:
+            pass
+
+
+def _load_native(idx_to_token):
+    try:
+        from rwkv_lm_ext_tpu.native import load_library
+
+        lib = load_library("trie_tokenizer")
+        if lib is None:
+            return None
+        return _NativeTrie(lib, idx_to_token)
+    except Exception:
+        return None
+
+
 class WorldTokenizer:
-    def __init__(self, vocab_path: Optional[str] = None):
+    def __init__(self, vocab_path: Optional[str] = None, *, native: bool = True):
         vocab_path = vocab_path or _DEFAULT_VOCAB
         self.idx_to_token: Dict[int, bytes] = {}
         trie: Dict = {}
@@ -46,8 +102,16 @@ class WorldTokenizer:
                 node[-1] = idx  # terminal marker
         self._trie = trie
         self.vocab_size = max(self.idx_to_token) + 1
+        self._native = None
+        if native:
+            self._native = _load_native(self.idx_to_token)
 
     def encode_bytes(self, data: bytes) -> List[int]:
+        if self._native is not None:
+            return self._native.encode(data)
+        return self._encode_bytes_py(data)
+
+    def _encode_bytes_py(self, data: bytes) -> List[int]:
         trie = self._trie
         out: List[int] = []
         i, n = 0, len(data)
