@@ -39,7 +39,7 @@ def _wkv_kernel(
     r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,  # inputs
     y_ref, sout_ref,                            # outputs
     state,                                      # VMEM scratch (N,N) f32
-    *, L: int, N: int,
+    *, L: int, N: int, TB: int,
 ):
     c = pl.program_id(1)
 
@@ -47,74 +47,87 @@ def _wkv_kernel(
     def _():
         state[:, :] = s0_ref[0].astype(jnp.float32)
 
-    r = r_ref[0].astype(jnp.float32)            # (L,N)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    w = w_ref[0].astype(jnp.float32)
-    u = u_ref[0].astype(jnp.float32)            # (1,N) row
+    u = u_ref[0].astype(jnp.float32)            # (1,N)
 
-    lw = -jnp.exp(w)                            # <= 0
-    # inclusive prefix sum as a lower-triangular matmul (Pallas TPU has no
-    # cumsum primitive; (L,L)x(L,N) rides the MXU anyway)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     tril_inc = (row0 >= col0).astype(jnp.float32)
-    winc = jax.lax.dot_general(
-        tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                           # (L,N) inclusive
-    wexc = winc - lw                            # exclusive
-    wlast = winc[L - 1, :][None, :]             # (1,N)
-    wmid = winc[L // 2, :][None, :]
+    causal = row0 > col0
 
-    q_inter = r * jnp.exp(wexc)
-    q_intra = r * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
-    k_intra = k * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
-    k_state = k * jnp.exp(wlast - winc)
+    # static loop over the L-sized chunks of this TB-sized block: the
+    # state never leaves VMEM between chunks
+    for i in range(TB // L):
+        sl = slice(i * L, (i + 1) * L)
+        r = r_ref[0, sl, :].astype(jnp.float32)  # (L,N)
+        k = k_ref[0, sl, :].astype(jnp.float32)
+        v = v_ref[0, sl, :].astype(jnp.float32)
+        w = w_ref[0, sl, :].astype(jnp.float32)
 
-    # intra-chunk attention (strictly causal) + u-bonus diagonal
-    A = jax.lax.dot_general(
-        q_intra, k_intra,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                           # (L,L): A[t,s]
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    A = jnp.where(row > col, A, 0.0)
-    diag = jnp.sum(r * u * k, axis=1, keepdims=True)  # (L,1)
+        lw = -jnp.exp(w)                         # <= 0
+        # inclusive prefix sum as a lower-triangular matmul (Pallas TPU
+        # has no cumsum; (L,L)x(L,N) rides the MXU anyway)
+        winc = jax.lax.dot_general(
+            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wexc = winc - lw                         # exclusive
+        wlast = winc[L - 1, :][None, :]
+        wmid = winc[L // 2, :][None, :]
 
-    y = jax.lax.dot_general(
-        A, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    y += diag * v
-    y += jax.lax.dot_general(
-        q_inter, state[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    y_ref[0] = y.astype(y_ref.dtype)
+        q_inter = r * jnp.exp(wexc)
+        q_intra = r * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
+        k_intra = k * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
+        k_state = k * jnp.exp(wlast - winc)
 
-    # state update: S = decay_total ⊙_K S + k_state^T @ v
-    new_s = state[:, :] * jnp.exp(wlast)[0][:, None]
-    new_s += jax.lax.dot_general(
-        k_state, v, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    state[:, :] = new_s
+        # intra-chunk attention (strictly causal) + u-bonus diagonal
+        A = jax.lax.dot_general(
+            q_intra, k_intra,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # (L,L): A[t,s]
+        A = jnp.where(causal, A, 0.0)
+        diag = jnp.sum(r * u * k, axis=1, keepdims=True)  # (L,1)
+
+        y = jax.lax.dot_general(
+            A, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y += diag * v
+        y += jax.lax.dot_general(
+            q_inter, state[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_ref[0, sl, :] = y.astype(y_ref.dtype)
+
+        # state update: S = decay_total ⊙_K S + k_state^T @ v
+        new_s = state[:, :] * jnp.exp(wlast)[0][:, None]
+        new_s += jax.lax.dot_general(
+            k_state, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        state[:, :] = new_s
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
-        sout_ref[0] = new_s
+        sout_ref[0] = state[:, :]
 
 
 def _wkv_pallas_fwd_impl(
-    r, k, v, w, u, s0, *, chunk_size: int, interpret: bool = False
+    r, k, v, w, u, s0, *, chunk_size: int, interpret: bool = False,
+    t_block: int = 512,
 ):
-    """r,k,v,w: (B,T,H,N); u (H,N); s0 (B,H,N,N) fp32."""
+    """r,k,v,w: (B,T,H,N); u (H,N); s0 (B,H,N,N) fp32.
+
+    Layout-free: inputs are viewed as (B, T, H*N) (a free reshape of the
+    model's contiguous activations) and each (b, h, t-block) program slices
+    its head's N columns — no host-side transposes, which at 1B6 scale cost
+    more HBM traffic than the kernel's own math.
+    """
     B, T, H, N = r.shape
     L = chunk_size
-    pad = (-T) % L
+    TB = min(t_block, max(L, ((T + L - 1) // L) * L))
+    pad = (-T) % TB
     if pad:
         cfg = [(0, 0)] * 4
         cfg[1] = (0, pad)
@@ -123,30 +136,31 @@ def _wkv_pallas_fwd_impl(
         v = jnp.pad(v, cfg)
         w = jnp.pad(w, cfg, constant_values=-1e30)  # decay 1 on dead steps
     Tp = T + pad
-    NC = Tp // L
+    NTB = Tp // TB
 
-    def to_bh(x):  # (B,Tp,H,N) -> (B*H, Tp, N)
+    # (B,Tp,H,N) -> (B*H, Tp, N): XLA fuses this transpose into the
+    # producing projections; the last block dim then equals the array dim,
+    # satisfying the Mosaic lane constraint for N=64 heads.
+    def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, Tp, N)
 
     rb, kb, vb, wb = (to_bh(x) for x in (r, k, v, w))
     ub = jnp.broadcast_to(u[None], (B, H, N)).reshape(B * H, 1, N)
     s0b = s0.reshape(B * H, N, N)
 
+    bspec = pl.BlockSpec((1, TB, N), lambda i, c: (i, c, 0))
     in_specs = [
-        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
-        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
-        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
-        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        bspec, bspec, bspec, bspec,
         pl.BlockSpec((1, 1, N), lambda i, c: (i, 0, 0)),
         pl.BlockSpec((1, N, N), lambda i, c: (i, 0, 0)),
     ]
     out_specs = [
-        pl.BlockSpec((1, L, N), lambda i, c: (i, c, 0)),
+        bspec,
         pl.BlockSpec((1, N, N), lambda i, c: (i, 0, 0)),
     ]
     y, sout = pl.pallas_call(
-        functools.partial(_wkv_kernel, L=L, N=N),
-        grid=(B * H, NC),
+        functools.partial(_wkv_kernel, L=L, N=N, TB=TB),
+        grid=(B * H, NTB),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
