@@ -33,6 +33,14 @@ class ModelConfig:
     # ln_x is a GroupNorm with eps scaled by head_size_divisor**2
     # (reference src/model.py:432).
     dropout: float = 0.0
+    # legacy RWKV-LM options carried by the reference (src/model.py):
+    tiny_att_dim: int = 0        # tiny attention at tiny_att_layer
+    tiny_att_layer: int = -1
+    head_qk: int = 0             # copy-mechanism head (:1225-1238)
+    pre_ffn: int = 0             # layer-0 ffnPre instead of att (:833-834)
+    my_pos_emb: int = 0          # additive 2D positional emb (:829-831)
+    ffn_type: str = "relu_sq"    # "relu_sq" (CMix) | "mishglu" (:648-675)
+    ctx_len: int = 4096
     # dtype policy: params/IO bf16, state + normalization fp32.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"

@@ -178,7 +178,7 @@ def _init_rwkv_params(
     keys = jax.random.split(key, cfg.n_layer + 2)
     blocks = []
     for i in range(cfg.n_layer):
-        bk = jax.random.split(keys[i], 2)
+        bk = jax.random.split(keys[i], 5)
         att = (
             _att_params_v6(bk[0], cfg, i, dtype)
             if cfg.version >= 6
@@ -188,14 +188,54 @@ def _init_rwkv_params(
             att["time_state"] = jnp.zeros(
                 (cfg.n_head, cfg.head_size, cfg.head_size), dtype
             )
+        if cfg.ffn_type == "mishglu":
+            C, F = cfg.n_embd, cfg.dim_ffn
+            r10 = 1.0 - i / cfg.n_layer
+            ddd = np.arange(C, dtype=np.float64) / C
+            gain = float(np.sqrt(F / C)) if F > C else 1.0
+            mk = jax.random.split(bk[1], 2)
+            ffn = {
+                "time_mix_k": jnp.asarray(np.power(ddd, r10), dtype),
+                "time_mix_r": jnp.asarray(np.power(ddd, r10), dtype),
+                "aa": _orthogonal(mk[0], C, F, gain, dtype),
+                "bb": _orthogonal(mk[1], C, F, gain, dtype),
+                "value": jnp.zeros((F, C), dtype),
+            }
+        else:
+            ffn = _ffn_params(bk[1], cfg, i, dtype)
         block = {
             "ln1": _ln(cfg.n_embd, dtype),
             "ln2": _ln(cfg.n_embd, dtype),
             "att": att,
-            "ffn": _ffn_params(bk[1], cfg, i, dtype),
+            "ffn": ffn,
         }
         if i == 0:
             block["ln0"] = _ln(cfg.n_embd, dtype)
+            if cfg.my_pos_emb > 0:
+                block["pos_emb_x"] = jnp.zeros(
+                    (cfg.my_pos_emb, cfg.n_embd), dtype
+                )
+                block["pos_emb_y"] = jnp.zeros(
+                    (cfg.my_pos_emb, cfg.n_embd), dtype
+                )
+            if cfg.pre_ffn > 0:
+                block["ffn_pre"] = _ffn_params(bk[2], cfg, 0, dtype)
+                block["ffn_pre"]["time_mix_k"] = block["ffn_pre"].pop(
+                    "time_maa_k", jnp.zeros((cfg.n_embd,), dtype)
+                )
+                block["ffn_pre"]["time_mix_r"] = block["ffn_pre"].pop(
+                    "time_maa_r", jnp.zeros((cfg.n_embd,), dtype)
+                )
+        if cfg.tiny_att_dim > 0 and i == cfg.tiny_att_layer:
+            tk = jax.random.split(bk[3], 3)
+            block["tiny_ln"] = _ln(cfg.n_embd, dtype)
+            block["tiny_q"] = jnp.zeros((cfg.n_embd, cfg.tiny_att_dim), dtype)
+            block["tiny_k"] = _orthogonal(
+                tk[0], cfg.n_embd, cfg.tiny_att_dim, 0.1, dtype
+            )
+            block["tiny_v"] = _orthogonal(
+                tk[1], cfg.n_embd, cfg.n_embd, 1.0, dtype
+            )
         blocks.append(block)
 
     emb = jax.random.uniform(
@@ -206,9 +246,16 @@ def _init_rwkv_params(
         emb_init_scale,
     ).astype(dtype)
     head = _orthogonal(keys[-1], cfg.n_embd, cfg.vocab_size, 0.5, dtype)
-    return {
+    params = {
         "emb": emb,
         "blocks": blocks,
         "ln_out": _ln(cfg.n_embd, dtype),
         "head": head,
     }
+    if cfg.head_qk > 0:
+        hk = jax.random.split(keys[-1], 3)
+        params["head_q"] = jnp.zeros((cfg.n_embd, cfg.head_qk), dtype)
+        params["head_k"] = _orthogonal(
+            hk[1], cfg.n_embd, cfg.head_qk, 0.1, dtype
+        )
+    return params

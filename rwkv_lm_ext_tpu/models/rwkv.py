@@ -232,6 +232,44 @@ def channel_mix(
     return out, x[:, -1].astype(jnp.float32)
 
 
+def mish_glu(
+    p: Dict, cfg, x: jax.Array, ffn_shift: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """MishGLU channel mix (src/model.py:648-675, the 'g' ffn option):
+    value(aa(xa) * mish(bb(xb))) with static lerp token mixing."""
+    dt = x.dtype
+    prev = _token_shift(x, ffn_shift)
+    mk = p["time_mix_k"].astype(dt)
+    mr = p["time_mix_r"].astype(dt)
+    xa = x * mk + prev * (1 - mk)
+    xb = x * mr + prev * (1 - mr)
+    a = xa @ as_weight(p["aa"], dt)
+    b = xb @ as_weight(p["bb"], dt)
+    mish = b * jnp.tanh(jax.nn.softplus(b))
+    return (a * mish) @ as_weight(p["value"], dt), x[:, -1].astype(jnp.float32)
+
+
+def tiny_attention(
+    p: Dict, cfg, x: jax.Array, x_emb: jax.Array
+) -> jax.Array:
+    """Tiny attention over the raw embeddings (src/model.py:898-904):
+    causal q@k on a small dim, unnormalized, values from x_emb."""
+    dt = x.dtype
+    T = x.shape[1]
+    xx = layer_norm(x, p["tiny_ln"])
+    q = xx @ p["tiny_q"].astype(dt)
+    k = xx @ p["tiny_k"].astype(dt)
+    c = jnp.einsum("btd,bsd->bts", q, k) * (cfg.tiny_att_dim ** -0.5)
+    causal = jnp.tril(jnp.ones((T, T), dtype=jnp.bool_))
+    c = jnp.where(causal[None], c, 0.0)
+    return jnp.einsum("bts,bsc->btc", c, x_emb @ p["tiny_v"].astype(dt))
+
+
+def _dropout(x: jax.Array, rate: float, rng) -> jax.Array:
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def block_forward(
     p: Dict,
     cfg,
@@ -242,24 +280,62 @@ def block_forward(
     wkv_backend: str = "auto",
     chunk_size: int = 32,
     state_param_override: Optional[jax.Array] = None,
+    x_emb: Optional[jax.Array] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
-    """One residual block: ln0 (layer 0) -> att -> ffn (src/model.py:818-933)."""
+    """One residual block: ln0 (layer 0) -> att -> ffn (src/model.py:818-933),
+    with the reference's legacy options: layer-0 pos_emb / pre_ffn, tiny
+    attention at tiny_att_layer, MishGLU ffn, dropout."""
     att_shift, wkv_state, ffn_shift = layer_state
     if layer_id == 0 and "ln0" in p:
         x = layer_norm(x, p["ln0"])
+        if cfg.my_pos_emb > 0 and "pos_emb_x" in p:
+            T = x.shape[1]
+            pe = (
+                p["pos_emb_x"][None, :, :] + p["pos_emb_y"][:, None, :]
+            ).reshape(-1, x.shape[-1])[:T]
+            x = x + pe[None].astype(x.dtype)
     v6 = cfg.version >= 6
-    tm = time_mix_v6 if v6 else time_mix_v5
-    kwargs = dict(wkv_backend=wkv_backend, chunk_size=chunk_size)
-    if v6:
-        kwargs["state_param_override"] = state_param_override
-    att_out, att_shift, wkv_state = tm(
-        p["att"], cfg, layer_norm(x, p["ln1"]), att_shift, wkv_state, **kwargs
+    drops = (
+        jax.random.split(dropout_rng, 2)
+        if (dropout_rng is not None and cfg.dropout > 0)
+        else (None, None)
     )
+    if layer_id == 0 and cfg.pre_ffn > 0 and "ffn_pre" in p:
+        # pre_ffn replaces layer-0 attention; it reuses the att shift slot
+        att_out, att_shift = channel_mix(
+            p["ffn_pre"], cfg, layer_norm(x, p["ln1"]), att_shift, v6=False
+        )
+    else:
+        tm = time_mix_v6 if v6 else time_mix_v5
+        kwargs = dict(wkv_backend=wkv_backend, chunk_size=chunk_size)
+        if v6:
+            kwargs["state_param_override"] = state_param_override
+        att_out, att_shift, wkv_state = tm(
+            p["att"], cfg, layer_norm(x, p["ln1"]), att_shift, wkv_state,
+            **kwargs,
+        )
+    if drops[0] is not None:
+        att_out = _dropout(att_out, cfg.dropout, drops[0])
     x = x + att_out
-    ffn_out, ffn_shift = channel_mix(
-        p["ffn"], cfg, layer_norm(x, p["ln2"]), ffn_shift, v6=v6
-    )
+    if cfg.ffn_type == "mishglu" and "aa" in p["ffn"]:
+        ffn_out, ffn_shift = mish_glu(
+            p["ffn"], cfg, layer_norm(x, p["ln2"]), ffn_shift
+        )
+    else:
+        ffn_out, ffn_shift = channel_mix(
+            p["ffn"], cfg, layer_norm(x, p["ln2"]), ffn_shift, v6=v6
+        )
+    if drops[1] is not None:
+        ffn_out = _dropout(ffn_out, cfg.dropout, drops[1])
     x = x + ffn_out
+    if (
+        cfg.tiny_att_dim > 0
+        and layer_id == cfg.tiny_att_layer
+        and x_emb is not None
+        and "tiny_q" in p
+    ):
+        x = x + tiny_attention(p, cfg, x, x_emb)
     return x, (att_shift, wkv_state, ffn_shift)
 
 
@@ -275,12 +351,14 @@ def rwkv_forward(
     use_state_params: bool = False,
     return_hidden: bool = False,
     return_logits: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict]:
     """Full model: emb -> blocks -> ln_out -> head (src/model.py:1193-1243).
 
     tokens: (B, T) int32. state: ModelState or None (zeros).
     use_state_params: read each block's learnable att.time_state as the WKV
       initial state (state-tuning training / "states" serving).
+    dropout_rng: enables dropout (training only) when cfg.dropout > 0.
     Returns (logits (B,T,V) [or hidden (B,T,C) if return_hidden], new_state).
     """
     B, T = tokens.shape
@@ -288,6 +366,13 @@ def rwkv_forward(
         state = init_model_state(cfg, B)
     dt = cfg.compute_dtype
     x = jnp.take(params["emb"], tokens, axis=0).astype(dt)
+    x_emb = x if cfg.tiny_att_dim > 0 else None
+    if dropout_rng is not None and cfg.dropout > 0:
+        keys = jax.random.split(dropout_rng, cfg.n_layer + 1)
+        x = _dropout(x, cfg.dropout, keys[0])
+        drop_keys = list(keys[1:])
+    else:
+        drop_keys = [None] * cfg.n_layer
 
     new_att_shift, new_wkv, new_ffn_shift = [], [], []
 
@@ -299,6 +384,8 @@ def rwkv_forward(
             wkv_backend=wkv_backend,
             chunk_size=chunk_size,
             state_param_override=spo,
+            x_emb=x_emb,
+            dropout_rng=drop_keys[layer_id],
         )
 
     for i, bp in enumerate(params["blocks"]):
@@ -325,6 +412,16 @@ def rwkv_forward(
     if return_hidden and not return_logits:
         return x, new_state
     logits = x @ as_weight(params["head"], dt)
+    if cfg.head_qk > 0 and "head_q" in params:
+        # copy mechanism (src/model.py:1225-1238): causal q@k over hidden
+        # plus one-hot scatter of the input tokens into the logits
+        q = x @ params["head_q"].astype(dt)
+        kk = x @ params["head_k"].astype(dt)
+        c = jnp.einsum("btd,bsd->bts", q, kk) * (1.0 / cfg.head_qk)
+        causal = jnp.tril(jnp.ones((T, T), dtype=jnp.bool_))
+        c = jnp.where(causal[None], c, 0.0)
+        onehot = jax.nn.one_hot(tokens, cfg.vocab_size, dtype=logits.dtype)
+        logits = logits + jnp.einsum("bts,bsv->btv", c, onehot)
     if return_hidden:
         return (logits, x), new_state
     return logits, new_state
