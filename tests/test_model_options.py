@@ -44,8 +44,8 @@ def test_head_qk_copy_mechanism():
 def test_tiny_attention():
     cfg = ModelConfig(**BASE, tiny_att_dim=16, tiny_att_layer=1)
     params, tokens, logits = _run(cfg)
-    params["blocks"][1]["tiny_q"] = 0.1 * jnp.ones_like(
-        params["blocks"][1]["tiny_q"]
+    params["blocks"][1]["tiny_q"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(8), params["blocks"][1]["tiny_q"].shape
     )
     l2, _ = rwkv_forward(params, cfg, tokens)
     assert not np.allclose(logits, l2)
