@@ -48,6 +48,28 @@ class ServingService:
         self.tokenizer = tokenizer or (engine.tokenizer if engine else None)
         self.mask_id = mask_id
         self._lock = threading.Lock()
+        self._fill_mask_jit = {}
+
+    def warmup(self, *, max_tokens: int = 2) -> None:
+        """Pre-compile the hot paths from the calling thread.
+
+        Serving compiles lazily per bucket shape; without warmup the first
+        request eats the compile (and some TPU runtimes only allow initial
+        compilation from the main thread). serve_http calls this by
+        default."""
+        if self.bi is not None:
+            self.bi.encode_texts(["warmup"])
+        if self.cross is not None:
+            self.cross.score_pairs([("warm", "up")])
+        if self.engine is not None:
+            self.engine.generate(
+                "warmup", max_tokens=max_tokens,
+            )
+        if self.encoder_params is not None:
+            try:
+                self.fill_mask(f"warm {MASK_TOKEN} up")
+            except Exception:
+                pass
 
     # ---- endpoints -------------------------------------------------
     def process_text(self, text: str, action: str, **gen_kw) -> Dict:
@@ -72,6 +94,10 @@ class ServingService:
         from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
         from rwkv_lm_ext_tpu.models.heads import mlm_logits
 
+        import bisect
+
+        import jax
+
         parts = text.split(MASK_TOKEN)
         ids: List[int] = []
         mask_positions: List[int] = []
@@ -81,15 +107,28 @@ class ServingService:
                 mask_positions.append(len(ids))
                 ids.append(self.mask_id)
         ids.append(1)  # emb terminator
-        tokens = jnp.asarray([ids], jnp.int32)
-        with self._lock:
-            hidden = encoder_forward(
-                self.encoder_params, self.encoder_cfg, tokens
-            )
-            logits = mlm_logits(self.encoder_params, self.encoder_cfg, hidden)
-        import jax
 
-        probs = np.asarray(jax.nn.softmax(logits[0], axis=-1), np.float64)
+        # bucket + jit per length (compiled once per bucket)
+        buckets = (32, 64, 128, 256, 512, 1024, 2048)
+        L = buckets[min(bisect.bisect_left(buckets, len(ids)), len(buckets) - 1)]
+        if L not in self._fill_mask_jit:
+            cfg = self.encoder_cfg
+
+            @jax.jit
+            def fn(params, tokens):
+                hidden = encoder_forward(params, cfg, tokens)
+                return jax.nn.softmax(
+                    mlm_logits(params, cfg, hidden), axis=-1
+                )
+
+            self._fill_mask_jit[L] = fn
+        padded = np.full((1, L), PAD_ID, np.int32)
+        padded[0, : min(len(ids), L)] = ids[:L]
+        with self._lock:
+            probs_dev = self._fill_mask_jit[L](
+                self.encoder_params, jnp.asarray(padded)
+            )
+        probs = np.asarray(probs_dev[0], np.float64)
         results = []
         for pos in mask_positions:
             p = probs[pos]
@@ -135,33 +174,52 @@ class ServingService:
 
     # ---- dispatch --------------------------------------------------
     def handle(self, route: str, payload: Dict) -> Dict:
-        if route == "/process_text":
-            return self.process_text(
-                payload["text"], payload.get("action", "default")
-            )
-        if route == "/generate":
-            return self.generate(
-                payload["prompt"],
-                max_tokens=int(payload.get("max_tokens", 128)),
-            )
-        if route == "/fill_mask":
-            return self.fill_mask(
-                payload["text"],
-                top_k=int(payload.get("top_k", 10)),
-                cumulative_prob=float(payload.get("cumulative_prob", 0.95)),
-            )
-        if route == "/similarity":
-            return self.similarity(payload["texts_a"], payload["texts_b"])
-        if route == "/embed":
-            return self.embed(payload["texts"])
-        if route == "/rerank":
-            return self.rerank(payload["query"], payload["documents"])
-        raise KeyError(route)
+        try:
+            if route == "/process_text":
+                return self.process_text(
+                    payload["text"], payload.get("action", "default")
+                )
+            if route == "/generate":
+                return self.generate(
+                    payload["prompt"],
+                    max_tokens=int(payload.get("max_tokens", 128)),
+                )
+            if route == "/fill_mask":
+                return self.fill_mask(
+                    payload["text"],
+                    top_k=int(payload.get("top_k", 10)),
+                    cumulative_prob=float(payload.get("cumulative_prob", 0.95)),
+                )
+            if route == "/similarity":
+                return self.similarity(payload["texts_a"], payload["texts_b"])
+            if route == "/embed":
+                return self.embed(payload["texts"])
+            if route == "/rerank":
+                return self.rerank(payload["query"], payload["documents"])
+        except KeyError as e:
+            raise BadRequest(f"missing field {e}") from e
+        raise UnknownRoute(route)
 
 
-def serve_http(service: ServingService, host: str = "0.0.0.0", port: int = 8000):
+class UnknownRoute(Exception):
+    pass
+
+
+class BadRequest(Exception):
+    pass
+
+
+def serve_http(
+    service: ServingService,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    *,
+    warmup: bool = True,
+):
     """Run a blocking stdlib JSON HTTP server. Returns the server object
     (call .shutdown() from another thread to stop)."""
+    if warmup:
+        service.warmup()
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -171,9 +229,12 @@ def serve_http(service: ServingService, host: str = "0.0.0.0", port: int = 8000)
                 result = service.handle(self.path, payload)
                 body = json.dumps(result).encode()
                 self.send_response(200)
-            except KeyError:
+            except UnknownRoute:
                 body = b'{"error": "unknown route"}'
                 self.send_response(404)
+            except (BadRequest, json.JSONDecodeError, TypeError, ValueError) as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
             except Exception as e:  # noqa: BLE001
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(500)
