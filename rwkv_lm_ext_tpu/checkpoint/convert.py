@@ -155,6 +155,18 @@ def params_to_state_dict(params: Dict, cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def extract_encoder_from_mae(
+    state_dict: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Drop the one-layer-decoder keys from a MAE checkpoint, leaving a
+    plain encoder (train_scripts/extract_encoder_from_mae.py)."""
+    return {
+        k: v
+        for k, v in state_dict.items()
+        if not k.startswith("onelayer_decoder.")
+    }
+
+
 def load_rwkv_checkpoint(path: str, **cfg_overrides):
     """One-call loader: .pth -> (params, ModelConfig). Replaces the
     reference's load_ckpt_and_parse_args + load_state_dict pattern.

@@ -485,6 +485,205 @@ def cmd_mlm(args, mae: bool = False):
     _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
 
 
+def cmd_simcse(args):
+    """SimCSE embedding training (train_scripts/train_askubuntu_simcse.py
+    sentence-pair variant; train_wiki1m_simcse.py dropout-noise variant when
+    rows carry only "text")."""
+    from rwkv_lm_ext_tpu.data.buckets import (
+        BucketBatchSampler,
+        LengthBucketedDataset,
+    )
+    from rwkv_lm_ext_tpu.data.collators import _pad_to
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.heads import (
+        first_token_position,
+        pool_hidden,
+    )
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import simcse_loss
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    if args.dropout_noise and cfg.dropout == 0:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, dropout=0.1)  # wiki1m recipe uses p=0.1
+    tokenizer = WorldTokenizer(args.vocab)
+
+    ds = LengthBucketedDataset()
+    with open(args.train_data, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            if "sentence_b" in row:
+                a = tokenizer.encode(row["sentence_a"])
+                b = tokenizer.encode(row["sentence_b"])
+            else:
+                a = b = tokenizer.encode(row["text"])
+            ds.add({"a": a, "b": b}, min(max(len(a), len(b)) + 1, args.ctx_len))
+    sizes = {
+        bk.fixed_len: max(2, args.micro_bsz * 64 // bk.fixed_len)
+        for bk in ds.buckets
+    }
+
+    def collate(examples, fixed_len):
+        import numpy as _np
+
+        rows_a = [_pad_to(e["a"][: fixed_len - 1] + [1], fixed_len, 0) for e in examples]
+        rows_b = [_pad_to(e["b"][: fixed_len - 1] + [1], fixed_len, 0) for e in examples]
+        return {"a": _np.stack(rows_a), "b": _np.stack(rows_b)}
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            yield collate(examples, fixed_len)
+
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+    use_dropout = bool(args.dropout_noise)
+
+    def embed(p, tokens, rng):
+        hidden, _ = rwkv_forward(
+            p, cfg, tokens, remat=True, dropout_rng=rng,
+            return_hidden=True, return_logits=False,
+        )
+        return pool_hidden(hidden, first_token_position(tokens, 1), args.pooling)
+
+    def loss_fn(p, cfg_, batch):
+        # rng varies with the batch content (loss_fn has no step arg)
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(tc.seed),
+            jnp.sum(batch["a"]).astype(jnp.uint32),
+        )
+        r1, r2 = jax.random.split(rng)
+        ea = embed(p, batch["a"], r1 if use_dropout else None)
+        eb = embed(p, batch["b"], r2 if use_dropout else None)
+        return simcse_loss(ea, eb, temperature=args.temperature)
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        save_torch_pth(
+            os.path.join(args.output_dir, f"simcse-step{step}.pth"),
+            params_to_state_dict(ts.params, cfg),
+        )
+
+    _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
+
+
+def cmd_instructor(args):
+    """Instructor embeddings (train_scripts/instructor/train.py): MEDI-style
+    instruction-prefixed triplets, dense+LN projection head, symmetric
+    InfoNCE."""
+    from rwkv_lm_ext_tpu.data.buckets import (
+        BucketBatchSampler,
+        LengthBucketedDataset,
+    )
+    from rwkv_lm_ext_tpu.data.collators import _pad_to
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.heads import instructor_embed
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import symmetric_infonce
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    out_dim = args.output_dim or cfg.n_embd
+    k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
+    lim = 1.0 / np.sqrt(cfg.n_embd)
+    inst_head = {
+        "dense": {
+            "kernel": jax.random.uniform(
+                k1, (cfg.n_embd, out_dim), jnp.float32, -lim, lim
+            ),
+            "bias": jnp.zeros((out_dim,), jnp.float32),
+        },
+        "ln": {
+            "scale": jnp.ones((out_dim,), jnp.float32),
+            "bias": jnp.zeros((out_dim,), jnp.float32),
+        },
+    }
+
+    ds = LengthBucketedDataset()
+    with open(args.train_data, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            inst = row.get("instruction", "")
+            ex = {
+                k: tokenizer.encode(inst + row[k])
+                for k in ("query", "positive", "negative")
+                if k in row
+            }
+            ds.add(ex, min(len(ex["query"]) + 1, args.ctx_len))
+    sizes = {
+        bk.fixed_len: max(2, args.micro_bsz * 64 // bk.fixed_len)
+        for bk in ds.buckets
+    }
+
+    def collate(examples, fixed_len):
+        import numpy as _np
+
+        out = {}
+        for key in ("query", "positive", "negative"):
+            if key in examples[0]:
+                out[key] = _np.stack([
+                    _pad_to(e[key][: fixed_len - 1] + [1], fixed_len, 0)
+                    for e in examples
+                ])
+        return out
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            yield collate(examples, fixed_len)
+
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+    trainable = {"model": params, "head": inst_head}
+
+    def loss_fn(tp, cfg_, batch):
+        embs = {
+            k: instructor_embed(
+                tp["model"], cfg_, batch[k], tp["head"],
+                pooling_type=args.pooling,
+            )
+            for k in ("query", "positive", "negative")
+            if k in batch
+        }
+        return symmetric_infonce(
+            embs["query"], embs["positive"], embs.get("negative"),
+            temperature=args.temperature,
+        )
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        sd = params_to_state_dict(ts.params["model"], cfg)
+        sd["dense.weight"] = np.asarray(
+            ts.params["head"]["dense"]["kernel"], np.float32
+        ).T
+        sd["dense.bias"] = np.asarray(
+            ts.params["head"]["dense"]["bias"], np.float32
+        )
+        sd["ln_dense.weight"] = np.asarray(
+            ts.params["head"]["ln"]["scale"], np.float32
+        )
+        sd["ln_dense.bias"] = np.asarray(
+            ts.params["head"]["ln"]["bias"], np.float32
+        )
+        save_torch_pth(
+            os.path.join(args.output_dir, f"instructor-step{step}.pth"), sd
+        )
+
+    _run_loop(args, cfg, tc, trainable, step_fn, init_fn, batches, save_fn=save_fn)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="rwkv_lm_ext_tpu.train")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -511,6 +710,21 @@ def main(argv=None):
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
     p.set_defaults(fn=cmd_cross_encoder)
+
+    p = sub.add_parser("simcse")
+    _common_args(p)
+    p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--pooling", default="weightedmean")
+    p.add_argument("--dropout-noise", action="store_true",
+                   help="wiki1m variant: two dropout-noised views of text")
+    p.set_defaults(fn=cmd_simcse)
+
+    p = sub.add_parser("instructor")
+    _common_args(p)
+    p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--pooling", default="weightedmean")
+    p.add_argument("--output-dim", type=int, default=0)
+    p.set_defaults(fn=cmd_instructor)
 
     p = sub.add_parser("mlm")
     _common_args(p)

@@ -129,6 +129,21 @@ def symmetric_infonce(
     return 0.5 * (_ce_with_ignore(s_qc, labels) + _ce_with_ignore(s_pq, labels))
 
 
+def simcse_loss(
+    emb_a: jax.Array,
+    emb_b: jax.Array,
+    *,
+    temperature: float = 0.05,
+) -> jax.Array:
+    """SimCSE in-batch CE on cos_sim/temperature with diagonal targets —
+    both the sentence-pair variant (train_askubuntu_simcse.py:357-373) and
+    the dropout-noise variant (train_wiki1m_simcse.py, where emb_a/emb_b
+    are two dropout-noised encodings of the same sentences)."""
+    scores = _cos_sim_matrix(emb_a, emb_b) / temperature
+    labels = jnp.arange(scores.shape[0])
+    return _ce_with_ignore(scores, labels)
+
+
 def classification_loss(
     scores: jax.Array, labels: jax.Array
 ) -> jax.Array:

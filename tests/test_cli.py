@@ -100,3 +100,40 @@ def test_mae(base_ckpt, tmp_path):
         "--micro-bsz", "2", "--warmup-steps", "1", "--dp", "1", "--dp", "1",
     ])
     assert any(f.startswith("encoder-step") for f in os.listdir(out))
+
+
+def test_simcse_dropout_noise(base_ckpt, tmp_path):
+    data = str(tmp_path / "texts.jsonl")
+    with open(data, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"text": f"sentence number {i} for simcse"}) + "\n")
+    out = str(tmp_path / "out_simcse")
+    main([
+        "simcse", "--model", base_ckpt, "--train-data", data,
+        "--output-dir", out, "--dropout-noise", "--max-steps", "2",
+        "--micro-bsz", "4", "--warmup-steps", "1", "--dp", "1",
+    ])
+    assert any(f.startswith("simcse-step") for f in os.listdir(out))
+
+
+def test_instructor(base_ckpt, tmp_path):
+    data = str(tmp_path / "medi.jsonl")
+    with open(data, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({
+                "instruction": "Represent the question: ",
+                "query": f"what is {i}",
+                "positive": f"{i} is a number",
+                "negative": f"unrelated {i}",
+            }) + "\n")
+    out = str(tmp_path / "out_inst")
+    main([
+        "instructor", "--model", base_ckpt, "--train-data", data,
+        "--output-dir", out, "--output-dim", "32", "--max-steps", "2",
+        "--micro-bsz", "4", "--warmup-steps", "1", "--dp", "1",
+    ])
+    files = [f for f in os.listdir(out) if f.startswith("instructor-step")]
+    assert files
+    sd = load_torch_pth(os.path.join(out, files[-1]))
+    assert sd["dense.weight"].shape == (32, 64)
+    assert "ln_dense.weight" in sd
