@@ -50,6 +50,8 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--skip-steps", type=int, default=0, help="resume skip")
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu/tpu), e.g. for data prep")
 
 
 def _load_base(args):
@@ -738,6 +740,8 @@ def main(argv=None):
     p.set_defaults(fn=lambda a: cmd_mlm(a, mae=True))
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 
