@@ -146,6 +146,29 @@ def time_mix_v6(
     else:
         s0 = wkv_state
 
+    from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
+
+    be = _resolve_backend(wkv_backend, T)
+    if be == "pallas" and not isinstance(p["ln_x"], tuple):
+        # fused WKV + GroupNorm + gate (layout-free, see ops/wkv_pallas.py)
+        from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv6_fused_output
+
+        gated, new_wkv = wkv6_fused_output(
+            r.reshape(B, T, H, N),
+            k.reshape(B, T, H, N),
+            v.reshape(B, T, H, N),
+            w.reshape(B, T, H, N),
+            p["time_faaaa"],
+            g.reshape(B, T, H, N),
+            p["ln_x"]["scale"],
+            p["ln_x"]["bias"],
+            s0,
+            eps=cfg.ln_x_eps,
+            chunk_size=max(chunk_size, 64),
+        )
+        out = gated @ as_weight(p["output"], dt)
+        return out, x[:, -1].astype(jnp.float32), new_wkv
+
     y, new_wkv = wkv(
         r.reshape(B, T, H, N),
         k.reshape(B, T, H, N),
@@ -153,7 +176,7 @@ def time_mix_v6(
         w.reshape(B, T, H, N),
         p["time_faaaa"],
         s0,
-        backend=wkv_backend,
+        backend=be,
         chunk_size=chunk_size,
     )
     y = y.reshape(B, T, C)

@@ -237,3 +237,237 @@ def wkv_pallas(
         initial_state.astype(jnp.float32), chunk_size, interpret,
     )
     return y.astype(jnp.float32), sout
+
+
+# ---------------------------------------------------------------------------
+# Fused time-mix output kernel: WKV + GroupNorm(ln_x) + gating, head-PACKED.
+#
+# Profiling the 1B6 embed path showed the unfused pipeline spends more on
+# layout copies and fp32 GroupNorm converts/reductions than on the WKV math
+# itself. This kernel packs 128//N heads per program (full 128-lane blocks)
+# so inputs stream directly from the model's contiguous (B, T, H*N)
+# activations — no transposes — and applies the per-head GroupNorm + silu-
+# gate multiply in VMEM, writing the gated bf16 output ready for the output
+# projection. Replaces (per layer): 4 input transposes, the fp32 y
+# materialization, the GN reductions, the gate multiply, and 1 output
+# transpose.
+# ---------------------------------------------------------------------------
+
+
+def _wkv_gn_kernel(
+    r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref, s0_ref,
+    out_ref, sout_ref,
+    state,
+    *, L: int, N: int, P: int, TB: int, eps: float,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        state[:, :] = s0_ref[0, 0].astype(jnp.float32)
+
+    u_row = u_ref[0].astype(jnp.float32)        # (1, P*N)
+    scale = sc_ref[0].astype(jnp.float32)       # (1, P*N)
+    bias = bi_ref[0].astype(jnp.float32)
+
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tril_inc = (row0 >= col0).astype(jnp.float32)
+    causal = row0 > col0
+
+    for i in range(TB // L):
+        sl = slice(i * L, (i + 1) * L)
+        r_all = r_ref[0, sl, :].astype(jnp.float32)   # (L, P*N)
+        k_all = k_ref[0, sl, :].astype(jnp.float32)
+        v_all = v_ref[0, sl, :].astype(jnp.float32)
+        w_all = w_ref[0, sl, :].astype(jnp.float32)
+        g_all = g_ref[0, sl, :].astype(jnp.float32)
+
+        lw = -jnp.exp(w_all)
+        winc = jax.lax.dot_general(
+            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wexc = winc - lw
+        wlast = winc[L - 1, :][None, :]
+        wmid = winc[L // 2, :][None, :]
+        q_inter_all = r_all * jnp.exp(wexc)
+        q_intra_all = r_all * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
+        k_intra_all = k_all * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
+        k_state_all = k_all * jnp.exp(wlast - winc)
+        diag_all = r_all * u_row * k_all
+
+        outs = []
+        for p in range(P):
+            lane = slice(p * N, (p + 1) * N)
+            srows = slice(p * N, (p + 1) * N)
+            v_h = v_all[:, lane]
+            A = jax.lax.dot_general(
+                q_intra_all[:, lane], k_intra_all[:, lane],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            A = jnp.where(causal, A, 0.0)
+            y = jax.lax.dot_general(
+                A, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
+            y += jax.lax.dot_general(
+                q_inter_all[:, lane], state[srows, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_s = state[srows, :] * jnp.exp(wlast[0, lane])[:, None]
+            new_s += jax.lax.dot_general(
+                k_state_all[:, lane], v_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            state[srows, :] = new_s
+            # per-head GroupNorm (torch GroupNorm semantics, groups = heads)
+            mu = jnp.mean(y, axis=1, keepdims=True)
+            var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
+            yn = (y - mu) * jax.lax.rsqrt(var + eps)
+            outs.append(yn)
+
+        yn_all = jnp.concatenate(outs, axis=1)        # (L, P*N)
+        out = (yn_all * scale + bias) * g_all
+        out_ref[0, sl, :] = out.astype(out_ref.dtype)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        sout_ref[0, 0] = state[:, :]
+
+
+def _fused_ref(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size):
+    """jnp composition used for the custom-vjp backward (recompute) and as
+    the CPU/interpret fallback. Matches the kernel: y stays fp32 into GN."""
+    B, T, H, N = r.shape
+    y, sT = wkv_chunked(r, k, v, w, u, s0, chunk_size=chunk_size, remat=True)
+    yf = y.reshape(B, T, H, N)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    yn = (yf - mu) * jax.lax.rsqrt(var + eps)
+    yn = yn.reshape(B, T, H * N)
+    out = (
+        yn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    ) * g.reshape(B, T, H * N).astype(jnp.float32)
+    return out.astype(g.dtype), sT
+
+
+def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
+    B, T, H, N = r.shape
+    P = 128 // N if N <= 128 and 128 % N == 0 else 1
+    if H % P != 0:
+        P = 1
+    if interpret or P * N != 128:
+        return _fused_ref(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size)
+    H2 = H // P
+    W = P * N
+    L = chunk_size
+    TB = min(512, max(L, ((T + L - 1) // L) * L))
+    pad = (-T) % TB
+    if pad:
+        cfg4 = [(0, 0), (0, pad), (0, 0), (0, 0)]
+        r = jnp.pad(r, cfg4)
+        k = jnp.pad(k, cfg4)
+        v = jnp.pad(v, cfg4)
+        w = jnp.pad(w, cfg4, constant_values=-1e30)
+        g = jnp.pad(g.reshape(B, T, H, N), cfg4).reshape(B, T + pad, H * N)
+    else:
+        g = g.reshape(B, T, H * N)
+    Tp = T + pad
+    NTB = Tp // TB
+
+    rb, kb, vb, wb = (x.reshape(B, Tp, H * N) for x in (r, k, v, w))
+    ub = u.reshape(H2, 1, W)
+    scb = scale.reshape(H2, 1, W)
+    bib = bias.reshape(H2, 1, W)
+    s0b = s0.reshape(B, H2, W, N)
+
+    def lane_spec():
+        return pl.BlockSpec(
+            (1, TB, W), lambda i, c: (i // H2, c, i % H2)
+        )
+
+    in_specs = [
+        lane_spec(), lane_spec(), lane_spec(), lane_spec(), lane_spec(),
+        pl.BlockSpec((1, 1, W), lambda i, c: (i % H2, 0, 0)),
+        pl.BlockSpec((1, 1, W), lambda i, c: (i % H2, 0, 0)),
+        pl.BlockSpec((1, 1, W), lambda i, c: (i % H2, 0, 0)),
+        pl.BlockSpec((1, 1, W, N), lambda i, c: (i // H2, i % H2, 0, 0)),
+    ]
+    out_specs = [
+        lane_spec(),
+        pl.BlockSpec((1, 1, W, N), lambda i, c: (i // H2, i % H2, 0, 0)),
+    ]
+    out, sout = pl.pallas_call(
+        functools.partial(
+            _wkv_gn_kernel, L=L, N=N, P=P, TB=TB, eps=eps
+        ),
+        grid=(B * H2, NTB),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, H * N), g.dtype),
+            jax.ShapeDtypeStruct((B, H2, W, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((W, N), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tp * N * (2 * N + L),
+            bytes_accessed=6 * B * H * Tp * N * 2,
+            transcendentals=B * H * Tp * N * 5,
+        ),
+    )(rb, kb, vb, wb, g, ub, scb, bib, s0b)
+    return out[:, :T], sout.reshape(B, H, N, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _wkv_fused(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
+    return _fused_impl(
+        r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret
+    )
+
+
+def _fused_fwd(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
+    out = _fused_impl(
+        r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret
+    )
+    return out, (r, k, v, w, u, s0, g, scale, bias)
+
+
+def _fused_bwd(eps, chunk_size, interpret, residuals, cts):
+    r, k, v, w, u, s0, g, scale, bias = residuals
+
+    def f(r, k, v, w, u, s0, g, scale, bias):
+        return _fused_ref(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size)
+
+    _, vjp = jax.vjp(f, r, k, v, w, u, s0, g, scale, bias)
+    return vjp(cts)
+
+
+_wkv_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def wkv6_fused_output(
+    r, k, v, w, u, g, ln_scale, ln_bias, initial_state=None,
+    *, eps: float, chunk_size: int = 64, interpret: Optional[bool] = None,
+):
+    """Fused WKV + GroupNorm(ln_x) + gate multiply.
+
+    r,k,v,g: (B,T,H,N) compute dtype; w (B,T,H,N) fp32; u (H,N);
+    ln_scale/ln_bias (H*N,); initial_state (B,H,N,N) fp32 or None.
+    Returns (gated output (B,T,H*N) in g.dtype — feed straight into the
+    output projection — and the final WKV state)."""
+    B, T, H, N = r.shape
+    if initial_state is None:
+        initial_state = jnp.zeros((B, H, N, N), jnp.float32)
+    if interpret is None:
+        interpret = not pallas_available()
+    return _wkv_fused(
+        r, k, v, w.astype(jnp.float32), u.astype(jnp.float32),
+        initial_state.astype(jnp.float32), g,
+        ln_scale, ln_bias, eps, min(chunk_size, max(8, T)), interpret,
+    )

@@ -1,0 +1,65 @@
+"""Fused WKV+GroupNorm+gate kernel vs the unfused composition."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, wkv6_fused_output
+from rwkv_lm_ext_tpu.ops import wkv_reference
+
+
+def _inputs(B=2, T=24, H=2, N=8, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 9)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    scale = 1.0 + 0.1 * jax.random.normal(ks[6], (H * N,))
+    bias = 0.1 * jax.random.normal(ks[7], (H * N,))
+    s0 = 0.1 * jax.random.normal(ks[8], (B, H, N, N))
+    return r, k, v, w, u, g, scale, bias, s0
+
+
+def _unfused(r, k, v, w, u, g, scale, bias, s0, eps):
+    B, T, H, N = r.shape
+    y, sT = wkv_reference(r, k, v, w, u, s0)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    yn = ((y - mu) * jax.lax.rsqrt(var + eps)).reshape(B, T, H * N)
+    out = (yn * scale + bias) * g.reshape(B, T, H * N)
+    return out, sT
+
+
+def test_fused_matches_unfused_interpret():
+    r, k, v, w, u, g, scale, bias, s0 = _inputs()
+    eps = 64e-5
+    out_f, s_f = wkv6_fused_output(
+        r, k, v, w, u, g, scale, bias, s0, eps=eps, chunk_size=8,
+        interpret=True,
+    )
+    out_u, s_u = _unfused(r, k, v, w, u, g, scale, bias, s0, eps)
+    np.testing.assert_allclose(out_f, out_u, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_grads_flow():
+    r, k, v, w, u, g, scale, bias, s0 = _inputs(T=16)
+
+    def loss(args):
+        out, sT = wkv6_fused_output(
+            *args[:5], args[5], args[6], args[7], args[8],
+            eps=64e-5, chunk_size=8, interpret=True,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2) + jnp.sum(sT**2)
+
+    args = (r, k, v, w, u, g, scale, bias, s0)
+    grads = jax.grad(loss)(args)
+
+    def loss_u(args):
+        out, sT = _unfused(*args[:9], 64e-5)
+        return jnp.sum(out.astype(jnp.float32) ** 2) + jnp.sum(sT**2)
+
+    grads_u = jax.grad(loss_u)(args)
+    for a, b in zip(grads, grads_u):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
