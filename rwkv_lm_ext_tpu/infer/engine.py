@@ -13,6 +13,7 @@ import functools
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, sample_token
@@ -99,6 +100,69 @@ class GenerationEngine:
             off += size
         assert logits is not None, "empty prompt"
         return logits[0, -1], state
+
+    def generate_on_device(
+        self,
+        prompt,
+        *,
+        max_tokens: int = 128,
+        sampling: SamplingParams = SamplingParams(),
+        state=None,
+        seed: int = 0,
+    ):
+        """Whole-generation-on-device: one jitted lax.scan runs max_tokens
+        decode+sample steps with zero host round-trips (the TPU answer to
+        per-token dispatch latency). Stop tokens mark the cut point but the
+        scan runs to max_tokens; returns the token list up to the first
+        stop."""
+        if isinstance(prompt, str):
+            prompt_ids = self.tokenizer.encode(prompt)
+        else:
+            prompt_ids = list(prompt)
+        logits, state = self.prefill(prompt_ids, state)
+
+        key = (max_tokens, sampling)
+        if key not in getattr(self, "_scan_decode", {}):
+            cfg, be = self.cfg, self.wkv_backend
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def scan_decode(params, logits0, state, rng):
+                occ0 = jnp.zeros((cfg.vocab_size,), jnp.float32)
+                rng, sub = jax.random.split(rng)
+                tok0, occ0 = sample_token(sub, logits0, occ0, sampling)
+
+                def body(carry, _):
+                    tok, st, occ, rng = carry
+                    lg, st = rwkv_forward(
+                        params, cfg, tok[None, None], st, wkv_backend=be
+                    )
+                    rng, sub = jax.random.split(rng)
+                    nxt, occ = sample_token(sub, lg[0, -1], occ, sampling)
+                    return (nxt, st, occ, rng), tok
+
+                (_, st, _, _), toks = jax.lax.scan(
+                    body, (tok0, state, occ0, rng), None, length=max_tokens
+                )
+                return toks, st
+
+            if not hasattr(self, "_scan_decode"):
+                self._scan_decode = {}
+            self._scan_decode[key] = scan_decode
+
+        toks, state = self._scan_decode[key](
+            self.params, logits, state, jax.random.PRNGKey(seed)
+        )
+        toks = list(np.asarray(toks))
+        if sampling.token_stop:
+            stops = set(sampling.token_stop)
+            for i, t in enumerate(toks):
+                if int(t) in stops:
+                    toks = toks[:i]
+                    break
+        out_ids = [int(t) for t in toks]
+        if self.tokenizer is not None:
+            return self.tokenizer.decode(out_ids)
+        return out_ids
 
     def generate(
         self,

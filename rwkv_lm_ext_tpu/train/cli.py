@@ -250,8 +250,25 @@ def cmd_sft(args):
         _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
         return
 
-    # full fine-tune (incl. infctx TBPTT via --chunk-ctx)
-    init_fn, step_fn = make_train_step(cfg, tc)
+    # full fine-tune (incl. infctx TBPTT via --chunk-ctx, optional LISA)
+    init_fn, raw_step_fn = make_train_step(cfg, tc)
+    step_fn = raw_step_fn
+    if args.lisa_k > 0:
+        from rwkv_lm_ext_tpu.train.callbacks import LisaSchedule
+
+        lisa = LisaSchedule(
+            n_layer=cfg.n_layer, k=args.lisa_k,
+            interval=args.lisa_interval, seed=args.seed,
+        )
+        counter = {"step": 0}
+
+        def step_fn(ts, batch):  # noqa: F811
+            mask = jax.tree_util.tree_map(
+                lambda m: jnp.asarray(1.0 if m else 0.0),
+                lisa.trainable_mask(ts.params, counter["step"]),
+            )
+            counter["step"] += 1
+            return raw_step_fn(ts, batch, None, mask)
 
     def save_fn(ts, step):
         save_torch_pth(
@@ -697,6 +714,10 @@ def main(argv=None):
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
     p.add_argument("--peft-checkpoint", default=None)
+    p.add_argument("--lisa-k", type=int, default=0,
+                   help="LISA: train k random layers, resampled every "
+                        "--lisa-interval steps (full train type only)")
+    p.add_argument("--lisa-interval", type=int, default=20)
     p.set_defaults(fn=cmd_sft)
 
     p = sub.add_parser("bi-encoder")

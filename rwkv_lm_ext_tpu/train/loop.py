@@ -126,10 +126,15 @@ def make_train_step(
         tx = build_tx(params)
         return TrainState.create(params, tx)
 
-    def step_fn(ts: TrainState, batch, frozen=None) -> Tuple[TrainState, Dict]:
+    def step_fn(
+        ts: TrainState, batch, frozen=None, update_mask=None
+    ) -> Tuple[TrainState, Dict]:
         """frozen: optional pytree of non-trained parameters (e.g. the LoRA
         base weights) passed through to loss_fn as a real argument so jit
-        doesn't bake it in as constants."""
+        doesn't bake it in as constants.
+        update_mask: optional pytree of 0/1 floats multiplied into the
+        updates — the LISA layerwise-sampling hook (masks change per step,
+        so they are data, not optimizer structure)."""
         tx = build_tx(ts.params)
 
         def single(params, b):
@@ -155,6 +160,10 @@ def make_train_step(
             loss, grads = jax.value_and_grad(single)(ts.params, batch)
 
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        if update_mask is not None:
+            updates = jax.tree_util.tree_map(
+                lambda upd, m: upd * m, updates, update_mask
+            )
         params = optax.apply_updates(ts.params, updates)
         gnorm = optax.global_norm(grads)
         new_ts = TrainState(

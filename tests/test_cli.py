@@ -137,3 +137,15 @@ def test_instructor(base_ckpt, tmp_path):
     sd = load_torch_pth(os.path.join(out, files[-1]))
     assert sd["dense.weight"].shape == (32, 64)
     assert "ln_dense.weight" in sd
+
+
+def test_sft_full_with_lisa(base_ckpt, sft_jsonl, tmp_path):
+    out = str(tmp_path / "out_lisa")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "full",
+        "--lisa-k", "1", "--lisa-interval", "1",
+        "--max-steps", "2", "--micro-bsz", "2", "--warmup-steps", "1",
+        "--dp", "1",
+    ])
+    assert any(f.startswith("model-step") for f in os.listdir(out))

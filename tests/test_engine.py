@@ -96,3 +96,18 @@ def test_generate_with_carried_state(engine):
     out_a = engine.generate([7, 8], max_tokens=5, sampling=sp, state=state)
     out_b = engine.generate([5, 6, 7, 8], max_tokens=5, sampling=sp)
     assert out_a == out_b
+
+
+def test_generate_on_device_matches_host_loop(engine):
+    sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    host = engine.generate([5, 6, 7], max_tokens=10, sampling=sp)
+    dev = engine.generate_on_device([5, 6, 7], max_tokens=10, sampling=sp)
+    assert dev == host
+
+
+def test_generate_on_device_stop(engine):
+    sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    ids = engine.generate_on_device([5, 6, 7], max_tokens=6, sampling=sp)
+    sp2 = SamplingParams(temperature=0.0, top_p=1.0, token_stop=(ids[2],))
+    cut = engine.generate_on_device([5, 6, 7], max_tokens=6, sampling=sp2)
+    assert cut == ids[:2]
