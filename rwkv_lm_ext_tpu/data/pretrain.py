@@ -117,3 +117,44 @@ class PretrainSampler:
                 "input_ids": np.stack([r["input_ids"] for r in rows]),
                 "labels": np.stack([r["labels"] for r in rows]),
             }
+
+
+class QAMaskedSampler:
+    """my_qa_mask pretraining (src/dataset.py:123-191): interleave a pile
+    stream with a QA dataset; QA samples carry a loss mask that supervises
+    only the answer region (labels -100 elsewhere). Even global sample
+    indices draw from the pile, odd from QA."""
+
+    def __init__(
+        self,
+        pile: PretrainSampler,
+        qa_docs,                     # IndexedDataset of QA documents
+        ctx_len: int,
+        *,
+        answer_marker: int = 1,      # token separating prompt from answer
+        seed: int = 0,
+    ):
+        self.pile = pile
+        self.qa = qa_docs
+        self.ctx_len = ctx_len
+        self.answer_marker = answer_marker
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, epoch: int, idx: int) -> Dict[str, np.ndarray]:
+        if idx % 2 == 0:
+            return self.pile(epoch, idx // 2)
+        doc = np.asarray(
+            self.qa[int(self.rng.integers(len(self.qa)))], np.int32
+        )
+        doc = doc[: self.ctx_len + 1]
+        pad = self.ctx_len + 1 - len(doc)
+        if pad:
+            doc = np.concatenate([doc, np.zeros(pad, np.int32)])
+        x, y = doc[:-1], doc[1:].copy()
+        # mask the prompt: supervise only after the first answer marker
+        marker = np.nonzero(x == self.answer_marker)[0]
+        cut = int(marker[0]) + 1 if len(marker) else 0
+        y[:cut] = -100
+        if pad:
+            y[-pad:] = -100
+        return {"input_ids": x, "labels": y}

@@ -129,6 +129,14 @@ def symmetric_infonce(
     return 0.5 * (_ce_with_ignore(s_qc, labels) + _ce_with_ignore(s_pq, labels))
 
 
+def group_softmax_loss(scores: jax.Array) -> jax.Array:
+    """Group-softmax reranker training (RwkvEncoderForClassification,
+    src/model_ext.py:652-675): scores (B, G) where column 0 is the positive
+    candidate of each group; CE with target 0."""
+    labels = jnp.zeros(scores.shape[0], jnp.int32)
+    return _ce_with_ignore(scores.astype(jnp.float32), labels)
+
+
 def simcse_loss(
     emb_a: jax.Array,
     emb_b: jax.Array,

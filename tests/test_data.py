@@ -151,3 +151,37 @@ def test_sft_encoding_labels():
     assert ex["labels"][:n_prompt] == [-100] * n_prompt
     assert ex["input_ids"][-1] == 1  # eos supervised
     assert ex["labels"][-1] == 1
+
+
+def test_qa_masked_sampler(tmp_path):
+    from rwkv_lm_ext_tpu.data.binidx import IndexedDatasetWriter, IndexedDataset
+    from rwkv_lm_ext_tpu.data.pretrain import PretrainSampler, QAMaskedSampler
+
+    class FakePile:
+        total_tokens = 4 * 17 + 1
+
+        def slice_tokens(self, start, length):
+            return np.arange(start, start + length) % 1000
+
+    prefix = str(tmp_path / "qa")
+    with IndexedDatasetWriter(prefix, dtype=np.uint16) as w:
+        w.add_document([10, 11, 12, 1, 50, 51, 52])  # prompt [1] answer
+    pile = PretrainSampler(FakePile(), 4, magic_prime=17)
+    s = QAMaskedSampler(pile, IndexedDataset(prefix), 4)
+    even = s(0, 0)   # pile sample: fully supervised
+    assert (even["labels"] != -100).all()
+    odd = s(0, 1)    # QA: prompt masked
+    x, y = odd["input_ids"], odd["labels"]
+    marker = np.nonzero(x == 1)[0]
+    if len(marker):
+        assert (y[: marker[0] + 1] == -100).all()
+
+
+def test_group_softmax_loss():
+    from rwkv_lm_ext_tpu.train.losses import group_softmax_loss
+    import jax.numpy as jnp
+
+    perfect = jnp.array([[10.0, -5.0, -5.0], [8.0, -2.0, -9.0]])
+    bad = jnp.array([[-5.0, 10.0, -5.0]])
+    assert float(group_softmax_loss(perfect)) < 1e-3
+    assert float(group_softmax_loss(bad)) > 5.0
