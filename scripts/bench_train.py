@@ -1,0 +1,65 @@
+"""Training throughput: 1B6 LoRA SFT step time (the reference logs Kt/s).
+
+Chained-scan methodology; measures a full jitted train step (fwd+bwd+adam)
+with remat, LoRA adapter trainable, base frozen. Prints one JSON line.
+Env: TRAIN_BATCH (def 8), TRAIN_CTX (512), TRAIN_ITERS (4),
+TRAIN_TYPE (lora|full).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rwkv_lm_ext_tpu.config import TrainConfig, rwkv6_1b6
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+from rwkv_lm_ext_tpu.adapters import LoraConfig, init_lora_params, merge_lora
+from rwkv_lm_ext_tpu.train.loop import make_train_step, sft_loss_fn
+
+B = int(os.environ.get("TRAIN_BATCH", "8"))
+T = int(os.environ.get("TRAIN_CTX", "512"))
+ITERS = int(os.environ.get("TRAIN_ITERS", "4"))
+TRAIN_TYPE = os.environ.get("TRAIN_TYPE", "lora")
+
+cfg = rwkv6_1b6(param_dtype="bfloat16")
+params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
+tc = TrainConfig(lr_init=1e-4, warmup_steps=1, total_steps=100)
+
+tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
+batch = {"input_ids": tokens, "labels": tokens}
+
+if TRAIN_TYPE == "lora":
+    lc = LoraConfig(r=8, alpha=32.0)
+    adapter = init_lora_params(jax.random.PRNGKey(2), params, lc)
+
+    def loss_fn(adapter_p, frozen, cfg_, b):
+        merged = merge_lora(frozen, adapter_p, lc)
+        return sft_loss_fn(merged, cfg_, b, remat=True)
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn, donate=False)
+    ts = init_fn(adapter)
+    args = (batch, params)
+else:
+    init_fn, step_fn = make_train_step(cfg, tc, donate=False)
+    ts = init_fn(params)
+    args = (batch,)
+
+# warm
+ts, m = step_fn(ts, *args)
+float(m["loss"])
+t0 = time.perf_counter()
+for _ in range(ITERS):
+    ts, m = step_fn(ts, *args)
+loss = float(m["loss"])  # forces the chain (ts threads through)
+dt = (time.perf_counter() - t0) / ITERS
+kts = T * B / dt / 1000.0
+print(json.dumps({
+    "metric": f"train_step ({TRAIN_TYPE}, RWKV-6 1B6, bsz {B}, ctx {T})",
+    "value": round(kts, 2), "unit": "Kt/s",
+    "step_ms": round(dt * 1e3, 1),
+    "vs_baseline": None,
+}))
