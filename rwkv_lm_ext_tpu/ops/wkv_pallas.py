@@ -440,12 +440,134 @@ def _fused_fwd(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
 
 def _fused_bwd(eps, chunk_size, interpret, residuals, cts):
     r, k, v, w, u, s0, g, scale, bias = residuals
+    B, T, H, N = r.shape
+    P = 128 // N if N <= 128 and 128 % N == 0 else 1
+    if H % P != 0:
+        P = 1
+    if P * N == 128:
+        return _fused_bwd_pallas(
+            r, k, v, w, u, s0, g, scale, bias, cts,
+            eps=eps, chunk_size=chunk_size, interpret=interpret,
+        )
 
     def f(r, k, v, w, u, s0, g, scale, bias):
         return _fused_ref(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size)
 
     _, vjp = jax.vjp(f, r, k, v, w, u, s0, g, scale, bias)
     return vjp(cts)
+
+
+def _fused_bwd_pallas(
+    r, k, v, w, u, s0, g, scale, bias, cts, *, eps, chunk_size, interpret
+):
+    """Two-pass Pallas backward (see header above): re-run forward saving
+    chunk-entry states, then reverse-adjoint kernel."""
+    dout, dsT = cts
+    B, T, H, N = r.shape
+    P = 128 // N
+    H2 = H // P
+    W = P * N
+    L = chunk_size
+    TB = min(512, max(L, ((T + L - 1) // L) * L))
+    pad = (-T) % TB
+    if pad:
+        cfg4 = [(0, 0), (0, pad), (0, 0), (0, 0)]
+        cfg3 = [(0, 0), (0, pad), (0, 0)]
+        r = jnp.pad(r, cfg4)
+        k = jnp.pad(k, cfg4)
+        v = jnp.pad(v, cfg4)
+        w = jnp.pad(w, cfg4, constant_values=-1e30)
+        g = jnp.pad(g.reshape(B, T, H, N), cfg4).reshape(B, T + pad, H * N)
+        dout = jnp.pad(dout, cfg3)
+    else:
+        g = g.reshape(B, T, H * N)
+    Tp = T + pad
+    NTB = Tp // TB
+    NCL = TB // L
+
+    rb, kb, vb, wb = (x.reshape(B, Tp, H * N) for x in (r, k, v, w))
+    ub = u.astype(jnp.float32).reshape(H2, 1, W)
+    scb = scale.astype(jnp.float32).reshape(H2, 1, W)
+    bib = bias.astype(jnp.float32).reshape(H2, 1, W)
+    s0b = s0.astype(jnp.float32).reshape(B, H2, W, N)
+    dsTb = dsT.astype(jnp.float32).reshape(B, H2, W, N)
+
+    lane = pl.BlockSpec((1, TB, W), lambda i, c: (i // H2, c, i % H2))
+    lane_rev = pl.BlockSpec(
+        (1, TB, W), lambda i, c: (i // H2, NTB - 1 - c, i % H2)
+    )
+    vec = pl.BlockSpec((1, 1, W), lambda i, c: (i % H2, 0, 0))
+    smat = pl.BlockSpec((1, 1, W, N), lambda i, c: (i // H2, i % H2, 0, 0))
+    states_spec = pl.BlockSpec(
+        (1, NCL, W, N), lambda i, c: (i, c, 0, 0)
+    )
+    states_spec_rev = pl.BlockSpec(
+        (1, NCL, W, N), lambda i, c: (i, NTB - 1 - c, 0, 0)
+    )
+
+    # pass 1: forward with state checkpoints
+    out, sout, states = pl.pallas_call(
+        functools.partial(
+            _wkv_gn_fwd_save_kernel, L=L, N=N, P=P, TB=TB, eps=eps
+        ),
+        grid=(B * H2, NTB),
+        in_specs=[lane, lane, lane, lane, lane, vec, vec, vec, smat],
+        out_specs=[lane, smat, states_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, H * N), g.dtype),
+            jax.ShapeDtypeStruct((B, H2, W, N), jnp.float32),
+            jax.ShapeDtypeStruct((B * H2, NTB * NCL, W, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((W, N), jnp.float32)],
+        interpret=interpret,
+    )(rb, kb, vb, wb, g, ub, scb, bib, s0b)
+
+    # pass 2: reverse adjoint
+    partial_vec = pl.BlockSpec((1, 1, W), lambda i, c: (i, 0, 0))
+    dr, dk, dv, dw, dg, du_p, dsc_p, dbi_p, ds0 = pl.pallas_call(
+        functools.partial(
+            _wkv_gn_bwd_kernel, L=L, N=N, P=P, TB=TB, eps=eps, NTB=NTB
+        ),
+        grid=(B * H2, NTB),
+        in_specs=[
+            lane_rev, lane_rev, lane_rev, lane_rev, lane_rev,
+            vec, vec, vec, lane_rev, smat, states_spec_rev,
+        ],
+        out_specs=[
+            lane_rev, lane_rev, lane_rev, lane_rev, lane_rev,
+            partial_vec, partial_vec, partial_vec, smat,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, H * N), r.dtype),
+            jax.ShapeDtypeStruct((B, Tp, H * N), k.dtype),
+            jax.ShapeDtypeStruct((B, Tp, H * N), v.dtype),
+            jax.ShapeDtypeStruct((B, Tp, H * N), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, H * N), g.dtype),
+            jax.ShapeDtypeStruct((B * H2, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((B * H2, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((B * H2, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H2, W, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((W, N), jnp.float32)],
+        interpret=interpret,
+    )(rb, kb, vb, wb, g, ub, scb, bib, dout, dsTb, states)
+
+    def unlane(x, dtype):
+        return x[:, :T].reshape(B, T, H, N).astype(dtype)
+
+    dr = unlane(dr, r.dtype)
+    dk = unlane(dk, k.dtype)
+    dv = unlane(dv, v.dtype)
+    dw = unlane(dw, jnp.float32)
+    dg4 = unlane(dg, g.dtype)
+    du = du_p.reshape(B, H2, W).sum(axis=0).reshape(H, N).astype(jnp.float32)
+    dscale = dsc_p.reshape(B, H2, W).sum(axis=0).reshape(H * N)
+    dbias = dbi_p.reshape(B, H2, W).sum(axis=0).reshape(H * N)
+    ds0 = ds0.reshape(B, H, N, N)
+    return (
+        dr, dk, dv, dw, du, ds0, dg4,
+        dscale.astype(scale.dtype), dbias.astype(bias.dtype),
+    )
 
 
 _wkv_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -471,3 +593,317 @@ def wkv6_fused_output(
         initial_state.astype(jnp.float32), g,
         ln_scale, ln_bias, eps, min(chunk_size, max(8, T)), interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward for the fused kernel.
+#
+# Two passes, mirroring the CUDA backward's structure (wkv6_cuda.cu:64-227)
+# in chunked form: (1) a forward re-run that checkpoints the state at every
+# L-chunk boundary; (2) a reverse-order grid pass that carries the state
+# ADJOINT dS in VMEM, recomputes within-chunk forward quantities from the
+# checkpointed states, applies the GroupNorm/gate backward in-kernel, and
+# emits dr/dk/dv/dw/dg blocks plus per-program du/dscale/dbias partial sums
+# (reduced in XLA). The within-chunk dlw suffix-sum is an upper-triangular
+# matmul — the chunked analogue of the CUDA gw suffix-scan trick.
+# ---------------------------------------------------------------------------
+
+
+def _wkv_gn_fwd_save_kernel(
+    r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref, s0_ref,
+    out_ref, sout_ref, states_ref,
+    state,
+    *, L: int, N: int, P: int, TB: int, eps: float,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        state[:, :] = s0_ref[0, 0].astype(jnp.float32)
+
+    u_row = u_ref[0].astype(jnp.float32)
+    scale = sc_ref[0].astype(jnp.float32)
+    bias = bi_ref[0].astype(jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tril_inc = (row0 >= col0).astype(jnp.float32)
+    causal = row0 > col0
+
+    for i in range(TB // L):
+        states_ref[0, i] = state[:, :]          # checkpoint chunk entry
+        sl = slice(i * L, (i + 1) * L)
+        r_all = r_ref[0, sl, :].astype(jnp.float32)
+        k_all = k_ref[0, sl, :].astype(jnp.float32)
+        v_all = v_ref[0, sl, :].astype(jnp.float32)
+        w_all = w_ref[0, sl, :].astype(jnp.float32)
+        g_all = g_ref[0, sl, :].astype(jnp.float32)
+        lw = -jnp.exp(w_all)
+        winc = jax.lax.dot_general(
+            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wexc = winc - lw
+        wlast = winc[L - 1, :][None, :]
+        wmid = winc[L // 2, :][None, :]
+        q_inter_all = r_all * jnp.exp(wexc)
+        q_intra_all = r_all * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
+        k_intra_all = k_all * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
+        k_state_all = k_all * jnp.exp(wlast - winc)
+        diag_all = r_all * u_row * k_all
+        outs = []
+        for p in range(P):
+            lane = slice(p * N, (p + 1) * N)
+            v_h = v_all[:, lane]
+            A = jax.lax.dot_general(
+                q_intra_all[:, lane], k_intra_all[:, lane],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            A = jnp.where(causal, A, 0.0)
+            y = jax.lax.dot_general(
+                A, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
+            y += jax.lax.dot_general(
+                q_inter_all[:, lane], state[lane, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_s = state[lane, :] * jnp.exp(wlast[0, lane])[:, None]
+            new_s += jax.lax.dot_general(
+                k_state_all[:, lane], v_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            state[lane, :] = new_s
+            mu = jnp.mean(y, axis=1, keepdims=True)
+            var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
+            outs.append((y - mu) * jax.lax.rsqrt(var + eps))
+        yn_all = jnp.concatenate(outs, axis=1)
+        out_ref[0, sl, :] = ((yn_all * scale + bias) * g_all).astype(
+            out_ref.dtype
+        )
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        sout_ref[0, 0] = state[:, :]
+
+
+def _wkv_gn_bwd_kernel(
+    r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref,
+    dout_ref, dsT_ref, states_ref,
+    dr_ref, dk_ref, dv_ref, dw_ref, dg_ref, du_ref, dsc_ref, dbi_ref,
+    ds0_ref,
+    dstate,
+    *, L: int, N: int, P: int, TB: int, eps: float, NTB: int,
+):
+    # grid axis 1 indexes T-blocks in REVERSE (index maps flip it)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        dstate[:, :] = dsT_ref[0, 0].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        du_ref[0, 0] = jnp.zeros_like(du_ref[0, 0])
+        dsc_ref[0, 0] = jnp.zeros_like(dsc_ref[0, 0])
+        dbi_ref[0, 0] = jnp.zeros_like(dbi_ref[0, 0])
+
+    u_row = u_ref[0].astype(jnp.float32)
+    scale = sc_ref[0].astype(jnp.float32)
+    bias = bi_ref[0].astype(jnp.float32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tril_inc = (row0 >= col0).astype(jnp.float32)
+    causal = row0 > col0
+
+    for i in reversed(range(TB // L)):
+        sl = slice(i * L, (i + 1) * L)
+        r_all = r_ref[0, sl, :].astype(jnp.float32)
+        k_all = k_ref[0, sl, :].astype(jnp.float32)
+        v_all = v_ref[0, sl, :].astype(jnp.float32)
+        w_all = w_ref[0, sl, :].astype(jnp.float32)
+        g_all = g_ref[0, sl, :].astype(jnp.float32)
+        dout_all = dout_ref[0, sl, :].astype(jnp.float32)
+        S0 = states_ref[0, i]                    # (W, N) chunk-entry state
+
+        lw = -jnp.exp(w_all)
+        winc = jax.lax.dot_general(
+            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wexc = winc - lw
+        wlast = winc[L - 1, :][None, :]
+        wmid = winc[L // 2, :][None, :]
+        e_exc = jnp.exp(wexc)
+        e_intra_q = jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
+        e_intra_k = jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
+        e_state_k = jnp.exp(wlast - winc)
+        q_inter_all = r_all * e_exc
+        q_intra_all = r_all * e_intra_q
+        k_intra_all = k_all * e_intra_k
+        k_state_all = k_all * e_state_k
+        diag_all = r_all * u_row * k_all
+
+        dr = jnp.zeros((L, P * N), jnp.float32)
+        dk = jnp.zeros((L, P * N), jnp.float32)
+        dv = jnp.zeros((L, P * N), jnp.float32)
+        dwinc = jnp.zeros((L, P * N), jnp.float32)
+        dwexc = jnp.zeros((L, P * N), jnp.float32)
+        dwlast = jnp.zeros((1, P * N), jnp.float32)
+        dg_out = jnp.zeros((L, P * N), jnp.float32)
+        du_acc = jnp.zeros((1, P * N), jnp.float32)
+        dsc_acc = jnp.zeros((1, P * N), jnp.float32)
+        dbi_acc = jnp.zeros((1, P * N), jnp.float32)
+
+        for p in range(P):
+            lane = slice(p * N, (p + 1) * N)
+            v_h = v_all[:, lane]
+            qi = q_inter_all[:, lane]
+            qa = q_intra_all[:, lane]
+            ka = k_intra_all[:, lane]
+            ks = k_state_all[:, lane]
+            S0h = S0[lane, :]
+            dSh = dstate[lane, :]
+
+            # ---- recompute forward y (pre-GN) for this chunk/head ----
+            A = jax.lax.dot_general(
+                qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            A = jnp.where(causal, A, 0.0)
+            cdiag = jnp.sum(diag_all[:, lane], axis=1, keepdims=True)
+            y = jax.lax.dot_general(
+                A, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y += cdiag * v_h
+            y += jax.lax.dot_general(
+                qi, S0h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mu = jnp.mean(y, axis=1, keepdims=True)
+            var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + eps)
+            z = (y - mu) * rstd
+
+            # ---- GroupNorm + gate backward ----
+            do = dout_all[:, lane]
+            g_h = g_all[:, lane]
+            sc_h = scale[:, lane]
+            dg_out = dg_out.at[:, lane].set(do * (z * sc_h + bias[:, lane]))
+            dpre = do * g_h
+            dsc_acc = dsc_acc.at[:, lane].add(
+                jnp.sum(dpre * z, axis=0, keepdims=True)
+            )
+            dbi_acc = dbi_acc.at[:, lane].add(
+                jnp.sum(dpre, axis=0, keepdims=True)
+            )
+            dz = dpre * sc_h
+            dy = rstd * (
+                dz
+                - jnp.mean(dz, axis=1, keepdims=True)
+                - z * jnp.mean(dz * z, axis=1, keepdims=True)
+            )
+
+            # ---- WKV backward ----
+            # y_inter = qi @ S0h
+            dqi = jax.lax.dot_general(
+                dy, S0h, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dS0h = jax.lax.dot_general(
+                qi, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # y_intra = A @ v ; A = tril(qa @ ka^T)
+            dA = jax.lax.dot_general(
+                dy, v_h, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dA = jnp.where(causal, dA, 0.0)
+            dv_h = jax.lax.dot_general(
+                A, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqa = jax.lax.dot_general(
+                dA, ka, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dka = jax.lax.dot_general(
+                dA, qa, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # diag bonus: y += cdiag * v
+            dcdiag = jnp.sum(dy * v_h, axis=1, keepdims=True)
+            dv_h += cdiag * dy
+            # state update: S1 = E ⊙ S0 + ks^T @ v
+            E = jnp.exp(wlast[:, lane])          # (1,N)
+            dS0h += E[0][:, None] * dSh
+            dks = jax.lax.dot_general(
+                v_h, dSh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_h += jax.lax.dot_general(
+                ks, dSh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dE = jnp.sum(dSh * S0h, axis=1)[None, :]  # (1,N)
+
+            # ---- unfactor exponentials ----
+            r_h = r_all[:, lane]
+            k_h = k_all[:, lane]
+            u_h = u_row[:, lane]
+            dr_h = (
+                dqi * e_exc[:, lane]
+                + dqa * e_intra_q[:, lane]
+                + dcdiag * (u_h * k_h)
+            )
+            dk_h = (
+                dka * e_intra_k[:, lane]
+                + dks * e_state_k[:, lane]
+                + dcdiag * (u_h * r_h)
+            )
+            du_acc = du_acc.at[:, lane].add(
+                jnp.sum(dcdiag * r_h * k_h, axis=0, keepdims=True)
+            )
+            dwexc_h = dqi * qi + dqa * qa
+            dwinc_h = -dka * ka - dks * ks
+            dwlast_h = (
+                jnp.sum(dks * ks, axis=0, keepdims=True) + dE * E
+            )
+
+            dr = dr.at[:, lane].set(dr_h)
+            dk = dk.at[:, lane].set(dk_h)
+            dv = dv.at[:, lane].set(dv_h)
+            dwexc = dwexc.at[:, lane].set(dwexc_h)
+            dwinc = dwinc.at[:, lane].set(dwinc_h)
+            dwlast = dwlast.at[:, lane].set(dwlast_h)
+            dstate[lane, :] = dS0h
+
+        # winc/wexc/wlast -> lw -> w (suffix-sum = triu matmul)
+        dwinc_tot = dwinc + dwexc
+        dwinc_tot = dwinc_tot.at[L - 1, :].add(dwlast[0])
+        # suffix sum: dlw[s] = sum_{t>=s} dwinc_tot[t]  (tril_inc[t,s]=t>=s)
+        dlw = jax.lax.dot_general(
+            tril_inc, dwinc_tot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dlw = dlw - dwexc                        # wexc_t = winc_t - lw_t
+        dw_all = dlw * lw                        # dlw * d(lw)/dw, lw=-e^w
+
+        dr_ref[0, sl, :] = dr.astype(dr_ref.dtype)
+        dk_ref[0, sl, :] = dk.astype(dk_ref.dtype)
+        dv_ref[0, sl, :] = dv.astype(dv_ref.dtype)
+        dw_ref[0, sl, :] = dw_all
+        dg_ref[0, sl, :] = dg_out.astype(dg_ref.dtype)
+        du_ref[0, 0] = du_ref[0, 0] + du_acc[0]
+        dsc_ref[0, 0] = dsc_ref[0, 0] + dsc_acc[0]
+        dbi_ref[0, 0] = dbi_ref[0, 0] + dbi_acc[0]
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        ds0_ref[0, 0] = dstate[:, :]

@@ -63,3 +63,37 @@ def test_fused_grads_flow():
     grads_u = jax.grad(loss_u)(args)
     for a, b in zip(grads, grads_u):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_pallas_backward_matches_autodiff():
+    """The hand-written two-pass Pallas backward must match autodiff of the
+    reference composition for every input (interpret mode; N=64 so the
+    head-packed path engages)."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, _wkv_fused
+
+    B, T, H, N = 2, 32, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 9)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    scale = 1.0 + 0.1 * jax.random.normal(ks[6], (H * N,))
+    bias = 0.1 * jax.random.normal(ks[7], (H * N,))
+    s0 = 0.1 * jax.random.normal(ks[8], (B, H, N, N))
+    args = (r, k, v, w, u, s0, g, scale, bias)
+
+    def loss_fused(a):
+        out, sT = _wkv_fused(*a, 64e-5, 16, True)
+        return jnp.sum(out**2) + jnp.sum(sT**2)
+
+    def loss_ref(a):
+        out, sT = _fused_ref(*a, 64e-5, 16)
+        return jnp.sum(out**2) + jnp.sum(sT**2)
+
+    gp = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(gp, gr):
+        scale_ref = max(float(jnp.abs(b).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / scale_ref < 1e-5
