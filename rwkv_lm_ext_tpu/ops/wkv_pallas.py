@@ -747,16 +747,9 @@ def _wkv_gn_bwd_kernel(
         k_state_all = k_all * e_state_k
         diag_all = r_all * u_row * k_all
 
-        dr = jnp.zeros((L, P * N), jnp.float32)
-        dk = jnp.zeros((L, P * N), jnp.float32)
-        dv = jnp.zeros((L, P * N), jnp.float32)
-        dwinc = jnp.zeros((L, P * N), jnp.float32)
-        dwexc = jnp.zeros((L, P * N), jnp.float32)
-        dwlast = jnp.zeros((1, P * N), jnp.float32)
-        dg_out = jnp.zeros((L, P * N), jnp.float32)
-        du_acc = jnp.zeros((1, P * N), jnp.float32)
-        dsc_acc = jnp.zeros((1, P * N), jnp.float32)
-        dbi_acc = jnp.zeros((1, P * N), jnp.float32)
+        dr_parts, dk_parts, dv_parts = [], [], []
+        dwinc_parts, dwexc_parts, dwlast_parts = [], [], []
+        dg_parts, du_parts, dsc_parts, dbi_parts = [], [], [], []
 
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
@@ -793,14 +786,10 @@ def _wkv_gn_bwd_kernel(
             do = dout_all[:, lane]
             g_h = g_all[:, lane]
             sc_h = scale[:, lane]
-            dg_out = dg_out.at[:, lane].set(do * (z * sc_h + bias[:, lane]))
+            dg_parts.append(do * (z * sc_h + bias[:, lane]))
             dpre = do * g_h
-            dsc_acc = dsc_acc.at[:, lane].add(
-                jnp.sum(dpre * z, axis=0, keepdims=True)
-            )
-            dbi_acc = dbi_acc.at[:, lane].add(
-                jnp.sum(dpre, axis=0, keepdims=True)
-            )
+            dsc_parts.append(jnp.sum(dpre * z, axis=0, keepdims=True))
+            dbi_parts.append(jnp.sum(dpre, axis=0, keepdims=True))
             dz = dpre * sc_h
             dy = rstd * (
                 dz
@@ -866,7 +855,7 @@ def _wkv_gn_bwd_kernel(
                 + dks * e_state_k[:, lane]
                 + dcdiag * (u_h * r_h)
             )
-            du_acc = du_acc.at[:, lane].add(
+            du_parts.append(
                 jnp.sum(dcdiag * r_h * k_h, axis=0, keepdims=True)
             )
             dwexc_h = dqi * qi + dqa * qa
@@ -875,17 +864,32 @@ def _wkv_gn_bwd_kernel(
                 jnp.sum(dks * ks, axis=0, keepdims=True) + dE * E
             )
 
-            dr = dr.at[:, lane].set(dr_h)
-            dk = dk.at[:, lane].set(dk_h)
-            dv = dv.at[:, lane].set(dv_h)
-            dwexc = dwexc.at[:, lane].set(dwexc_h)
-            dwinc = dwinc.at[:, lane].set(dwinc_h)
-            dwlast = dwlast.at[:, lane].set(dwlast_h)
+            dr_parts.append(dr_h)
+            dk_parts.append(dk_h)
+            dv_parts.append(dv_h)
+            dwexc_parts.append(dwexc_h)
+            dwinc_parts.append(dwinc_h)
+            dwlast_parts.append(dwlast_h)
             dstate[lane, :] = dS0h
 
-        # winc/wexc/wlast -> lw -> w (suffix-sum = triu matmul)
+        dr = jnp.concatenate(dr_parts, axis=1)
+        dk = jnp.concatenate(dk_parts, axis=1)
+        dv = jnp.concatenate(dv_parts, axis=1)
+        dwexc = jnp.concatenate(dwexc_parts, axis=1)
+        dwinc = jnp.concatenate(dwinc_parts, axis=1)
+        dwlast = jnp.concatenate(dwlast_parts, axis=1)
+        dg_out = jnp.concatenate(dg_parts, axis=1)
+        du_acc = jnp.concatenate(du_parts, axis=1)
+        dsc_acc = jnp.concatenate(dsc_parts, axis=1)
+        dbi_acc = jnp.concatenate(dbi_parts, axis=1)
+
+        # winc/wexc/wlast -> lw -> w (suffix-sum = triangular matmul);
+        # dwlast lands on the last row via a mask (no scatter on TPU)
         dwinc_tot = dwinc + dwexc
-        dwinc_tot = dwinc_tot.at[L - 1, :].add(dwlast[0])
+        is_last_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) == L - 1
+        )
+        dwinc_tot = dwinc_tot + jnp.where(is_last_row, dwlast, 0.0)
         # suffix sum: dlw[s] = sum_{t>=s} dwinc_tot[t]  (tril_inc[t,s]=t>=s)
         dlw = jax.lax.dot_general(
             tril_inc, dwinc_tot,
