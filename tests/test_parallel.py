@@ -158,3 +158,27 @@ def test_states_train_type_only_updates_states():
     }
     np.testing.assert_allclose(before["emb"], after["emb"])  # frozen
     assert not np.allclose(before["state"], after["state"])  # trained
+
+
+def test_sequence_parallel_wkv():
+    """T sharded over 8 devices == single-device sequential reference."""
+    from rwkv_lm_ext_tpu.ops import wkv_reference
+    from rwkv_lm_ext_tpu.parallel.sequence import wkv6_sequence_parallel
+    from jax.sharding import Mesh
+    import numpy as onp
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(onp.array(devs), ("sp",))
+    B, T, H, N = 2, 64, 2, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    y_ref, s_ref = wkv_reference(r, k, v, w, u)
+    y_sp, s_sp = wkv6_sequence_parallel(
+        r, k, v, w, u, mesh=mesh, chunk_size=8
+    )
+    np.testing.assert_allclose(np.asarray(y_sp), y_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_sp), s_ref, rtol=2e-4, atol=2e-4)
