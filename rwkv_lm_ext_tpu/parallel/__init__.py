@@ -4,6 +4,9 @@ Replaces the reference's NCCL/DeepSpeed/Lightning distributed stack
 (SURVEY §2.4) with single-controller JAX SPMD: pick a Mesh, annotate
 shardings, let XLA/GSPMD insert the collectives over ICI.
 """
+from rwkv_lm_ext_tpu.parallel.sequence import (  # noqa: F401
+    wkv6_sequence_parallel,
+)
 from rwkv_lm_ext_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     param_shardings,
