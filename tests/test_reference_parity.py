@@ -1,0 +1,136 @@
+"""Cross-implementation parity: our encoder vs the REFERENCE's own
+pure-torch CPU path (src/model_encoder_run.py under NO_CUDA=1).
+
+Loads the reference module read-only from /root/reference, feeds both
+implementations the same weights (our init, converted through the torch
+key schema), and requires the hidden states / MLM logits to agree — the
+strongest available numerics check without CUDA (the reference's CPU
+run_rwkv6_forward is the same math its CUDA kernels implement)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_module():
+    os.environ["NO_CUDA"] = "1"
+    os.environ["RWKV_MY_TESTING"] = "x060"
+    os.environ.setdefault("RWKV_TRAIN_TYPE", "")
+    os.environ["RWKV_HEAD_SIZE_A"] = "16"
+    os.environ["RWKV_JIT_ON"] = "0"
+    os.environ["RWKV_FLOAT_MODE"] = "fp32"
+    sys.path.insert(0, REF)
+    import importlib
+
+    return importlib.import_module("src.model_encoder_run")
+
+
+def test_encoder_parity_vs_reference(ref_module):
+    import argparse
+
+    import jax
+    import torch
+
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
+    from rwkv_lm_ext_tpu.models.heads import mlm_logits
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=128, head_size=16, dim_ffn=256,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    # give the residual branches weight so parity is non-trivial
+    for i, b in enumerate(params["blocks"]):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(50 + i))
+        b["att"]["output"] = 0.2 * jax.random.normal(k1, b["att"]["output"].shape)
+        b["ffn"]["value"] = 0.2 * jax.random.normal(k2, b["ffn"]["value"].shape)
+
+    sd = params_to_state_dict(params, cfg)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    args = argparse.Namespace(
+        n_layer=2, n_embd=64, vocab_size=128, dim_att=64, dim_ffn=256,
+        head_size_a=16, head_size_divisor=8, ctx_len=64, dropout=0.0,
+        my_pos_emb=0, pre_ffn=0, head_qk=0, tiny_att_dim=-1,
+        tiny_att_layer=-1, grad_cp=0, emb_id=1, pad_id=0, share_emb=True,
+    )
+    ref = ref_module.RwkvEncoder(args)
+    missing, unexpected = ref.load_state_dict(tsd, strict=False)
+    assert not [m for m in missing if "copy_mask" not in m], missing
+
+    # batch with emb terminators and padding (exercises the masked flip)
+    idx = np.array(
+        [
+            [5, 9, 23, 77, 56, 1, 0, 0],
+            [99, 14, 3, 31, 8, 120, 44, 1],
+        ],
+        np.int64,
+    )
+    with torch.no_grad():
+        ref_logits, ref_hidden = ref.forward(torch.from_numpy(idx), True)
+
+    ours_hidden = encoder_forward(
+        params, cfg, np.asarray(idx, np.int32), mode="average",
+        wkv_backend="reference",
+    )
+    ours_logits = mlm_logits(params, cfg, ours_hidden)
+
+    np.testing.assert_allclose(
+        np.asarray(ours_hidden), ref_hidden.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_logits), ref_logits.numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_encode_sentence_parity(ref_module):
+    """encode_sentence: embedding at the emb_id position must also match."""
+    # reuses the module-level env; quick structural check through both APIs
+    import argparse
+
+    import jax
+    import torch
+
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.bidirectional import encode_sentence
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=128, head_size=16, dim_ffn=256,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(7), cfg)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.2 * jax.random.normal(
+            jax.random.PRNGKey(70 + i), b["att"]["output"].shape
+        )
+    sd = params_to_state_dict(params, cfg)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    args = argparse.Namespace(
+        n_layer=2, n_embd=64, vocab_size=128, dim_att=64, dim_ffn=256,
+        head_size_a=16, head_size_divisor=8, ctx_len=64, dropout=0.0,
+        my_pos_emb=0, pre_ffn=0, head_qk=0, tiny_att_dim=-1,
+        tiny_att_layer=-1, grad_cp=0, emb_id=1, pad_id=0, share_emb=True,
+    )
+    ref = ref_module.RwkvEncoder(args)
+    ref.load_state_dict(tsd, strict=False)
+    idx = np.array([[7, 12, 99, 1, 0, 0]], np.int64)
+    with torch.no_grad():
+        ref_emb = ref.encode_sentence(torch.from_numpy(idx))
+    ours = encode_sentence(
+        params, cfg, np.asarray(idx, np.int32), wkv_backend="reference"
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_emb.numpy(), rtol=2e-4, atol=2e-4
+    )
