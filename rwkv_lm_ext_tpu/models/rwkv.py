@@ -14,6 +14,7 @@ LayerNorm/GroupNorm statistics in fp32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -115,6 +116,12 @@ def tmix_v6_output(
     return (y * g) @ as_weight(p["output"], dt)
 
 
+def _fused_chunk() -> int:
+    """Chunk length of the fused Pallas kernel (env-tunable for perf
+    sweeps; accuracy is chunk-invariant to MXU rounding)."""
+    return int(os.environ.get("RWKV_FUSED_CHUNK", "128"))
+
+
 def time_mix_v6(
     p: Dict,
     cfg,
@@ -149,7 +156,7 @@ def time_mix_v6(
     from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
 
     be = _resolve_backend(wkv_backend, T)
-    if be == "pallas" and not isinstance(p["ln_x"], tuple):
+    if be == "pallas":
         # fused WKV + GroupNorm + gate (layout-free, see ops/wkv_pallas.py)
         from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv6_fused_output
 
@@ -164,7 +171,7 @@ def time_mix_v6(
             p["ln_x"]["bias"],
             s0,
             eps=cfg.ln_x_eps,
-            chunk_size=max(chunk_size, 64),
+            chunk_size=max(chunk_size, _fused_chunk()),
         )
         out = gated @ as_weight(p["output"], dt)
         return out, x[:, -1].astype(jnp.float32), new_wkv
