@@ -35,6 +35,16 @@ def as_weight(leaf, dt):
     return leaf.astype(dt)
 
 def layer_norm(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:
+    if x.ndim >= 2:
+        try:
+            from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
+
+            if pallas_available():
+                from rwkv_lm_ext_tpu.ops.ln_pallas import layer_norm_pallas
+
+                return layer_norm_pallas(x, p["scale"], p["bias"], eps)
+        except ImportError:
+            pass
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -119,7 +129,7 @@ def tmix_v6_output(
 def _fused_chunk() -> int:
     """Chunk length of the fused Pallas kernel (env-tunable for perf
     sweeps; accuracy is chunk-invariant to MXU rounding)."""
-    return int(os.environ.get("RWKV_FUSED_CHUNK", "128"))
+    return int(os.environ.get("RWKV_FUSED_CHUNK", "256"))
 
 
 def time_mix_v6(

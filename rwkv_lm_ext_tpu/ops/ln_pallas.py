@@ -1,0 +1,89 @@
+"""Pallas LayerNorm (single pass over bf16, fp32 statistics).
+
+XLA's LayerNorm on TPU materializes an fp32 copy and re-reads it
+(profiled at ~3.3ms per (32k, 2048) call on v5e — >10x the bandwidth
+bound). This kernel reads each bf16 block once, computes fp32 statistics
+via E[x²]−μ² in VMEM, and writes normalized bf16 — one pass.
+
+Backward: custom_vjp re-derives through the jnp composition (LN backward
+is cheap and fuses well in XLA).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_kernel(x_ref, sc_ref, bi_ref, o_ref, *, eps: float):
+    x = x_ref[:, :].astype(jnp.float32)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    m2 = jnp.mean(x * x, axis=1, keepdims=True)
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    y = y * sc_ref[0, :].astype(jnp.float32)[None, :] + bi_ref[0, :].astype(
+        jnp.float32
+    )[None, :]
+    o_ref[:, :] = y.astype(o_ref.dtype)
+
+
+def _ln_ref(x2d, scale, bias, eps):
+    xf = x2d.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x2d.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ln_pallas(x2d, scale, bias, eps, interpret):
+    M, C = x2d.shape
+    ROWS = 256
+    grid = (M // ROWS,)
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((ROWS, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, C), x2d.dtype),
+        interpret=interpret,
+    )(x2d, scale.reshape(1, C), bias.reshape(1, C))
+
+
+def _ln_fwd(x2d, scale, bias, eps, interpret):
+    return _ln_pallas(x2d, scale, bias, eps, interpret), (x2d, scale, bias)
+
+
+def _ln_bwd(eps, interpret, res, ct):
+    x2d, scale, bias = res
+    _, vjp = jax.vjp(lambda x, s, b: _ln_ref(x, s, b, eps), x2d, scale, bias)
+    return vjp(ct)
+
+
+_ln_pallas.defvjp(_ln_fwd, _ln_bwd)
+
+
+def layer_norm_pallas(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5,
+    *, interpret: bool = False,
+) -> jax.Array:
+    """LayerNorm over the last axis of (..., C). Falls back to the jnp
+    composition when shapes don't tile (C % 128 or rows % 256)."""
+    C = x.shape[-1]
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if C % 128 != 0 or M % 256 != 0:
+        return _ln_ref(x.reshape(M, C), scale, bias, eps).reshape(x.shape)
+    y = _ln_pallas(x.reshape(M, C), scale, bias, eps, interpret)
+    return y.reshape(x.shape)
