@@ -164,6 +164,81 @@ class GenerationEngine:
             return self.tokenizer.decode(out_ids)
         return out_ids
 
+    def generate_batch(
+        self,
+        prompts,
+        *,
+        max_tokens: int = 128,
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+    ):
+        """Batched on-device generation: all sequences decode together on
+        the batch axis (decode is weight-read-bound, so B sequences cost
+        ~the same wall clock as one). Prompts are right-aligned with
+        leading pads so every row's last prompt token lands at the same
+        step. Returns a list of per-prompt outputs (text or token lists)."""
+        enc = (
+            [self.tokenizer.encode(p) for p in prompts]
+            if isinstance(prompts[0], str)
+            else [list(p) for p in prompts]
+        )
+        B = len(enc)
+        Lmax = max(len(e) for e in enc)
+        # left-pad with 0; pad tokens perturb the state slightly but are
+        # standard practice for batched RWKV serving (state decays them)
+        tok = np.zeros((B, Lmax), np.int32)
+        for i, e in enumerate(enc):
+            tok[i, Lmax - len(e):] = e
+
+        cfg, be = self.cfg, self.wkv_backend
+        key = ("batch", B, Lmax, max_tokens, sampling)
+        if key not in getattr(self, "_batch_decode", {}):
+
+            @jax.jit
+            def run(params, tokens, rng):
+                logits, state = rwkv_forward(
+                    params, cfg, tokens, wkv_backend=be
+                )
+                occ = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+                rng, sub = jax.random.split(rng)
+                tok0, occ = sample_token(sub, logits[:, -1], occ, sampling)
+
+                def body(carry, _):
+                    tkn, st, occ, rng = carry
+                    lg, st = rwkv_forward(
+                        params, cfg, tkn[:, None], st, wkv_backend=be
+                    )
+                    rng, sub = jax.random.split(rng)
+                    nxt, occ = sample_token(sub, lg[:, -1], occ, sampling)
+                    return (nxt, st, occ, rng), tkn
+
+                (_, st, _, _), toks = jax.lax.scan(
+                    body, (tok0, state, occ, rng), None, length=max_tokens
+                )
+                return toks  # (max_tokens, B)
+
+            if not hasattr(self, "_batch_decode"):
+                self._batch_decode = {}
+            self._batch_decode[key] = run
+
+        toks = np.asarray(
+            self._batch_decode[key](
+                self.params, jnp.asarray(tok), jax.random.PRNGKey(seed)
+            )
+        ).T  # (B, max_tokens)
+        stops = set(sampling.token_stop)
+        outs = []
+        for row in toks:
+            ids = []
+            for t in row:
+                if int(t) in stops:
+                    break
+                ids.append(int(t))
+            outs.append(
+                self.tokenizer.decode(ids) if self.tokenizer else ids
+            )
+        return outs
+
     def generate(
         self,
         prompt,

@@ -31,7 +31,7 @@ class SamplingParams:
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
     if k <= 0:
         return logits
-    kth = jnp.sort(logits)[..., -k]
+    kth = jnp.sort(logits, axis=-1)[..., -k:][..., :1]
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
@@ -87,7 +87,10 @@ def sample_token(
     occurrences: jax.Array,
     sp: SamplingParams,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One penalize→filter→sample step. Returns (token, new_occurrences)."""
+    """One penalize→filter→sample step. Returns (token, new_occurrences).
+
+    Works on a single (V,) row or batched (B, V) rows (all filters
+    operate along the last axis)."""
     filtered = penalize_and_filter(logits, occurrences, sp)
     if sp.temperature != 1.0:
         filtered = filtered / max(sp.temperature, 1e-6)
@@ -96,5 +99,8 @@ def sample_token(
     else:
         token = jax.random.categorical(key, filtered, axis=-1)
     occ = occurrences * sp.alpha_decay
-    occ = occ.at[token].add(1.0)
+    if occurrences.ndim == 2:
+        occ = occ.at[jnp.arange(occ.shape[0]), token].add(1.0)
+    else:
+        occ = occ.at[token].add(1.0)
     return token, occ

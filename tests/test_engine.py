@@ -111,3 +111,13 @@ def test_generate_on_device_stop(engine):
     sp2 = SamplingParams(temperature=0.0, top_p=1.0, token_stop=(ids[2],))
     cut = engine.generate_on_device([5, 6, 7], max_tokens=6, sampling=sp2)
     assert cut == ids[:2]
+
+
+def test_generate_batch(engine):
+    sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    outs = engine.generate_batch([[5, 6, 7], [9, 10, 11]], max_tokens=6, sampling=sp)
+    assert len(outs) == 2 and all(len(o) == 6 for o in outs)
+    # batched greedy row 0 with a same-length peer matches single-row greedy
+    solo = engine.generate([5, 6, 7], max_tokens=6, sampling=sp)
+    both = engine.generate_batch([[5, 6, 7], [5, 6, 7]], max_tokens=6, sampling=sp)
+    assert both[0] == solo == both[1]
