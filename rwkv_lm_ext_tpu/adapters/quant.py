@@ -11,7 +11,7 @@ fuses into the consuming matmul.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

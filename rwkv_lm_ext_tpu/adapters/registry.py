@@ -13,7 +13,7 @@ lives in infer/states_registry.py.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from rwkv_lm_ext_tpu.adapters.lora import LoraConfig, merge_lora
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional
 
 DEFAULT_SCHEMA = {
     "entities": ["person", "organization", "location", "product", "quantity"],

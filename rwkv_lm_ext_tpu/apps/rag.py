@@ -8,7 +8,7 @@ as a terminal chat (`python -m rwkv_lm_ext_tpu.apps.rag`).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -9,7 +9,6 @@ is an explicit field or function argument here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ implementation against that layout.
 from __future__ import annotations
 
 import struct
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

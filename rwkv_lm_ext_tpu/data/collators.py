@@ -13,7 +13,7 @@ Numpy re-implementations of the reference's collators:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import re
-from typing import Iterable, Iterator, List, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

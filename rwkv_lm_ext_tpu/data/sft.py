@@ -7,7 +7,7 @@ output + eos supervised, examples bisected into fixed-length buckets.
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from rwkv_lm_ext_tpu.config import EOS_ID
 from rwkv_lm_ext_tpu.data.buckets import DEFAULT_BUCKETS, LengthBucketedDataset

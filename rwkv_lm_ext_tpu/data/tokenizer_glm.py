@@ -8,7 +8,7 @@ the framework uses; gated import (sentencepiece or transformers optional).
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 GLM_EMB_ID = 151329   # <|endoftext|> doubles as the sequence-embedding slot
 GLM_MASK_ID = 151330

@@ -9,7 +9,7 @@ vector on device — no host round-trips in the decode loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ init_model_state(wkv_init=...), so the engine's prefill starts from it.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

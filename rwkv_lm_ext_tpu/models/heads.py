@@ -14,7 +14,7 @@ forward serves every head (and adapters swap under them).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ is cheap and fuses well in XLA).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ passing O(T·d) KV blocks around the ring, only O(N²) states move.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

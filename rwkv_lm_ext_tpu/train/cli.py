@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import time
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

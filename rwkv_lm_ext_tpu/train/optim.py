@@ -14,7 +14,7 @@ peft_train/Callbacks.py:36-93 with an optax chain. Name-pattern rules
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
