@@ -1,0 +1,163 @@
+"""Evaluation runners.
+
+Runnable equivalents of the reference's eval entry points:
+- sts:       train_scripts/evaluators.py EmbeddingSimilarityEvaluator
+             (STS-b style tsv/jsonl: sentence1, sentence2, score)
+- retrieval: tests/test_cmteb.py / TestBiEncoder.py protocol without the
+             mteb dependency (queries + corpus + qrels)
+- rerank:    train_scripts/eval_askubuntu_simcse.py MAP / P@1
+
+Usage:
+  python -m rwkv_lm_ext_tpu.eval.cli sts --model m.pth --data stsb.jsonl
+  python -m rwkv_lm_ext_tpu.eval.cli retrieval --model m.pth \
+      --queries q.jsonl --corpus docs.jsonl --qrels qrels.tsv
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_model(args):
+    from rwkv_lm_ext_tpu.checkpoint import load_rwkv_checkpoint
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.infer.encoders import BiEncoder
+
+    params, cfg = load_rwkv_checkpoint(args.model)
+    if args.lora:
+        from rwkv_lm_ext_tpu.adapters import (
+            LoraConfig,
+            lora_state_dict_to_tree,
+            merge_lora,
+        )
+        from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
+
+        adapter = lora_state_dict_to_tree(load_torch_pth(args.lora))
+        params = merge_lora(
+            params, adapter, LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        )
+    tok = WorldTokenizer(args.vocab)
+    return BiEncoder(
+        params, cfg, tok, pooling_type=args.pooling
+    ), params, cfg, tok
+
+
+def _rows(path):
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                yield json.loads(line)
+            else:
+                yield line.split("\t")
+
+
+def cmd_sts(args):
+    from rwkv_lm_ext_tpu.eval.sts import SimilarityEvaluator
+
+    s1, s2, gold = [], [], []
+    for row in _rows(args.data):
+        if isinstance(row, dict):
+            s1.append(row["sentence1"])
+            s2.append(row["sentence2"])
+            gold.append(float(row["score"]))
+        else:
+            s1.append(row[0]); s2.append(row[1]); gold.append(float(row[2]))
+    be, *_ = _load_model(args)
+    ev = SimilarityEvaluator(s1, s2, gold, csv_dir=args.output_dir)
+    out = ev(lambda texts: be.encode_texts(texts, batch_size=args.batch_size))
+    print(json.dumps(out, indent=2))
+
+
+def cmd_retrieval(args):
+    import numpy as np
+
+    from rwkv_lm_ext_tpu.eval.retrieval import retrieval_metrics
+
+    queries = [r["text"] if isinstance(r, dict) else r[0]
+               for r in _rows(args.queries)]
+    corpus = [r["text"] if isinstance(r, dict) else r[0]
+              for r in _rows(args.corpus)]
+    qrels = [[] for _ in queries]
+    for row in _rows(args.qrels):  # qid \t docid
+        if isinstance(row, dict):
+            qrels[int(row["qid"])].append(int(row["docid"]))
+        else:
+            qrels[int(row[0])].append(int(row[1]))
+    be, *_ = _load_model(args)
+    q_emb = be.encode_texts(queries, batch_size=args.batch_size)
+    c_emb = be.encode_texts(corpus, batch_size=args.batch_size)
+    print(json.dumps(retrieval_metrics(q_emb, c_emb, qrels), indent=2))
+
+
+def cmd_rerank(args):
+    from rwkv_lm_ext_tpu.eval.retrieval import rerank_metrics
+
+    # jsonl rows: {"scores": [...], "labels": [...]} OR compute scores
+    # with the cross-encoder from {"query", "documents", "labels"}
+    scores, labels = [], []
+    need_model = False
+    rows = list(_rows(args.data))
+    for row in rows:
+        if "scores" in row:
+            scores.append(row["scores"]); labels.append(row["labels"])
+        else:
+            need_model = True
+    if need_model:
+        from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
+        from rwkv_lm_ext_tpu.infer.encoders import CrossEncoder
+
+        be, params, cfg, tok = _load_model(args)
+        import numpy as np
+
+        score_sd = load_torch_pth(args.score_head) if args.score_head else None
+        score = (
+            {"kernel": np.asarray(score_sd["score.weight"], np.float32).T}
+            if score_sd
+            else None
+        )
+        assert score is not None, "--score-head required to score pairs"
+        ce = CrossEncoder(params, cfg, tok, score)
+        for row in rows:
+            s = ce.score_pairs([(row["query"], d) for d in row["documents"]])
+            scores.append(list(map(float, s)))
+            labels.append(row["labels"])
+    print(json.dumps(rerank_metrics(scores, labels), indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rwkv_lm_ext_tpu.eval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--model", required=True)
+        sp.add_argument("--vocab", default=None)
+        sp.add_argument("--lora", default=None)
+        sp.add_argument("--lora-r", type=int, default=8)
+        sp.add_argument("--lora-alpha", type=float, default=32.0)
+        sp.add_argument("--pooling", default="weightedmean")
+        sp.add_argument("--batch-size", type=int, default=32)
+        sp.add_argument("--output-dir", default=None)
+
+    s = sub.add_parser("sts"); common(s)
+    s.add_argument("--data", required=True)
+    s.set_defaults(fn=cmd_sts)
+    s = sub.add_parser("retrieval"); common(s)
+    s.add_argument("--queries", required=True)
+    s.add_argument("--corpus", required=True)
+    s.add_argument("--qrels", required=True)
+    s.set_defaults(fn=cmd_retrieval)
+    s = sub.add_parser("rerank"); common(s)
+    s.add_argument("--data", required=True)
+    s.add_argument("--score-head", default=None)
+    s.set_defaults(fn=cmd_rerank)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -177,3 +177,34 @@ def test_http_server_roundtrip(service):
             urllib.request.urlopen(req, timeout=60)
     finally:
         server.shutdown()
+
+
+def test_eval_cli_sts(tmp_path):
+    """Eval CLI end-to-end on a tiny checkpoint + tiny STS file."""
+    import jax
+
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.eval.cli import main as eval_main
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "m.pth")
+    save_torch_pth(ckpt, params_to_state_dict(params, cfg))
+    data = str(tmp_path / "sts.jsonl")
+    with open(data, "w") as f:
+        for a, b, s in [("cat", "cat", 1.0), ("cat", "finance", 0.1),
+                        ("rain", "weather", 0.8), ("x", "y", 0.5)]:
+            f.write(json.dumps({"sentence1": a, "sentence2": b, "score": s}) + "\n")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_main(["sts", "--model", ckpt, "--data", data])
+    out = json.loads(buf.getvalue())
+    assert "cosine_spearman" in out and -1 <= out["cosine_spearman"] <= 1
