@@ -51,6 +51,15 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu), e.g. for data prep")
+    p.add_argument("--upload-cmd", default=None,
+                   help="shell command run async after each checkpoint save;"
+                        " {dir} expands to --output-dir (the reference's"
+                        " my_save S3-push hook, src/trainer.py:10-23)")
+    p.add_argument("--save-train-state", action="store_true",
+                   help="also save the full TrainState (params+optimizer+"
+                        "step) with Orbax for exact resume")
+    p.add_argument("--resume-train-state", default=None,
+                   help="Orbax dir from --save-train-state to resume from")
 
 
 def _load_base(args):
@@ -88,6 +97,34 @@ def _mesh(args):
     return make_mesh(dp=dp, tp=args.tp)
 
 
+def _wrap_save(args, save_fn):
+    """Decorate a checkpoint save with the Orbax train-state dump and the
+    async upload hook."""
+    if save_fn is None and not args.save_train_state:
+        return save_fn
+
+    def wrapped(ts, step):
+        if save_fn is not None:
+            save_fn(ts, step)
+        if args.save_train_state:
+            from rwkv_lm_ext_tpu.checkpoint.orbax_io import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(args.output_dir, "train_state"), ts
+            )
+        if args.upload_cmd:
+            import subprocess
+            import threading
+
+            cmd = args.upload_cmd.format(dir=args.output_dir)
+            threading.Thread(
+                target=subprocess.run, args=(cmd,),
+                kwargs={"shell": True, "check": False}, daemon=True,
+            ).start()
+
+    return wrapped
+
+
 def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
               frozen=None, save_fn=None):
     from rwkv_lm_ext_tpu.train.callbacks import MetricsLogger
@@ -95,8 +132,13 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
     from rwkv_lm_ext_tpu.train.optim import make_schedule
 
     os.makedirs(args.output_dir, exist_ok=True)
+    save_fn = _wrap_save(args, save_fn)
     mesh = _mesh(args)
     ts = init_fn(init_params)
+    if getattr(args, "resume_train_state", None):
+        from rwkv_lm_ext_tpu.checkpoint.orbax_io import load_checkpoint
+
+        ts = load_checkpoint(args.resume_train_state, target=ts)
     if mesh is not None:
         ts = place_train_state(ts, mesh)
     schedule = make_schedule(tc)

@@ -149,3 +149,19 @@ def test_sft_full_with_lisa(base_ckpt, sft_jsonl, tmp_path):
         "--dp", "1",
     ])
     assert any(f.startswith("model-step") for f in os.listdir(out))
+
+
+def test_train_state_resume(base_ckpt, sft_jsonl, tmp_path):
+    """--save-train-state + --resume-train-state: exact optimizer resume."""
+    out = str(tmp_path / "out_resume")
+    common = [
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "lora",
+        "--micro-bsz", "2", "--warmup-steps", "1", "--dp", "1",
+        "--save-train-state", "--save-every-steps", "2",
+    ]
+    main(common + ["--max-steps", "2"])
+    assert os.path.isdir(os.path.join(out, "train_state"))
+    # resume and run further without error
+    main(common + ["--max-steps", "4", "--skip-steps", "2",
+                   "--resume-train-state", os.path.join(out, "train_state")])
