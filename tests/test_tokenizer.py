@@ -50,3 +50,25 @@ def test_raw_bytes(tok):
     data = bytes(range(256))
     ids = tok.encode_bytes(data)
     assert tok.decode_bytes(ids) == data
+
+
+def test_glm_tokenizer_reference_model():
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/tokenizer/tokenizer.model"
+    if not os.path.exists(path):
+        _pytest.skip("glm tokenizer.model not available")
+    _pytest.importorskip("tiktoken")
+    from rwkv_lm_ext_tpu.data.tokenizer_glm import (
+        GLM_MASK_ID,
+        GlmTokenizer,
+    )
+
+    t = GlmTokenizer(path)
+    for s in ["Hello 世界", "MLM masking test.", "你好，世界！"]:
+        assert t.decode(t.encode(s)) == s
+    # the [MASK] special must land on the reference's id (tests/test_mlm.py)
+    assert t._enc.encode("[MASK]", allowed_special={"[MASK]"}) == [GLM_MASK_ID]
+    assert t.mask_id == GLM_MASK_ID
