@@ -52,9 +52,17 @@ def tokenize_with_segments(
     return ids, segs
 
 
-def iter_corpus(path: str) -> Iterator[str]:
-    """Yield documents from .jsonl ({"text": ...} or raw strings) or
-    plain text (one doc per line)."""
+def iter_corpus(path: str, text_column: str = "text") -> Iterator[str]:
+    """Yield documents from .jsonl ({"text": ...} or raw strings), .parquet
+    (the reference's data/preprocess/read_parquet.py role; gated on
+    pyarrow), or plain text (one doc per line)."""
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path, columns=[text_column])
+        for v in table.column(text_column):
+            yield str(v)
+        return
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             line = line.strip()

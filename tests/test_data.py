@@ -185,3 +185,15 @@ def test_group_softmax_loss():
     bad = jnp.array([[-5.0, 10.0, -5.0]])
     assert float(group_softmax_loss(perfect)) < 1e-3
     assert float(group_softmax_loss(bad)) > 5.0
+
+
+def test_parquet_corpus(tmp_path):
+    pyarrow = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from rwkv_lm_ext_tpu.data.preprocess import iter_corpus
+
+    t = pyarrow.table({"text": ["doc one", "doc two"]})
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(t, path)
+    assert list(iter_corpus(path)) == ["doc one", "doc two"]
