@@ -106,3 +106,100 @@ def wkv6_sequence_parallel(
         out_specs=(P(None, axis), P()),
     )
     return fn(r, k, v, w, u)
+
+
+def _sp_wkv_local(r, k, v, w, u, axis):
+    """In-shard_map WKV over a T-shard: local scan + cross-shard state
+    prefix-combine (see module docstring). Returns y for this shard."""
+    idx = jax.lax.axis_index(axis)
+    y_local, s_local, q_scaled, d_total = _local_wkv_with_decay(
+        r, k, v, w, u, 32
+    )
+    states = jax.lax.all_gather(s_local, axis)
+    decays = jax.lax.all_gather(d_total, axis)
+
+    def combine(carry, inp):
+        s_i, d_i = inp
+        return d_i[..., None] * carry + s_i, carry
+
+    _, s_before = jax.lax.scan(combine, s_local * 0.0, (states, decays))
+    s_prefix = s_before[idx]
+    return y_local + jnp.einsum("bthn,bhnm->bthm", q_scaled, s_prefix)
+
+
+def rwkv_forward_sequence_parallel(
+    params,
+    cfg,
+    tokens: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "sp",
+    return_hidden: bool = False,
+):
+    """Full-model forward with the TIME axis sharded over `axis` — encode
+    contexts longer than one chip's memory. Per layer: local compute on the
+    T-shard; the WKV state crosses shards via the associative
+    prefix-combine; the token-shift boundary (one (B, C) vector per layer
+    stream) crosses via ppermute. Causal-only (no generation state out).
+
+    tokens: (B, T) with T divisible by the axis size. Returns logits
+    (or hidden) sharded like the inputs.
+    """
+    from rwkv_lm_ext_tpu.models.rwkv import (
+        as_weight,
+        channel_mix,
+        layer_norm,
+        tmix_v6_projections,
+        tmix_v6_output,
+    )
+
+    dt = cfg.compute_dtype
+    H, N = cfg.n_head, cfg.head_size
+
+    def shard_fn(params, tokens):
+        n = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        B, Tl = tokens.shape
+        x = jnp.take(params["emb"], tokens, axis=0).astype(dt)
+
+        def boundary_shift(x):
+            # previous shard's last token state for the token shift
+            last = x[:, -1]
+            prev = jax.lax.ppermute(
+                last, axis, [(i, (i + 1) % n) for i in range(n)]
+            )
+            return jnp.where(idx == 0, 0.0, 1.0) * prev
+
+        for i, bp in enumerate(params["blocks"]):
+            if i == 0 and "ln0" in bp:
+                x = layer_norm(x, bp["ln0"])
+            xa = layer_norm(x, bp["ln1"])
+            r, k, v, g, w = tmix_v6_projections(
+                bp["att"], cfg, xa, boundary_shift(xa)
+            )
+            y = _sp_wkv_local(
+                r.reshape(B, Tl, H, N),
+                k.reshape(B, Tl, H, N),
+                v.reshape(B, Tl, H, N),
+                w.reshape(B, Tl, H, N),
+                bp["att"]["time_faaaa"],
+                axis,
+            ).reshape(B, Tl, cfg.dim_att)
+            x = x + tmix_v6_output(bp["att"], cfg, y.astype(dt), g)
+            xf = layer_norm(x, bp["ln2"])
+            ffn_out, _ = channel_mix(
+                bp["ffn"], cfg, xf, boundary_shift(xf), v6=True
+            )
+            x = x + ffn_out
+        x = layer_norm(x, params["ln_out"])
+        if return_hidden:
+            return x
+        return x @ as_weight(params["head"], dt)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+    )
+    return fn(params, tokens)

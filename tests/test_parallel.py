@@ -182,3 +182,28 @@ def test_sequence_parallel_wkv():
     )
     np.testing.assert_allclose(np.asarray(y_sp), y_ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(s_sp), s_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sequence_parallel_full_model():
+    """Full-model forward with T sharded over 8 devices == single device."""
+    from jax.sharding import Mesh
+    import numpy as onp
+
+    from rwkv_lm_ext_tpu.parallel.sequence import (
+        rwkv_forward_sequence_parallel,
+    )
+
+    mesh = Mesh(onp.array(jax.devices()[:8]), ("sp",))
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(20 + i), b["att"]["output"].shape
+        )
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 128)
+    logits_ref, _ = rwkv_forward(params, CFG, tokens, wkv_backend="chunked")
+    logits_sp = rwkv_forward_sequence_parallel(
+        params, CFG, tokens, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_sp), logits_ref, rtol=3e-4, atol=3e-4
+    )
