@@ -232,6 +232,32 @@ def time_mix_v5(
     w = jnp.broadcast_to(
         p["time_decay"].astype(jnp.float32).reshape(1, 1, H, N), (B, T, H, N)
     )
+
+    from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
+
+    be = _resolve_backend(wkv_backend, T)
+    if be == "pallas":
+        # GN(y/d, 1e-5) == GN(y, d^2*1e-5) (GroupNorm is scale-invariant up
+        # to eps), so v5 rides the same fused kernel with cfg.ln_x_eps
+        from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv6_fused_output
+
+        g_eff = g if g is not None else jnp.ones_like(r)
+        gated, new_wkv = wkv6_fused_output(
+            r.reshape(B, T, H, N),
+            k.reshape(B, T, H, N),
+            v.reshape(B, T, H, N),
+            w,
+            p["time_faaaa"],
+            g_eff.reshape(B, T, H, N),
+            p["ln_x"]["scale"],
+            p["ln_x"]["bias"],
+            wkv_state,
+            eps=cfg.ln_x_eps,
+            chunk_size=max(chunk_size, _fused_chunk()),
+        )
+        out = gated @ as_weight(p["output"], dt)
+        return out, x[:, -1].astype(jnp.float32), new_wkv
+
     y, new_wkv = wkv(
         r.reshape(B, T, H, N),
         k.reshape(B, T, H, N),
@@ -239,7 +265,7 @@ def time_mix_v5(
         w,
         p["time_faaaa"],
         wkv_state,
-        backend=wkv_backend,
+        backend=be,
         chunk_size=chunk_size,
     )
     y = y.reshape(B, T, C).astype(dt) / cfg.head_size_divisor

@@ -97,3 +97,53 @@ def test_pallas_backward_matches_autodiff():
     for a, b in zip(gp, gr):
         scale_ref = max(float(jnp.abs(b).max()), 1.0)
         assert float(jnp.abs(a - b).max()) / scale_ref < 1e-5
+
+
+def test_v5_gn_scale_invariance_equivalence():
+    """GN(y/d, 1e-5) == GN(y, d^2 * 1e-5): the identity that lets RWKV-5
+    ride the fused kernel (models/rwkv.py time_mix_v5 pallas branch)."""
+    d = 8.0
+    y = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 64)) * 5
+
+    def gn(x, eps):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps)
+
+    np.testing.assert_allclose(
+        gn(y / d, 1e-5), gn(y, d * d * 1e-5), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_kernel_v5_constant_decay():
+    """Fused kernel with broadcast constant w == v5 unfused pipeline."""
+    from rwkv_lm_ext_tpu.ops import wkv_reference
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv6_fused_output
+
+    B, T, H, N = 2, 20, 2, 8
+    ks = jax.random.split(jax.random.PRNGKey(1), 7)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w5 = jax.random.uniform(ks[3], (H, N), minval=-6.0, maxval=-0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    s0 = 0.1 * jax.random.normal(ks[6], (B, H, N, N))
+    w_full = jnp.broadcast_to(w5[None, None], (B, T, H, N))
+    scale = jnp.ones(H * N)
+    bias = jnp.zeros(H * N)
+    eps = 64e-5
+
+    out_f, s_f = wkv6_fused_output(
+        r, k, v, w_full, u, g, scale, bias, s0,
+        eps=eps, chunk_size=8, interpret=True,
+    )
+    # unfused v5 pipeline: wkv -> /8 -> GN(1e-5) -> *g
+    y, s_u = wkv_reference(r, k, v, w_full, u, s0)
+    y = y / 8.0
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    z = ((y - mu) * jax.lax.rsqrt(var + 1e-5)).reshape(B, T, H * N)
+    out_u = z * g.reshape(B, T, H * N)
+    np.testing.assert_allclose(out_f, out_u, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
