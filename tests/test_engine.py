@@ -121,3 +121,17 @@ def test_generate_batch(engine):
     solo = engine.generate([5, 6, 7], max_tokens=6, sampling=sp)
     both = engine.generate_batch([[5, 6, 7], [5, 6, 7]], max_tokens=6, sampling=sp)
     assert both[0] == solo == both[1]
+
+
+def test_top_p_bisect_matches_sort():
+    from rwkv_lm_ext_tpu.infer.sampling import apply_top_p, apply_top_p_bisect
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 1000)) * 3
+    for p in (0.5, 0.85, 0.99):
+        a = apply_top_p(logits, p)
+        b = apply_top_p_bisect(logits, p)
+        # identical keep-sets except tokens vanishingly close to the cutoff
+        mismatch = jnp.mean(
+            (jnp.isneginf(a) != jnp.isneginf(b)).astype(jnp.float32)
+        )
+        assert float(mismatch) < 2e-3, (p, float(mismatch))
