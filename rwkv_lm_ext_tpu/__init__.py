@@ -21,4 +21,27 @@ TPU-first:
 
 __version__ = "0.1.0"
 
-from rwkv_lm_ext_tpu.config import ModelConfig  # noqa: F401
+from rwkv_lm_ext_tpu.config import (  # noqa: F401
+    ModelConfig,
+    TrainConfig,
+    rwkv6_1b6,
+    rwkv6_3b,
+    rwkv6_7b,
+)
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import rwkv_lm_ext_tpu` light)."""
+    lazy = {
+        "load_rwkv_checkpoint": "rwkv_lm_ext_tpu.checkpoint",
+        "WorldTokenizer": "rwkv_lm_ext_tpu.data",
+        "GenerationEngine": "rwkv_lm_ext_tpu.infer",
+        "SamplingParams": "rwkv_lm_ext_tpu.infer",
+        "rwkv_forward": "rwkv_lm_ext_tpu.models",
+        "init_rwkv_params": "rwkv_lm_ext_tpu.models",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(name)

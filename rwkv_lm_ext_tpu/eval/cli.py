@@ -128,6 +128,46 @@ def cmd_rerank(args):
     print(json.dumps(rerank_metrics(scores, labels), indent=2))
 
 
+def cmd_ppl(args):
+    """Token perplexity over a corpus (jsonl {"text"} or plain lines)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+
+    be, params, cfg, tok = _load_model(args)
+    total_nll, total_tokens = 0.0, 0
+
+    @jax.jit
+    def nll(params, tokens, n_valid):
+        logits, _ = rwkv_forward(params, cfg, tokens[None, :-1])
+        logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+        gold = jnp.take_along_axis(logp, tokens[1:, None], axis=-1)[:, 0]
+        mask = jnp.arange(gold.shape[0]) < n_valid
+        return -jnp.sum(jnp.where(mask, gold, 0.0))
+
+    L = args.ctx_len
+    for row in _rows(args.data):
+        text = row["text"] if isinstance(row, dict) else row[0]
+        ids = tok.encode(text)
+        for s in range(0, max(len(ids) - 1, 1), L):
+            piece = ids[s : s + L + 1]
+            if len(piece) < 2:
+                continue
+            n_valid = len(piece) - 1
+            piece = piece + [0] * (L + 1 - len(piece))
+            total_nll += float(
+                nll(params, jnp.asarray(piece, jnp.int32), n_valid)
+            )
+            total_tokens += n_valid
+    import math
+
+    ppl = math.exp(total_nll / max(total_tokens, 1))
+    print(json.dumps({"tokens": total_tokens, "nll_per_token":
+                      total_nll / max(total_tokens, 1), "perplexity": ppl}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rwkv_lm_ext_tpu.eval")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -154,6 +194,10 @@ def main(argv=None):
     s.add_argument("--data", required=True)
     s.add_argument("--score-head", default=None)
     s.set_defaults(fn=cmd_rerank)
+    s = sub.add_parser("ppl"); common(s)
+    s.add_argument("--data", required=True)
+    s.add_argument("--ctx-len", type=int, default=512)
+    s.set_defaults(fn=cmd_ppl)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -208,3 +208,33 @@ def test_eval_cli_sts(tmp_path):
         eval_main(["sts", "--model", ckpt, "--data", data])
     out = json.loads(buf.getvalue())
     assert "cosine_spearman" in out and -1 <= out["cosine_spearman"] <= 1
+
+
+def test_eval_cli_ppl(tmp_path):
+    import jax
+
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.eval.cli import main as eval_main
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "m.pth")
+    save_torch_pth(ckpt, params_to_state_dict(params, cfg))
+    data = str(tmp_path / "corpus.jsonl")
+    with open(data, "w") as f:
+        f.write(json.dumps({"text": "a small perplexity test document"}) + "\n")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_main(["ppl", "--model", ckpt, "--data", data, "--ctx-len", "16"])
+    out = json.loads(buf.getvalue())
+    assert out["tokens"] > 0 and out["perplexity"] > 1
+    # a fresh random-ish model must be near chance (ln V ~ 11.1 nats)
+    assert 3 < out["nll_per_token"] < 13
