@@ -127,9 +127,38 @@ def tmix_v6_output(
 
 
 def _fused_chunk() -> int:
-    """Chunk length of the fused Pallas kernel (env-tunable for perf
-    sweeps; accuracy is chunk-invariant to MXU rounding)."""
-    return int(os.environ.get("RWKV_FUSED_CHUNK", "256"))
+    """Chunk length of the fused Pallas kernel. The chunk factoring is
+    exact (fp32-level) while (L/2)*exp(max w) < 80; L=128 is safe for
+    decays up to w ~ 1.5 (real checkpoints stay well below), L=256 is ~3%
+    faster but silently degrades beyond w ~ 1.1 — pick per checkpoint with
+    suggest_fused_chunk(params) and set RWKV_FUSED_CHUNK."""
+    return int(os.environ.get("RWKV_FUSED_CHUNK", "128"))
+
+
+def suggest_fused_chunk(params) -> int:
+    """Largest safe fused-kernel chunk for this checkpoint: bounds the
+    data-dependent decay by max(time_decay) + max column L1 of
+    time_decay_w2 (|tanh| <= 1), then solves (L/2)*exp(w_max) < 80."""
+    import numpy as np
+
+    w_max = -1e30
+    for b in params["blocks"]:
+        att = b["att"]
+        if "time_decay" not in att:
+            continue
+        td = np.asarray(att["time_decay"], np.float32)
+        bound = float(td.max())
+        if "time_decay_w2" in att:
+            w2 = np.abs(np.asarray(att["time_decay_w2"], np.float32))
+            bound += float(w2.sum(axis=0).max())
+        w_max = max(w_max, bound)
+    if w_max <= 0:
+        return 256
+    safe = int(2 * 80.0 / np.exp(min(w_max, 10.0)))
+    for L in (256, 128, 64, 32):
+        if L <= safe:
+            return L
+    return 32
 
 
 def time_mix_v6(

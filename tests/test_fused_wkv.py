@@ -147,3 +147,22 @@ def test_fused_kernel_v5_constant_decay():
     out_u = z * g.reshape(B, T, H * N)
     np.testing.assert_allclose(out_f, out_u, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
+
+
+def test_suggest_fused_chunk():
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import suggest_fused_chunk
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=100, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    # init decays are <= -1 -> large chunks are safe
+    assert suggest_fused_chunk(params) == 256
+    # aggressive decay forces small chunks
+    params["blocks"][0]["att"]["time_decay"] = (
+        params["blocks"][0]["att"]["time_decay"] * 0 + 2.0
+    )
+    assert suggest_fused_chunk(params) <= 32
