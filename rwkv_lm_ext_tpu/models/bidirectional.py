@@ -319,3 +319,136 @@ def init_one_layer_decoder(key: jax.Array, cfg) -> Dict:
         "ffn": _ffn_params(k2, cfg, 0, dtype),
         "head": _orthogonal(k3, cfg.n_embd, cfg.vocab_size, 0.5, dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Streaming bidirectional runtime (the reference's third bi variant):
+# src/model_run.py:649-689 bi_att_forward + the 5-slot state layout of
+# :727-758. Per chunk: k/v/w are reversed WITHIN the chunk (last token kept
+# in place on the final chunk), r and the gate are shared between passes,
+# each pass is GroupNorm+gated separately, outputs SUMMED; forward and
+# "reverse" WKV states both stream across chunks. The reverse context is
+# chunk-local by construction — that is the reference's approximation for
+# O(chunk) bidirectional encoding of long documents.
+# ---------------------------------------------------------------------------
+
+
+def init_bi_streaming_state(cfg, batch_size: int):
+    """5-slot per-layer state (att_shift, wkv, wkv_rev, ffn_shift)."""
+    L, B, C = cfg.n_layer, batch_size, cfg.n_embd
+    H, N = cfg.n_head, cfg.head_size
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    return {
+        "att_shift": z(L, B, C),
+        "wkv": z(L, B, H, N, N),
+        "wkv_rev": z(L, B, H, N, N),
+        "ffn_shift": z(L, B, C),
+    }
+
+
+def _chunk_reverse(x: jax.Array, is_last_chunk: bool) -> jax.Array:
+    """Flip the time axis; on the last chunk the final token (the emb slot)
+    stays in place (src/model_run.py:667-674)."""
+    if not is_last_chunk:
+        return jnp.flip(x, axis=1)
+    body = jnp.flip(x[:, :-1], axis=1)
+    return jnp.concatenate([body, x[:, -1:]], axis=1)
+
+
+def bi_streaming_time_mix(
+    p, cfg, x, att_shift, wkv_state, wkv_state_rev, *,
+    is_last_chunk: bool, wkv_backend: str = "auto", chunk_size: int = 32,
+):
+    from rwkv_lm_ext_tpu.ops import wkv
+
+    B, T, C = x.shape
+    H, N = cfg.n_head, cfg.head_size
+    r, k, v, g, w = tmix_v6_projections(p, cfg, x, att_shift)
+    r4 = r.reshape(B, T, H, N)
+
+    def run(kk, vv, ww, s0):
+        y, s = wkv(
+            r4, kk.reshape(B, T, H, N), vv.reshape(B, T, H, N),
+            ww.reshape(B, T, H, N), p["time_faaaa"], s0,
+            backend=wkv_backend, chunk_size=chunk_size,
+        )
+        return y.reshape(B, T, C), s
+
+    y_fwd, s_new = run(k, v, w, wkv_state)
+    k_r = _chunk_reverse(k, is_last_chunk)
+    v_r = _chunk_reverse(v, is_last_chunk)
+    w_r = _chunk_reverse(w, is_last_chunk)
+    y_rev, s_rev_new = run(k_r, v_r, w_r, wkv_state_rev)
+
+    out = tmix_v6_output(p, cfg, y_fwd.astype(x.dtype), g)
+    out_rev = tmix_v6_output(p, cfg, y_rev.astype(x.dtype), g)
+    out = out + _chunk_reverse(out_rev, is_last_chunk)
+    return out, x[:, -1].astype(jnp.float32), s_new, s_rev_new
+
+
+def bi_streaming_forward(
+    params, cfg, tokens, state=None, *, is_last_chunk: bool = True,
+    wkv_backend: str = "auto", chunk_size: int = 32,
+):
+    """One chunk of the streaming bidirectional encoder; thread `state`
+    across chunks and set is_last_chunk on the final one. Returns
+    (hidden (B,T,C), new_state)."""
+    B, T = tokens.shape
+    dt = cfg.compute_dtype
+    if state is None:
+        state = init_bi_streaming_state(cfg, B)
+    x = jnp.take(params["emb"], tokens, axis=0).astype(dt)
+    att_s, wkv_s, wkv_r, ffn_s = [], [], [], []
+    for i, bp in enumerate(params["blocks"]):
+        if i == 0 and "ln0" in bp:
+            x = layer_norm(x, bp["ln0"])
+        att_out, a_s, s_new, s_rev = bi_streaming_time_mix(
+            bp["att"], cfg, layer_norm(x, bp["ln1"]),
+            state["att_shift"][i], state["wkv"][i], state["wkv_rev"][i],
+            is_last_chunk=is_last_chunk,
+            wkv_backend=wkv_backend, chunk_size=chunk_size,
+        )
+        x = x + att_out
+        ffn_out, f_s = channel_mix(
+            bp["ffn"], cfg, layer_norm(x, bp["ln2"]),
+            state["ffn_shift"][i], v6=cfg.version >= 6,
+        )
+        x = x + ffn_out
+        att_s.append(a_s); wkv_s.append(s_new)
+        wkv_r.append(s_rev); ffn_s.append(f_s)
+    new_state = {
+        "att_shift": jnp.stack(att_s),
+        "wkv": jnp.stack(wkv_s),
+        "wkv_rev": jnp.stack(wkv_r),
+        "ffn_shift": jnp.stack(ffn_s),
+    }
+    return layer_norm(x, params["ln_out"]), new_state
+
+
+def embed_mae_streaming(
+    params, cfg, tokens, *, chunk_ctx: int, emb_id: int = EMB_ID,
+    wkv_backend: str = "auto",
+):
+    """Chunked bidirectional embedding of long inputs with O(chunk)
+    memory (the RwkvMAEForSequenceEmbedding streaming path,
+    src/model_run.py:727-758): runs bi_streaming_forward chunk by chunk
+    and returns the hidden state at the emb_id position."""
+    B, T = tokens.shape
+    pad = (-T) % chunk_ctx
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad)))
+    state = None
+    pieces = []
+    total = T + pad
+    for s in range(0, total, chunk_ctx):
+        last = s + chunk_ctx >= total
+        h, state = bi_streaming_forward(
+            params, cfg, tokens[:, s : s + chunk_ctx], state,
+            is_last_chunk=last, wkv_backend=wkv_backend,
+        )
+        pieces.append(h)
+    hidden = jnp.concatenate(pieces, axis=1)[:, :T]
+    pos = jnp.argmax((tokens[:, :T] == emb_id).astype(jnp.int32), axis=-1)
+    return jnp.take_along_axis(
+        hidden, pos[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]

@@ -107,3 +107,34 @@ def test_mae_uni_adds_bottleneck(params):
     )
     plain = hidden @ jnp.asarray(params["emb"]).T
     assert not np.allclose(out_uni["encoder_logits"], plain)
+
+
+def test_bi_streaming_forward(params):
+    """Streaming bi runtime: 5-slot state threads across chunks; the
+    embedding comes out finite and chunk-local reverse context changes it
+    vs the causal hidden."""
+    from rwkv_lm_ext_tpu.models.bidirectional import (
+        bi_streaming_forward,
+        embed_mae_streaming,
+        init_bi_streaming_state,
+    )
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+
+    t = _tokens()
+    h, state = bi_streaming_forward(params, CFG, t, is_last_chunk=True)
+    assert h.shape == (2, 12, 64)
+    assert np.isfinite(np.asarray(h)).all()
+    for k, v in state.items():
+        assert np.isfinite(np.asarray(v)).all()
+    # streaming chunks thread state (different from restarting each chunk)
+    s0 = init_bi_streaming_state(CFG, 2)
+    h1, s1 = bi_streaming_forward(params, CFG, t[:, :6], s0, is_last_chunk=False)
+    h2, _ = bi_streaming_forward(params, CFG, t[:, 6:], s1, is_last_chunk=True)
+    h2_fresh, _ = bi_streaming_forward(params, CFG, t[:, 6:], is_last_chunk=True)
+    assert not np.allclose(np.asarray(h2), np.asarray(h2_fresh))
+    # reverse pass contributes: differs from the causal hidden
+    causal, _ = rwkv_forward(params, CFG, t, return_hidden=True, return_logits=False)
+    assert not np.allclose(np.asarray(h), np.asarray(causal), atol=1e-3)
+    # long-doc streaming embedding
+    emb = embed_mae_streaming(params, CFG, t, chunk_ctx=4)
+    assert emb.shape == (2, 64) and np.isfinite(np.asarray(emb)).all()
