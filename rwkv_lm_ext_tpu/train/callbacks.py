@@ -163,3 +163,58 @@ class LisaSchedule:
             return self.train_head  # emb / ln_out / head
 
         return jax.tree_util.tree_map_with_path(label, params)
+
+
+def kv_match_metrics(
+    tokenizer, targets: np.ndarray, pred_ids: np.ndarray, *, eos_id: int = 1
+) -> Dict[str, float]:
+    """Key/value-match monitoring for JSON-output SFT tasks
+    (peft_train_sft.py:258-314 custom training_step). NOTE: in the
+    reference this quantity is *added to the loss*, but it is built from
+    argmax comparisons and python ints — it carries no gradient; its only
+    effect is monitoring. Reproduced here as an explicit metric:
+    per sample, parse the gold JSON target and count how many keys/values
+    appear as subsequences of the greedy prediction.
+
+    targets: (B, T) with -100 on unsupervised positions; pred_ids: (B, T)
+    greedy token ids. Returns the reference's key/value "loss" values.
+    """
+    import json as _json
+
+    def is_subseq(seq, sub):
+        n, m = len(seq), len(sub)
+        if m == 0 or m > n:
+            return False
+        for s in range(n - m + 1):
+            if list(seq[s : s + m]) == list(sub):
+                return True
+        return False
+
+    key_loss, value_loss = 0.0, 0.0
+    for i in range(targets.shape[0]):
+        t = targets[i]
+        valid = np.nonzero(t != -100)[0]
+        if len(valid) == 0:
+            continue
+        first = int(valid[0])
+        eos_pos = np.nonzero(t == eos_id)[0]
+        last = int(eos_pos[0]) if len(eos_pos) else len(t)
+        gold_ids = [int(x) for x in t[first:last]]
+        try:
+            decoded = _json.loads(tokenizer.decode(gold_ids))
+        except (ValueError, KeyError):
+            continue
+        gen = [int(x) for x in pred_ids[i][first:last]]
+        n_keys = len(decoded)
+        n_vals, m_keys, m_vals = 0, 0, 0
+        for key, values in decoded.items():
+            if is_subseq(gen, tokenizer.encode(key)):
+                m_keys += 1
+            vals = values if isinstance(values, list) else [values]
+            for v in vals:
+                n_vals += 1
+                if is_subseq(gen, tokenizer.encode(str(v))):
+                    m_vals += 1
+        key_loss += (n_keys - m_keys) * 3 / n_keys if n_keys else 0.0
+        value_loss += (n_vals - m_vals) * 5 / n_vals if n_vals else 0.0
+    return {"key_match_loss": key_loss, "value_match_loss": value_loss}

@@ -92,3 +92,30 @@ def test_first_token_position():
     t = jnp.array([[5, 1, 7], [9, 9, 9]])
     pos = first_token_position(t, 1)
     assert list(np.asarray(pos)) == [1, 0]  # absent -> argmax of zeros = 0
+
+
+def test_kv_match_metrics():
+    from rwkv_lm_ext_tpu.train.callbacks import kv_match_metrics
+
+    class Tok:
+        def encode(self, s):
+            return [ord(c) for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+    gold = '{"a": ["x"], "b": ["y"]}'
+    gold_ids = [ord(c) for c in gold] + [1]
+    targets = np.full((1, 40), -100, np.int64)
+    targets[0, 2 : 2 + len(gold_ids)] = gold_ids
+    # perfect prediction -> zero "loss"
+    pred = np.zeros((1, 40), np.int64)
+    pred[0, 2 : 2 + len(gold_ids)] = gold_ids
+    m = kv_match_metrics(Tok(), targets, pred)
+    assert m == {"key_match_loss": 0.0, "value_match_loss": 0.0}
+    # prediction missing value "y" -> value loss 5 * 1/2
+    bad = pred.copy()
+    bad[0, 2 + gold.index('"y"') + 1] = ord("z")
+    m = kv_match_metrics(Tok(), targets, bad)
+    assert m["key_match_loss"] == 0.0
+    assert abs(m["value_match_loss"] - 2.5) < 1e-9
