@@ -456,6 +456,16 @@ def rwkv_forward(
     dropout_rng: enables dropout (training only) when cfg.dropout > 0.
     Returns (logits (B,T,V) [or hidden (B,T,C) if return_hidden], new_state).
     """
+    if "blocks_stacked" in params:
+        # stacked (scan-over-layers) parameter trees dispatch transparently
+        from rwkv_lm_ext_tpu.models.stacked import rwkv_forward_stacked
+
+        return rwkv_forward_stacked(
+            params, cfg, tokens, state,
+            wkv_backend=wkv_backend, chunk_size=chunk_size, remat=remat,
+            use_state_params=use_state_params,
+            return_hidden=return_hidden, return_logits=return_logits,
+        )
     B, T = tokens.shape
     if state is None:
         state = init_model_state(cfg, B)

@@ -72,3 +72,39 @@ def test_stacked_grads():
     g = jax.grad(loss)(sp)
     gn = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g)))
     assert jnp.isfinite(gn) and gn > 0
+
+
+def test_engine_and_heads_accept_stacked():
+    """rwkv_forward transparently dispatches stacked trees — the engine and
+    embedding heads work without changes."""
+    from rwkv_lm_ext_tpu.infer import GenerationEngine, SamplingParams
+    from rwkv_lm_ext_tpu.models.heads import embed_sequences
+
+    params = _params()
+    sp = stack_params(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (2, 10), 4, 100)
+    e_list = embed_sequences(params, CFG, tokens)
+    e_stack = embed_sequences(sp, CFG, tokens)
+    np.testing.assert_allclose(e_stack, e_list, rtol=2e-4, atol=2e-4)
+
+    class Tok:
+        def encode(self, s):
+            return [ord(c) % 90 + 5 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+        def streaming_decoder(self):
+            class _D:
+                def push(self, t): return ""
+                def flush(self): return ""
+            return _D()
+
+    spp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())
+    g_list = GenerationEngine(params, CFG, Tok(), chunk_len=8).generate(
+        [5, 6, 7], max_tokens=5, sampling=spp
+    )
+    g_stack = GenerationEngine(sp, CFG, Tok(), chunk_len=8).generate(
+        [5, 6, 7], max_tokens=5, sampling=spp
+    )
+    assert g_list == g_stack
