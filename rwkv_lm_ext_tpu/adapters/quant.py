@@ -13,9 +13,34 @@ from __future__ import annotations
 
 from typing import Dict
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """A quantized weight leaf: arrays are pytree children, the format
+    metadata is static aux data — so quantized trees pass through jit,
+    grad and shardings like any other params."""
+
+    qformat: str
+    q: jax.Array
+    scale: jax.Array
+    shape: tuple = ()
+    block: int = 0
+    pad: int = 0
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.qformat, self.shape, self.block, self.pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        return cls(aux[0], q, scale, aux[1], aux[2], aux[3])
 
 # QLoRA NF4 codebook: quantiles of N(0,1), normalized to [-1, 1]
 NF4_CODE = jnp.asarray(
@@ -36,11 +61,11 @@ def quantize_int8(w: jax.Array) -> Dict:
     scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"qformat": "int8", "q": q, "scale": scale}
+    return QuantizedTensor("int8", q, scale)
 
 
-def dequantize_int8(d: Dict, dtype=jnp.float32) -> jax.Array:
-    return (d["q"].astype(jnp.float32) * d["scale"]).astype(dtype)
+def dequantize_int8(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    return (d.q.astype(jnp.float32) * d.scale).astype(dtype)
 
 
 def quantize_nf4(w: jax.Array, block: int = 64) -> Dict:
@@ -60,38 +85,33 @@ def quantize_nf4(w: jax.Array, block: int = 64) -> Dict:
     lo = idx[:, 0::2]
     hi = idx[:, 1::2]
     packed = (lo | (hi << 4)).astype(jnp.uint8)
-    return {
-        "qformat": "nf4",
-        "q": packed,
-        "scale": absmax[:, 0],
-        "shape": tuple(shape),
-        "block": block,
-        "pad": int(pad),
-    }
+    return QuantizedTensor(
+        "nf4", packed, absmax[:, 0], tuple(shape), block, int(pad)
+    )
 
 
-def dequantize_nf4(d: Dict, dtype=jnp.float32) -> jax.Array:
-    packed = d["q"]
+def dequantize_nf4(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    packed = d.q
     lo = (packed & 0xF).astype(jnp.int32)
     hi = (packed >> 4).astype(jnp.int32)
     idx = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
-    vals = NF4_CODE[idx] * d["scale"][:, None]
+    vals = NF4_CODE[idx] * d.scale[:, None]
     flat = vals.reshape(-1)
-    if d["pad"]:
-        flat = flat[: -d["pad"]]
-    return flat.reshape(d["shape"]).astype(dtype)
+    if d.pad:
+        flat = flat[: -d.pad]
+    return flat.reshape(d.shape).astype(dtype)
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and "qformat" in leaf
+    return isinstance(leaf, QuantizedTensor)
 
 
 def dequantize(leaf, dtype=jnp.float32) -> jax.Array:
-    if leaf["qformat"] == "int8":
+    if leaf.qformat == "int8":
         return dequantize_int8(leaf, dtype)
-    if leaf["qformat"] == "nf4":
+    if leaf.qformat == "nf4":
         return dequantize_nf4(leaf, dtype)
-    raise ValueError(leaf["qformat"])
+    raise ValueError(leaf.qformat)
 
 
 _ATT_TARGETS = ("receptance", "key", "value", "gate", "output")

@@ -26,9 +26,10 @@ from rwkv_lm_ext_tpu.models.state import init_model_state
 
 
 def as_weight(leaf, dt):
-    """Weight accessor: dequantizes {"qformat",...} leaves (adapters.quant)
-    so quantized trees run through the same forward."""
-    if isinstance(leaf, dict) and "qformat" in leaf:
+    """Weight accessor: dequantizes QuantizedTensor leaves (adapters.quant)
+    so quantized trees run through the same forward (and through jit —
+    the quant format is static pytree aux data)."""
+    if not isinstance(leaf, jax.Array) and hasattr(leaf, "qformat"):
         from rwkv_lm_ext_tpu.adapters.quant import dequantize
 
         return dequantize(leaf, dt)

@@ -32,7 +32,7 @@ def test_int8_roundtrip_accuracy():
     back = dequantize_int8(d)
     err = jnp.abs(back - w).max() / jnp.abs(w).max()
     assert err < 0.01
-    assert d["q"].dtype == jnp.int8
+    assert d.q.dtype == jnp.int8
 
 
 def test_nf4_roundtrip_accuracy():
@@ -42,8 +42,8 @@ def test_nf4_roundtrip_accuracy():
     assert back.shape == w.shape
     err = float(jnp.abs(back - w).mean() / jnp.abs(w).mean())
     assert err < 0.12  # 4-bit: ~8% mean relative error expected
-    assert d["q"].dtype == jnp.uint8
-    assert d["q"].size == w.size // 2  # packed nibbles
+    assert d.q.dtype == jnp.uint8
+    assert d.q.size == w.size // 2  # packed nibbles
 
 
 def test_quantized_model_forward_close():
