@@ -165,3 +165,16 @@ def test_train_state_resume(base_ckpt, sft_jsonl, tmp_path):
     # resume and run further without error
     main(common + ["--max-steps", "4", "--skip-steps", "2",
                    "--resume-train-state", os.path.join(out, "train_state")])
+
+
+def test_sft_full_stacked(base_ckpt, sft_jsonl, tmp_path):
+    out = str(tmp_path / "out_stacked")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "full", "--stack-layers",
+        "--max-steps", "2", "--micro-bsz", "2", "--warmup-steps", "1",
+        "--dp", "1", "--save-every-steps", "2",
+    ])
+    f = [x for x in os.listdir(out) if x.startswith("model-step")][-1]
+    sd = load_torch_pth(os.path.join(out, f))
+    assert "blocks.1.att.key.weight" in sd  # unstacked on save
