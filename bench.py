@@ -39,6 +39,11 @@ def main():
         cfg = rwkv6_1b6(param_dtype="bfloat16")
 
     params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+    if "RWKV_FUSED_CHUNK" not in os.environ:
+        # pick the largest chunk the checkpoint's decay bound proves exact
+        from rwkv_lm_ext_tpu.models.rwkv import suggest_fused_chunk
+
+        os.environ["RWKV_FUSED_CHUNK"] = str(suggest_fused_chunk(params))
     params = jax.device_put(params)
 
     tokens0 = jax.random.randint(
