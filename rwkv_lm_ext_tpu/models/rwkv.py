@@ -127,12 +127,24 @@ def tmix_v6_output(
     return (y * g) @ as_weight(p["output"], dt)
 
 
+_FUSED_CHUNK_OVERRIDE = None
+
+
+def set_fused_chunk(n) -> None:
+    """Set the fused-kernel chunk globally (serving engines call this with
+    suggest_fused_chunk(params) at construction). None resets to env/128."""
+    global _FUSED_CHUNK_OVERRIDE
+    _FUSED_CHUNK_OVERRIDE = n
+
+
 def _fused_chunk() -> int:
     """Chunk length of the fused Pallas kernel. The chunk factoring is
     exact (fp32-level) while (L/2)*exp(max w) < 80; L=128 is safe for
     decays up to w ~ 1.5 (real checkpoints stay well below), L=256 is ~3%
     faster but silently degrades beyond w ~ 1.1 — pick per checkpoint with
-    suggest_fused_chunk(params) and set RWKV_FUSED_CHUNK."""
+    suggest_fused_chunk(params)/set_fused_chunk or RWKV_FUSED_CHUNK."""
+    if _FUSED_CHUNK_OVERRIDE is not None:
+        return int(_FUSED_CHUNK_OVERRIDE)
     return int(os.environ.get("RWKV_FUSED_CHUNK", "128"))
 
 
