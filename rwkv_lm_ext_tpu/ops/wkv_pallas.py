@@ -361,7 +361,8 @@ def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
     P = 128 // N if N <= 128 and 128 % N == 0 else 1
     if H % P != 0:
         P = 1
-    if interpret or P * N != 128:
+    if P * N != 128:
+        # geometry the packed kernel can't tile -> jnp composition
         return _fused_ref(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size)
     H2 = H // P
     W = P * N

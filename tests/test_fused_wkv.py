@@ -166,3 +166,29 @@ def test_suggest_fused_chunk():
         params["blocks"][0]["att"]["time_decay"] * 0 + 2.0
     )
     assert suggest_fused_chunk(params) <= 32
+
+
+def test_fused_kernel_p8_geometry_interpret():
+    """head_size 16 -> 8 heads packed per program: the lane-slicing paths
+    of the packed kernel at a different geometry (interpret mode runs the
+    real kernel since the jnp short-circuit was removed)."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, wkv6_fused_output
+
+    B, T, H, N = 2, 24, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(4), 9)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    scale = 1.0 + 0.1 * jax.random.normal(ks[6], (H * N,))
+    bias = 0.1 * jax.random.normal(ks[7], (H * N,))
+    s0 = 0.1 * jax.random.normal(ks[8], (B, H, N, N))
+    out_k, s_k = wkv6_fused_output(
+        r, k, v, w, u, g, scale, bias, s0, eps=64e-5, chunk_size=8,
+        interpret=True,
+    )
+    out_r, s_r = _fused_ref(r, k, v, w, u, s0, g, scale, bias, 64e-5, 8)
+    np.testing.assert_allclose(out_k, out_r, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(s_k, s_r, rtol=2e-4, atol=2e-4)
