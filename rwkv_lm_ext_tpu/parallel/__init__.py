@@ -12,5 +12,4 @@ from rwkv_lm_ext_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     batch_shardings,
     state_shardings,
-    zero_shardings,
 )

@@ -3,7 +3,7 @@
 Parallelism model:
 - ``dp`` axis: data parallel — batch dim of tokens/state sharded; gradient
   all-reduce inserted by XLA (the DeepSpeed-ZeRO-2 replacement; optimizer
-  state is additionally sharded over dp, see zero_shardings).
+  state is additionally sharded over dp by train.loop.place_train_state).
 - ``tp`` axis: head-parallel tensor parallel — RWKV's WKV recurrence and
   its ln_x GroupNorm are independent per head, so sharding dim_att across
   ``tp`` splits every attention matmul column/row-wise with a single
@@ -101,31 +101,6 @@ def state_shardings(mesh: Mesh, state):
         return NamedSharding(mesh, P(None, "dp"))  # (L, B, C)
 
     return jax.tree_util.tree_map_with_path(assign, state)
-
-
-def zero_shardings(params, mesh: Mesh):
-    """ZeRO-style sharding for optimizer state: like params, but leaves
-    that are replicated under param_shardings get their largest
-    dp-divisible axis sharded over dp (optimizer memory / dp devices)."""
-    dp = mesh.shape["dp"]
-    base = param_shardings(params, mesh)
-
-    def assign(leaf, sh):
-        spec = sh.spec
-        if any(s is not None for s in spec) or leaf.ndim == 0:
-            return sh
-        # find the largest axis divisible by dp
-        axes = sorted(
-            range(leaf.ndim), key=lambda a: -leaf.shape[a]
-        )
-        for a in axes:
-            if leaf.shape[a] % dp == 0 and leaf.shape[a] >= dp:
-                parts = [None] * leaf.ndim
-                parts[a] = "dp"
-                return NamedSharding(mesh, P(*parts))
-        return sh
-
-    return jax.tree_util.tree_map(assign, params, base)
 
 
 def replicated(mesh: Mesh):
