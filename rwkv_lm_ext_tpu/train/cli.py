@@ -425,6 +425,128 @@ def cmd_bi_encoder(args):
     )
 
 
+def cmd_encoder_biencoder(args):
+    """From-scratch bidirectional bi-encoder training
+    (train_scripts/train_biencoder.py RwkvEncoderBiEncoder): full-parameter
+    training of the bi encoder with symmetric InfoNCE."""
+    from rwkv_lm_ext_tpu.data.collators import triplet_collate
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.bidirectional import encode_sentence
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import symmetric_infonce
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    batches = _contrastive_batches(args, tokenizer, triplet_collate)
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+
+    def loss_fn(p, cfg_, batch):
+        embs = {
+            k: encode_sentence(p, cfg_, batch[k], mode=args.bi_mode, remat=True)
+            for k in ("query", "positive", "negative")
+            if k in batch
+        }
+        return symmetric_infonce(
+            embs["query"], embs["positive"], embs.get("negative"),
+            temperature=args.temperature,
+        )
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        save_torch_pth(
+            os.path.join(args.output_dir, f"encoder-bi-step{step}.pth"),
+            params_to_state_dict(ts.params, cfg),
+        )
+
+    _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
+
+
+def cmd_encoder_crossencoder(args):
+    """From-scratch encoder reranker (train_scripts/train_crossencoder.py
+    RwkvEncoderForClassification): group softmax — each query gets one
+    positive + G-1 negatives, CE target is column 0."""
+    import numpy as _np
+
+    from rwkv_lm_ext_tpu.data.buckets import (
+        BucketBatchSampler,
+        LengthBucketedDataset,
+    )
+    from rwkv_lm_ext_tpu.data.collators import _pad_to
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.models.bidirectional import encode_sentence
+    from rwkv_lm_ext_tpu.models.heads import init_classification_head
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import group_softmax_loss
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    G = args.group_size
+
+    ds = LengthBucketedDataset()
+    with open(args.train_data, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            q = tokenizer.encode(row["query"])
+            docs = [tokenizer.encode(d) for d in row["documents"]][:G]
+            if len(docs) < G:
+                continue
+            pairs = [q + [2] + d + [1] for d in docs]  # q [sep] d [cls]
+            ds.add({"pairs": pairs}, min(max(map(len, pairs)), args.ctx_len))
+    sizes = {
+        b.fixed_len: max(1, args.micro_bsz * 64 // b.fixed_len)
+        for b in ds.buckets
+    }
+
+    def collate(examples, fixed_len):
+        rows = [
+            _pad_to(p[:fixed_len], fixed_len, 0)
+            for e in examples
+            for p in e["pairs"]
+        ]
+        return {"input_ids": _np.stack(rows)}  # (B*G, T)
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            yield collate(examples, fixed_len)
+
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+    score = init_classification_head(jax.random.PRNGKey(args.seed + 1), cfg, 1)
+    trainable = {"model": params, "score": score}
+
+    def loss_fn(tp, cfg_, batch):
+        emb = encode_sentence(
+            tp["model"], cfg_, batch["input_ids"], mode=args.bi_mode,
+            remat=True,
+        )
+        scores = emb.astype(jnp.float32) @ tp["score"]["kernel"].astype(
+            jnp.float32
+        )
+        return group_softmax_loss(scores.reshape(-1, G))
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    def save_fn(ts, step):
+        sd = params_to_state_dict(ts.params["model"], cfg)
+        sd["score.weight"] = np.asarray(
+            ts.params["score"]["kernel"], np.float32
+        ).T
+        save_torch_pth(
+            os.path.join(args.output_dir, f"encoder-cross-step{step}.pth"), sd
+        )
+
+    _run_loop(args, cfg, tc, trainable, step_fn, init_fn, batches, save_fn=save_fn)
+
+
 def cmd_cross_encoder(args):
     from rwkv_lm_ext_tpu.adapters import LoraConfig, init_lora_params, merge_lora
     from rwkv_lm_ext_tpu.data.collators import cross_encoder_collate
@@ -795,6 +917,18 @@ def main(argv=None):
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
     p.set_defaults(fn=cmd_cross_encoder)
+
+    p = sub.add_parser("encoder-biencoder")
+    _common_args(p)
+    p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--bi-mode", default="average", choices=["average", "fused"])
+    p.set_defaults(fn=cmd_encoder_biencoder)
+
+    p = sub.add_parser("encoder-crossencoder")
+    _common_args(p)
+    p.add_argument("--group-size", type=int, default=4)
+    p.add_argument("--bi-mode", default="average", choices=["average", "fused"])
+    p.set_defaults(fn=cmd_encoder_crossencoder)
 
     p = sub.add_parser("simcse")
     _common_args(p)

@@ -178,3 +178,39 @@ def test_sft_full_stacked(base_ckpt, sft_jsonl, tmp_path):
     f = [x for x in os.listdir(out) if x.startswith("model-step")][-1]
     sd = load_torch_pth(os.path.join(out, f))
     assert "blocks.1.att.key.weight" in sd  # unstacked on save
+
+
+def test_encoder_biencoder(base_ckpt, tmp_path):
+    data = str(tmp_path / "trip.jsonl")
+    with open(data, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"query": f"q {i}", "positive": f"p {i}",
+                                "negative": f"n {i}"}) + "\n")
+    out = str(tmp_path / "out_encbi")
+    main([
+        "encoder-biencoder", "--model", base_ckpt, "--train-data", data,
+        "--output-dir", out, "--max-steps", "2", "--micro-bsz", "4",
+        "--warmup-steps", "1", "--dp", "1",
+    ])
+    assert any(f.startswith("encoder-bi-step") for f in os.listdir(out))
+
+
+def test_encoder_crossencoder(base_ckpt, tmp_path):
+    data = str(tmp_path / "grp.jsonl")
+    with open(data, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({
+                "query": f"question {i}",
+                "documents": [f"relevant {i}", f"junk a{i}", f"junk b{i}",
+                              f"junk c{i}"],
+            }) + "\n")
+    out = str(tmp_path / "out_encce")
+    main([
+        "encoder-crossencoder", "--model", base_ckpt, "--train-data", data,
+        "--output-dir", out, "--group-size", "4", "--max-steps", "2",
+        "--micro-bsz", "2", "--warmup-steps", "1", "--dp", "1",
+    ])
+    files = [f for f in os.listdir(out) if f.startswith("encoder-cross-step")]
+    assert files
+    sd = load_torch_pth(os.path.join(out, files[-1]))
+    assert "score.weight" in sd
