@@ -243,6 +243,72 @@ def time_mix_v6(
     return out, x[:, -1].astype(jnp.float32), new_wkv
 
 
+def time_mix_v6_fused(
+    block_p: Dict,
+    cfg,
+    x: jax.Array,
+    att_shift: jax.Array,
+    wkv_state: jax.Array,
+    *,
+    chunk_size: int = 32,
+    state_param_override: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fully-fused TPU time mix: one Pallas prologue (ln1 + token shift +
+    ddlerp), XLA projections, and the fused WKV+GN+gate kernel. Takes the
+    RAW residual stream (owns ln1). att_shift carries the LN'd previous
+    token — the same contract as the unfused path (which stores the last
+    ln1 output row)."""
+    from rwkv_lm_ext_tpu.ops.ddlerp_pallas import tmix_prologue
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv6_fused_output
+
+    p = block_p["att"]
+    B, T, C = x.shape
+    H, N = cfg.n_head, cfg.head_size
+    dt = x.dtype
+    maa = jnp.stack([
+        p["time_maa_x"], p["time_maa_w"], p["time_maa_k"],
+        p["time_maa_v"], p["time_maa_r"], p["time_maa_g"],
+    ]).astype(dt)
+    xw, xk, xv, xr, xg, xln = tmix_prologue(
+        x, att_shift.astype(dt),
+        block_p["ln1"]["scale"], block_p["ln1"]["bias"],
+        maa, p["time_maa_w1"].astype(dt), p["time_maa_w2"].astype(dt),
+        eps=1e-5, interpret=interpret,
+    )
+    r = xr @ as_weight(p["receptance"], dt)
+    k = xk @ as_weight(p["key"], dt)
+    v = xv @ as_weight(p["value"], dt)
+    g = jax.nn.silu(xg @ as_weight(p["gate"], dt))
+    ww = jnp.tanh(
+        xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32)
+    ) @ p["time_decay_w2"].astype(jnp.float32)
+    w = p["time_decay"].astype(jnp.float32) + ww
+
+    if state_param_override is not None:
+        s0 = jnp.broadcast_to(
+            state_param_override.astype(jnp.float32)[None], (B, H, N, N)
+        )
+    else:
+        s0 = wkv_state
+    gated, new_wkv = wkv6_fused_output(
+        r.reshape(B, T, H, N),
+        k.reshape(B, T, H, N),
+        v.reshape(B, T, H, N),
+        w.reshape(B, T, H, N),
+        p["time_faaaa"],
+        g.reshape(B, T, H, N),
+        p["ln_x"]["scale"],
+        p["ln_x"]["bias"],
+        s0,
+        eps=cfg.ln_x_eps,
+        chunk_size=max(chunk_size, _fused_chunk()),
+        interpret=interpret,
+    )
+    out = gated @ as_weight(p["output"], dt)
+    return out, xln[:, -1].astype(jnp.float32), new_wkv
+
+
 def time_mix_v5(
     p: Dict,
     cfg,
@@ -415,14 +481,28 @@ def block_forward(
             p["ffn_pre"], cfg, layer_norm(x, p["ln1"]), att_shift, v6=False
         )
     else:
-        tm = time_mix_v6 if v6 else time_mix_v5
-        kwargs = dict(wkv_backend=wkv_backend, chunk_size=chunk_size)
-        if v6:
-            kwargs["state_param_override"] = state_param_override
-        att_out, att_shift, wkv_state = tm(
-            p["att"], cfg, layer_norm(x, p["ln1"]), att_shift, wkv_state,
-            **kwargs,
+        from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
+
+        use_fused_prologue = (
+            v6
+            and _resolve_backend(wkv_backend, x.shape[1]) == "pallas"
+            and os.environ.get("RWKV_FUSED_PROLOGUE", "1") == "1"
         )
+        if use_fused_prologue:
+            att_out, att_shift, wkv_state = time_mix_v6_fused(
+                p, cfg, x, att_shift, wkv_state,
+                chunk_size=chunk_size,
+                state_param_override=state_param_override,
+            )
+        else:
+            tm = time_mix_v6 if v6 else time_mix_v5
+            kwargs = dict(wkv_backend=wkv_backend, chunk_size=chunk_size)
+            if v6:
+                kwargs["state_param_override"] = state_param_override
+            att_out, att_shift, wkv_state = tm(
+                p["att"], cfg, layer_norm(x, p["ln1"]), att_shift, wkv_state,
+                **kwargs,
+            )
     if drops[0] is not None:
         att_out = _dropout(att_out, cfg.dropout, drops[0])
     x = x + att_out
