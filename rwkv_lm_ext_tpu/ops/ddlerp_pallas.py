@@ -105,7 +105,7 @@ def _prologue(x, shift, ln_scale, ln_bias, maa, w1, w2, eps, interpret):
 def _prologue_impl(x, shift, ln_scale, ln_bias, maa, w1, w2, eps, interpret):
     B, T, C = x.shape
     D = w1.shape[1] // 5
-    TB = min(256, T)
+    TB = min(128, T)
     if T % TB != 0 or C % 128 != 0 or D % 8 != 0:
         return _prologue_ref(x, shift, ln_scale, ln_bias, maa, w1, w2, eps)
     NTB = T // TB
