@@ -192,3 +192,39 @@ def test_fused_kernel_p8_geometry_interpret():
     out_r, s_r = _fused_ref(r, k, v, w, u, s0, g, scale, bias, 64e-5, 8)
     np.testing.assert_allclose(out_k, out_r, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(s_k, s_r, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_prologue_time_mix_matches_unfused():
+    """time_mix_v6_fused (Pallas ln1+shift+ddlerp prologue + fused WKV, all
+    interpreted) == layer_norm + time_mix_v6 (jnp), including the carried
+    shift/WKV state contract."""
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import (
+        layer_norm,
+        time_mix_v6,
+        time_mix_v6_fused,
+    )
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=128, vocab_size=100, head_size=64,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    bp = params["blocks"][1]
+    bp["att"]["output"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), bp["att"]["output"].shape
+    )
+    B, T, C = 2, 32, 128
+    H, N = cfg.n_head, cfg.head_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    shift = jax.random.normal(jax.random.PRNGKey(2), (B, C))
+    wkv0 = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (B, H, N, N))
+    o_ref, s_ref, w_ref = time_mix_v6(
+        bp["att"], cfg, layer_norm(x, bp["ln1"]), shift, wkv0,
+        wkv_backend="chunked",
+    )
+    o_f, s_f, w_f = time_mix_v6_fused(bp, cfg, x, shift, wkv0, interpret=True)
+    np.testing.assert_allclose(o_f, o_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(s_f, s_ref, atol=1e-6)
+    np.testing.assert_allclose(w_f, w_ref, rtol=2e-4, atol=2e-4)
