@@ -456,10 +456,14 @@ def block_forward(
     state_param_override: Optional[jax.Array] = None,
     x_emb: Optional[jax.Array] = None,
     dropout_rng: Optional[jax.Array] = None,
+    fused_prologue: bool = True,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
     """One residual block: ln0 (layer 0) -> att -> ffn (src/model.py:818-933),
     with the reference's legacy options: layer-0 pos_emb / pre_ffn, tiny
-    attention at tiny_att_layer, MishGLU ffn, dropout."""
+    attention at tiny_att_layer, MishGLU ffn, dropout.
+
+    fused_prologue: use the Pallas ln1+shift+ddlerp kernel (inference win;
+    its backward recomputes in jnp, so training losses pass False)."""
     att_shift, wkv_state, ffn_shift = layer_state
     if layer_id == 0 and "ln0" in p:
         x = layer_norm(x, p["ln0"])
@@ -485,6 +489,7 @@ def block_forward(
 
         use_fused_prologue = (
             v6
+            and fused_prologue
             and _resolve_backend(wkv_backend, x.shape[1]) == "pallas"
             and os.environ.get("RWKV_FUSED_PROLOGUE", "1") == "1"
         )
@@ -540,6 +545,7 @@ def rwkv_forward(
     return_hidden: bool = False,
     return_logits: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    fused_prologue: bool = True,
 ) -> Tuple[jax.Array, Dict]:
     """Full model: emb -> blocks -> ln_out -> head (src/model.py:1193-1243).
 
@@ -584,6 +590,7 @@ def rwkv_forward(
             state_param_override=spo,
             x_emb=x_emb,
             dropout_rng=drop_keys[layer_id],
+            fused_prologue=fused_prologue,
         )
 
     for i, bp in enumerate(params["blocks"]):
