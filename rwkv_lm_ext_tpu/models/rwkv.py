@@ -151,7 +151,12 @@ def _fused_chunk() -> int:
 def suggest_fused_chunk(params) -> int:
     """Largest safe fused-kernel chunk for this checkpoint: bounds the
     data-dependent decay by max(time_decay) + max column L1 of
-    time_decay_w2 (|tanh| <= 1), then solves (L/2)*exp(w_max) < 80."""
+    time_decay_w2 (|tanh| <= 1), then solves (L/2)*exp(w_max) < 80.
+
+    Floors at 32; if even 32 is unsafe for a (pathological) checkpoint,
+    use ``wkv_backend="chunked_exact"`` (ops.wkv_chunked exact mode, valid
+    for ANY decay) instead of the Pallas kernel — see
+    ops.wkv_chunked.safe_chunk_size."""
     import numpy as np
 
     w_max = -1e30

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from rwkv_lm_ext_tpu.ops.wkv_reference import wkv_reference
 from rwkv_lm_ext_tpu.ops.wkv_chunked import wkv_chunked
 
-_BACKENDS = ("auto", "reference", "chunked", "pallas")
+_BACKENDS = ("auto", "reference", "chunked", "chunked_exact", "pallas")
 
 
 def _resolve_backend(backend: str, T: int) -> str:
@@ -71,9 +71,10 @@ def wkv(
             # bidirectional op uses flip-composition instead (see wkv6_bi).
             return wkv_reference(r, k, v, w, u, initial_state, reverse=True)
         return wkv_reference(r, k, v, w, u, initial_state)
-    if be == "chunked":
+    if be in ("chunked", "chunked_exact"):
         return wkv_chunked(
-            r, k, v, w, u, initial_state, chunk_size=chunk_size, remat=remat
+            r, k, v, w, u, initial_state, chunk_size=chunk_size, remat=remat,
+            exact=(be == "chunked_exact"),
         )
     if be == "pallas":
         from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv_pallas

@@ -19,7 +19,12 @@ log-decay; Winc[t] = sum_{u<=t} lw[u], Wexc[t] = Winc[t] - lw[t]):
 All per-chunk exponents are <= 0 except the intra-chunk key-side factor
 e^{-Winc[s]}, which is bounded by rescaling around the chunk midpoint and
 clipping at MAX_EXP (affects only contributions that are ~0 anyway; the
-sequential reference is the exactness backstop).
+sequential reference is the exactness backstop). The rescale is exact only
+while (L/2)·max(exp(w)) < MAX_EXP; `exact=True` instead forms the intra-
+chunk matrix from the pairwise logit differences Wexc[t]-Winc[s] (<= 0 for
+s < t, so it never overflows for ANY decay) — L²N elementwise work on the
+VPU instead of an MXU matmul, the right trade for a correctness fallback.
+`safe_chunk_size(w)` picks the largest safe L from concrete decay values.
 
 Differentiable by autodiff; each chunk body can be rematerialized
 (`remat=True`) — the analogue of fla's checkpoint_level.
@@ -33,6 +38,22 @@ import jax
 import jax.numpy as jnp
 
 MAX_EXP = 80.0  # exp(80) ~ 5.5e34, safely below fp32 max
+
+
+def safe_chunk_size(w_max: float, candidates=(128, 64, 32, 16, 8)):
+    """Largest chunk L for which the midpoint rescale is exact given the
+    largest raw decay parameter value w_max (per-step |log-decay| is
+    exp(w)): needs (L/2)·exp(w_max) < MAX_EXP. Returns None when even the
+    smallest candidate is unsafe — use exact=True (or the sequential
+    reference) then. Call with CONCRETE values (e.g. from checkpoint
+    params), not traced ones."""
+    import math
+
+    m = math.exp(float(w_max))
+    for L in candidates:
+        if (L / 2) * m < MAX_EXP:
+            return L
+    return None
 
 
 def _pad_time(x: jax.Array, pad: int) -> jax.Array:
@@ -53,6 +74,7 @@ def wkv_chunked(
     *,
     chunk_size: int = 32,
     remat: bool = True,
+    exact: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunk-parallel WKV scan. Same contract as `wkv_reference`.
 
@@ -96,8 +118,13 @@ def wkv_chunked(
     wmid = winc[..., L // 2, :][..., None, :]  # midpoint rescale for intra
 
     q_inter = rc * jnp.exp(wexc)                             # <= |r|
-    q_intra = rc * jnp.exp(jnp.clip(wexc - wmid, None, MAX_EXP))
-    k_intra = kc * jnp.exp(jnp.clip(wmid - winc, None, MAX_EXP))
+    if exact:
+        # intra matrix formed pairwise inside chunk_body; ship the raw
+        # cumulants instead of pre-scaled tensors
+        q_intra, k_intra = wexc, winc
+    else:
+        q_intra = rc * jnp.exp(jnp.clip(wexc - wmid, None, MAX_EXP))
+        k_intra = kc * jnp.exp(jnp.clip(wmid - winc, None, MAX_EXP))
     k_state = kc * jnp.exp(wlast - winc)                     # <= |k|
     decay_total = jnp.exp(wlast[..., 0, :])                  # (NC,B,H,N)
 
@@ -110,9 +137,18 @@ def wkv_chunked(
     tri = jnp.tril(jnp.ones((L, L), dtype=jnp.bool_), k=-1)
 
     def chunk_body(S, inp):
-        qi, qa, ka, ks, dt, vv, dg = inp
+        qi, qa, ka, ks, dt, vv, dg, rr, kk = inp
+        if exact:
+            # pairwise logits wexc[t]-winc[s] <= 0 for s < t: exact for any
+            # decay (qa carries wexc, ka carries winc here)
+            logits = qa[..., :, None, :] - ka[..., None, :, :]  # (b,h,L,L,N)
+            pair = rr[..., :, None, :] * kk[..., None, :, :]
+            A = jnp.sum(
+                pair * jnp.exp(jnp.minimum(logits, 0.0)), axis=-1
+            )
+        else:
+            A = jnp.einsum("bhln,bhmn->bhlm", qa, ka)
         # intra-chunk attention matrix (L, L), strictly causal + bonus diag
-        A = jnp.einsum("bhln,bhmn->bhlm", qa, ka)
         A = jnp.where(tri[None, None], A, 0.0)
         y = jnp.einsum("bhlm,bhmn->bhln", A, vv)
         y = y + dg[..., None] * vv
@@ -125,10 +161,17 @@ def wkv_chunked(
     if remat:
         chunk_body = jax.checkpoint(chunk_body)
 
+    # rc/kc ride along only for the exact pairwise product (zero-size
+    # placeholders otherwise so the scan carries no dead memory)
+    if exact:
+        rk = (rc, kc)
+    else:
+        z = jnp.zeros((NC, B, H, 0, N), jnp.float32)
+        rk = (z, z)
     final_state, ys = jax.lax.scan(
         chunk_body,
         state0,
-        (q_inter, q_intra, k_intra, k_state, decay_total, vc, diag),
+        (q_inter, q_intra, k_intra, k_state, decay_total, vc, diag) + rk,
     )
     # ys: (NC,B,H,L,N) -> (B,T,H,N)
     y = ys.transpose(1, 0, 3, 2, 4).reshape(B, Tp, H, N)[:, :T]

@@ -178,3 +178,45 @@ def test_dispatcher_backends_agree():
     y_b, S_b = wkv(r, k, v, w, u, backend="chunked")
     np.testing.assert_allclose(y_a, y_b, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(S_a, S_b, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_exact_extreme_decay():
+    """Midpoint-rescale silently degrades once (L/2)*exp(w) > MAX_EXP;
+    exact mode (pairwise logits, all <= 0) must hold for ANY decay."""
+    from rwkv_lm_ext_tpu.ops.wkv_chunked import safe_chunk_size
+
+    r, k, v, w, u = _rand(jax.random.PRNGKey(21), T=96, w_lo=2.0, w_hi=3.0)
+    y_ref, S_ref = wkv_reference(r, k, v, w, u)
+    y_rs, _ = wkv_chunked(r, k, v, w, u, chunk_size=32, exact=False)
+    y_ex, S_ex = wkv_chunked(r, k, v, w, u, chunk_size=32, exact=True)
+    # document the failure exact mode fixes (guards the test's premise)
+    assert float(jnp.max(jnp.abs(y_rs - y_ref))) > 0.1
+    np.testing.assert_allclose(y_ex, y_ref, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(S_ex, S_ref, rtol=2e-4, atol=2e-4)
+    assert safe_chunk_size(3.0) is None  # helper agrees this decay is unsafe
+    assert safe_chunk_size(1.0) == 32
+
+
+def test_chunked_exact_grads_and_dispatch():
+    r, k, v, w, u = _rand(jax.random.PRNGKey(22), T=48, w_lo=-4.0, w_hi=2.5)
+
+    def loss(fn, r, k, v, w):
+        y, S = fn(r, k, v, w, u, None)
+        return jnp.sum(jnp.tanh(y)) + jnp.sum(S * 0.01)
+
+    g_ref = jax.grad(
+        lambda *a: loss(wkv_reference, *a), argnums=(0, 1, 2, 3)
+    )(r, k, v, w)
+    g_ex = jax.grad(
+        lambda *a: loss(
+            lambda *b: wkv_chunked(*b, chunk_size=16, exact=True), *a
+        ),
+        argnums=(0, 1, 2, 3),
+    )(r, k, v, w)
+    for a, b in zip(g_ref, g_ex):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    y_a, S_a = wkv(r, k, v, w, u, backend="chunked_exact", chunk_size=16)
+    y_b, S_b = wkv_reference(r, k, v, w, u)
+    np.testing.assert_allclose(y_a, y_b, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(S_a, S_b, rtol=1e-3, atol=1e-3)
