@@ -201,3 +201,89 @@ def lora_state_dict_to_tree(
         if "A" in ab and "B" in ab:
             out[path] = {"A": jnp.asarray(ab["A"]), "B": jnp.asarray(ab["B"])}
     return out
+
+
+# --- stacked (scan-over-layers) adapter format ------------------------------
+# Pairs with models.stacked.stack_params: layer-0 entries stay separate
+# (block 0 is unstacked), layers 1..L-1 stack leaf-wise along a leading
+# axis so the whole LoRA merge is three einsums instead of 3*(L-1) matmuls
+# traced separately — the same 7x compile-time win as the stacked forward.
+
+
+def stack_adapter(adapter: Dict) -> Dict:
+    """Flat {"blocks.i.sub.name": {"A","B"}} -> {"block0": {...},
+    "stacked": {"sub.name": {"A" (L-1,in,r), "B" (L-1,r,out)}},
+    "global": {...}} (emb/head entries)."""
+    block0: Dict[str, Dict] = {}
+    per_layer: Dict[str, Dict[int, Dict]] = {}
+    glob: Dict[str, Dict] = {}
+    n_max = 0
+    for keyname, ab in adapter.items():
+        if keyname.startswith("blocks."):
+            _, idx, sub, name = keyname.split(".")
+            i = int(idx)
+            if i == 0:
+                block0[f"{sub}.{name}"] = ab
+            else:
+                per_layer.setdefault(f"{sub}.{name}", {})[i] = ab
+                n_max = max(n_max, i)
+        else:
+            glob[keyname] = ab
+    stacked = {}
+    for path, entries in per_layer.items():
+        assert sorted(entries) == list(range(1, n_max + 1)), (
+            f"adapter {path} missing layers; stacking needs all of 1..L-1"
+        )
+        stacked[path] = {
+            "A": jnp.stack([entries[i]["A"] for i in range(1, n_max + 1)]),
+            "B": jnp.stack([entries[i]["B"] for i in range(1, n_max + 1)]),
+        }
+    return {"block0": block0, "stacked": stacked, "global": glob}
+
+
+def unstack_adapter(sadapter: Dict) -> Dict:
+    out: Dict[str, Dict] = {}
+    for path, ab in sadapter["block0"].items():
+        out[f"blocks.0.{path}"] = ab
+    for path, ab in sadapter["stacked"].items():
+        n = ab["A"].shape[0]
+        for i in range(n):
+            out[f"blocks.{i + 1}.{path}"] = {
+                "A": ab["A"][i], "B": ab["B"][i]
+            }
+    out.update(sadapter["global"])
+    return out
+
+
+def merge_lora_stacked(sparams: Dict, sadapter: Dict, lc: LoraConfig) -> Dict:
+    """merge_lora twin for stacked trees (models.stacked.stack_params
+    layout): W + scaling * A @ B with the layer axis batched into one
+    einsum per adapted projection."""
+    scale = lc.scaling
+    out = jax.tree_util.tree_map(lambda x: x, sparams)  # shallow copy
+    out["block0"] = {
+        k: (dict(v) if isinstance(v, dict) else v)
+        for k, v in sparams["block0"].items()
+    }
+    out["blocks_stacked"] = {
+        k: (dict(v) if isinstance(v, dict) else v)
+        for k, v in sparams["blocks_stacked"].items()
+    }
+
+    def merged(base, delta):
+        return (base.astype(jnp.float32) + delta).astype(base.dtype)
+
+    for path, ab in sadapter["block0"].items():
+        sub, name = path.split(".")
+        delta = scale * (ab["A"] @ ab["B"])
+        out["block0"][sub][name] = merged(out["block0"][sub][name], delta)
+    for path, ab in sadapter["stacked"].items():
+        sub, name = path.split(".")
+        delta = scale * jnp.einsum("lir,lro->lio", ab["A"], ab["B"])
+        out["blocks_stacked"][sub][name] = merged(
+            out["blocks_stacked"][sub][name], delta
+        )
+    for keyname, ab in sadapter["global"].items():
+        delta = scale * (ab["A"] @ ab["B"])
+        out[keyname] = merged(out[keyname], delta)
+    return out

@@ -27,6 +27,9 @@ class SamplingParams:
     token_ban: Tuple[int, ...] = ()
     token_stop: Tuple[int, ...] = (0,)  # reference defaults to stopping on 0
     top_p_impl: str = "sort"  # "sort" (exact) | "bisect" (fast at large B)
+    # "gumbel": jax.random.categorical (V threefry draws per row);
+    # "invcdf": one uniform per row + a cumsum — far cheaper at large B*V
+    categorical_impl: str = "gumbel"
 
 
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
@@ -111,6 +114,20 @@ def penalize_and_filter(
     return logits
 
 
+def sample_inverse_cdf(key: jax.Array, logits: jax.Array) -> jax.Array:
+    """Categorical draw via inverse-CDF: softmax → cumsum → count entries
+    below one uniform per row. Exact up to fp32 cumsum rounding (~1e-4 of
+    probability mass over a 65k vocab). The win over gumbel-max: ONE
+    threefry draw per row instead of V (4.2M per step at B=64, V=65536 —
+    the dominant cost of a large-batch decode step)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    cdf = jnp.cumsum(probs, axis=-1)
+    u = jax.random.uniform(key, logits.shape[:-1] + (1,), jnp.float32)
+    u = u * cdf[..., -1:]  # renormalize against cumsum rounding
+    token = jnp.sum(cdf < u, axis=-1)
+    return jnp.minimum(token, logits.shape[-1] - 1)
+
+
 def sample_token(
     key: jax.Array,
     logits: jax.Array,
@@ -126,6 +143,8 @@ def sample_token(
         filtered = filtered / max(sp.temperature, 1e-6)
     if sp.temperature == 0.0:
         token = jnp.argmax(filtered, axis=-1)
+    elif sp.categorical_impl == "invcdf":
+        token = sample_inverse_cdf(key, filtered)
     else:
         token = jax.random.categorical(key, filtered, axis=-1)
     occ = occurrences * sp.alpha_decay

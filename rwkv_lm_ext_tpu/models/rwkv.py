@@ -569,6 +569,7 @@ def rwkv_forward(
             wkv_backend=wkv_backend, chunk_size=chunk_size, remat=remat,
             use_state_params=use_state_params,
             return_hidden=return_hidden, return_logits=return_logits,
+            fused_prologue=fused_prologue,
         )
     B, T = tokens.shape
     if state is None:

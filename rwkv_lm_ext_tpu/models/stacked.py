@@ -67,6 +67,7 @@ def rwkv_forward_stacked(
     use_state_params: bool = False,
     return_hidden: bool = False,
     return_logits: bool = True,
+    fused_prologue: bool = True,
 ) -> Tuple[jax.Array, Dict]:
     """Scan-over-layers twin of rwkv_forward."""
     assert cfg.tiny_att_dim <= 0 and cfg.pre_ffn == 0 and cfg.dropout == 0, (
@@ -89,7 +90,7 @@ def rwkv_forward_stacked(
     x, ls0 = block_forward(
         sparams["block0"], cfg, x, ls0,
         layer_id=0, wkv_backend=wkv_backend, chunk_size=chunk_size,
-        state_param_override=spo0,
+        state_param_override=spo0, fused_prologue=fused_prologue,
     )
 
     def body(x, inp):
@@ -98,7 +99,7 @@ def rwkv_forward_stacked(
         x, ls = block_forward(
             bp, cfg, x, (att_shift, wkv_state, ffn_shift),
             layer_id=1, wkv_backend=wkv_backend, chunk_size=chunk_size,
-            state_param_override=spo,
+            state_param_override=spo, fused_prologue=fused_prologue,
         )
         return x, ls
 

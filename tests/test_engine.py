@@ -135,3 +135,26 @@ def test_top_p_bisect_matches_sort():
             (jnp.isneginf(a) != jnp.isneginf(b)).astype(jnp.float32)
         )
         assert float(mismatch) < 2e-3, (p, float(mismatch))
+
+
+def test_inverse_cdf_sampler():
+    """invcdf categorical: matches the target distribution, respects -inf
+    masking, and agrees with gumbel-max in aggregate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rwkv_lm_ext_tpu.infer.sampling import sample_inverse_cdf
+
+    logits = jnp.log(jnp.array([0.5, 0.2, 0.2, 0.1]))
+    logits = jnp.concatenate([logits, jnp.full((4,), -jnp.inf)])
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    draws = jax.vmap(lambda k: sample_inverse_cdf(k, logits))(keys)
+    draws = np.asarray(draws)
+    assert draws.max() <= 3, "sampled a -inf-masked token"
+    freq = np.bincount(draws, minlength=8) / len(draws)
+    np.testing.assert_allclose(freq[:4], [0.5, 0.2, 0.2, 0.1], atol=0.03)
+
+    # batched rows draw independently
+    bl = jnp.stack([logits, jnp.roll(logits, 4)])  # row 1: mass on 4..7
+    tok = sample_inverse_cdf(jax.random.PRNGKey(1), bl)
+    assert tok.shape == (2,) and int(tok[0]) <= 3 and int(tok[1]) >= 4

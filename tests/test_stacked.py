@@ -108,3 +108,38 @@ def test_engine_and_heads_accept_stacked():
         [5, 6, 7], max_tokens=5, sampling=spp
     )
     assert g_list == g_stack
+
+
+def test_stacked_lora_merge_matches_unstacked():
+    """merge_lora_stacked(stack(params), stack(adapter)) == stack(merge_lora)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rwkv_lm_ext_tpu.adapters.lora import (
+        LoraConfig, init_lora_params, merge_lora, merge_lora_stacked,
+        stack_adapter, unstack_adapter,
+    )
+    from rwkv_lm_ext_tpu.models.stacked import stack_params
+
+    params = _params()
+    lc = LoraConfig(r=4, alpha=16, parts=("att", "ffn", "emb"))
+    adapter = init_lora_params(jax.random.PRNGKey(3), params, lc)
+    # B=0 at init makes the merge a no-op; randomize to make the test real
+    adapter = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.cos(jnp.arange(x.size, dtype=jnp.float32)
+                                     ).reshape(x.shape), adapter)
+
+    ref = stack_params(merge_lora(params, adapter, lc))
+    got = merge_lora_stacked(stack_params(params), stack_adapter(adapter), lc)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref),
+        jax.tree_util.tree_leaves_with_path(got),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=str(ka))
+
+    # round-trip
+    rt = unstack_adapter(stack_adapter(adapter))
+    assert set(rt) == set(adapter)
+    for k in adapter:
+        np.testing.assert_array_equal(rt[k]["A"], adapter[k]["A"])
