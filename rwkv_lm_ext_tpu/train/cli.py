@@ -246,15 +246,32 @@ def cmd_sft(args):
 
             adapter = lora_state_dict_to_tree(load_torch_pth(args.peft_checkpoint))
 
-        def loss_fn(adapter_p, frozen, cfg_, batch):
-            merged = merge_lora(frozen, adapter_p, lc)
-            return sft_loss_fn(merged, cfg_, batch, remat=True)
+        if args.stack_layers:
+            from rwkv_lm_ext_tpu.adapters.lora import (
+                merge_lora_stacked, stack_adapter, unstack_adapter,
+            )
+            from rwkv_lm_ext_tpu.models.stacked import stack_params
+
+            params = stack_params(params)
+            adapter = stack_adapter(adapter)
+
+            def loss_fn(adapter_p, frozen, cfg_, batch):
+                merged = merge_lora_stacked(frozen, adapter_p, lc)
+                return sft_loss_fn(merged, cfg_, batch, remat=True)
+        else:
+
+            def loss_fn(adapter_p, frozen, cfg_, batch):
+                merged = merge_lora(frozen, adapter_p, lc)
+                return sft_loss_fn(merged, cfg_, batch, remat=True)
 
         init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
 
         def save_fn(ts, step):
+            a = ts.params
+            if args.stack_layers:
+                a = unstack_adapter(a)
             save_lora_checkpoint(
-                ts.params, lc,
+                a, lc,
                 os.path.join(args.output_dir, f"lora-step{step}.pth"),
             )
 
