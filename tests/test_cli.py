@@ -214,3 +214,22 @@ def test_encoder_crossencoder(base_ckpt, tmp_path):
     assert files
     sd = load_torch_pth(os.path.join(out, files[-1]))
     assert "score.weight" in sd
+
+
+def test_sft_lora_stacked(base_ckpt, sft_jsonl, tmp_path):
+    """--stack-layers with LoRA: trains on stacked trees, saves the flat
+    reference adapter layout."""
+    out = str(tmp_path / "out_lora_stacked")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "lora", "--stack-layers",
+        "--max-steps", "2", "--micro-bsz", "2", "--warmup-steps", "1",
+        "--dp", "1", "--save-every-steps", "2",
+    ])
+    files = os.listdir(out)
+    f = sorted(x for x in files if x.startswith("lora-step"))[-1]
+    lora = load_torch_pth(os.path.join(out, f))
+    assert any(k.startswith("blocks.1.") and k.endswith(".lora_A")
+               for k in lora)
+    bs = [v for k, v in lora.items() if k.endswith(".lora_B")]
+    assert any(np.abs(b).max() > 0 for b in bs)
