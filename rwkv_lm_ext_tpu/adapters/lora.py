@@ -104,7 +104,13 @@ def pissa_init(
     """PiSSA: adapter = top-r SVD of each target weight, base weight
     reduced by the extracted component (rwkvLinear.py:66-75).
 
-    Returns (new_params, adapter). new_params shares un-adapted leaves."""
+    Returns (new_params, adapter). new_params shares un-adapted leaves.
+
+    NOTE: on a FRESHLY INITIALIZED model the reference init zeroes
+    att.output / ffn.value, so their SVD gives A=B=0 — a true saddle
+    (dL/dA = G@Bᵀ = 0, dL/dB = Aᵀ@G = 0) and those leaves never train.
+    This matches the reference's math; PiSSA is meant for pretrained
+    checkpoints, where every target is nonzero."""
     key = key if key is not None else jax.random.PRNGKey(0)
     adapter: Dict[str, Dict[str, jax.Array]] = {}
     new_params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
@@ -287,3 +293,19 @@ def merge_lora_stacked(sparams: Dict, sadapter: Dict, lc: LoraConfig) -> Dict:
         delta = scale * (ab["A"] @ ab["B"])
         out[keyname] = merged(out[keyname], delta)
     return out
+
+
+def merge_pissa(
+    params: Dict, adapter: Dict, adapter_init: Dict, lc: LoraConfig
+) -> Dict:
+    """Serve a PiSSA adapter against the ORIGINAL (undeflated) base:
+    W + A@B - A_init@B_init. The reference does this at inject time by
+    concatenating [A; -A_init], [B; B_init] into one doubled-rank adapter
+    (src/layers.py:125-169 pissa residual merge); algebraically identical,
+    and here it reuses the plain merge twice. `adapter_init` is the SVD
+    init saved at training start (the reference's init_pissa checkpoint)."""
+    assert lc.pissa, "merge_pissa is for PiSSA configs (scaling 1)"
+    neg_init = {
+        k: {"A": -ab["A"], "B": ab["B"]} for k, ab in adapter_init.items()
+    }
+    return merge_lora(merge_lora(params, adapter, lc), neg_init, lc)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Dict
 
-from rwkv_lm_ext_tpu.adapters.lora import LoraConfig, merge_lora
+from rwkv_lm_ext_tpu.adapters.lora import LoraConfig, merge_lora, merge_pissa
 
 
 class AdapterRegistry:
@@ -25,8 +25,13 @@ class AdapterRegistry:
         self._cache: Dict[str, object] = {}
         self.cache_merged = cache_merged
 
-    def register(self, name: str, adapter, lc: LoraConfig) -> None:
-        self._adapters[name] = (adapter, lc)
+    def register(
+        self, name: str, adapter, lc: LoraConfig, pissa_init=None
+    ) -> None:
+        """pissa_init: the SVD-init adapter saved at training start; when
+        given (PiSSA served against the ORIGINAL base) materialize computes
+        W + A@B - A_init@B_init (src/layers.py:125-169 semantics)."""
+        self._adapters[name] = (adapter, lc, pissa_init)
         self._cache.pop(name, None)
 
     def names(self):
@@ -39,8 +44,11 @@ class AdapterRegistry:
             return self.base
         if name in self._cache:
             return self._cache[name]
-        adapter, lc = self._adapters[name]
-        merged = merge_lora(self.base, adapter, lc)
+        adapter, lc, pissa_init = self._adapters[name]
+        if pissa_init is not None:
+            merged = merge_pissa(self.base, adapter, pissa_init, lc)
+        else:
+            merged = merge_lora(self.base, adapter, lc)
         if self.cache_merged:
             self._cache[name] = merged
         return merged

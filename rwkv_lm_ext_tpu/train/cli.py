@@ -238,6 +238,12 @@ def cmd_sft(args):
         )
         if args.train_type == "pissa":
             params, adapter = pissa_init(params, lc)
+            # the SVD init, needed to serve the trained adapter against the
+            # ORIGINAL base (reference saves init_pissa.pth the same way)
+            os.makedirs(args.output_dir, exist_ok=True)
+            save_lora_checkpoint(
+                adapter, lc, os.path.join(args.output_dir, "init_pissa.pth")
+            )
         else:
             adapter = init_lora_params(jax.random.PRNGKey(args.seed), params, lc)
         if args.peft_checkpoint:

@@ -122,3 +122,31 @@ def test_adapter_registry_hot_swap():
     # swap back and forth: cached, deterministic
     l_emb2, _ = rwkv_forward(reg.materialize("embedding"), CFG, tokens)
     np.testing.assert_allclose(l_emb, l_emb2, atol=0)
+
+
+def test_merge_pissa_against_original_base():
+    """Serving a trained PiSSA adapter on the ORIGINAL base must equal
+    merging it onto the deflated base (src/layers.py:125-169 residual
+    merge: W + A@B - A_init@B_init)."""
+    from rwkv_lm_ext_tpu.adapters.lora import merge_pissa
+    from rwkv_lm_ext_tpu.adapters.registry import AdapterRegistry
+
+    params = _params()
+    lc = LoraConfig(r=4, pissa=True)
+    deflated, adapter0 = pissa_init(params, lc)
+    # simulate training: perturb the adapter
+    trained = {
+        k: {"A": ab["A"] + 0.01, "B": ab["B"] - 0.02}
+        for k, ab in adapter0.items()
+    }
+    want = merge_lora(deflated, trained, lc)
+    got = merge_pissa(params, trained, adapter0, lc)
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (1, 8), 0, 100)
+    lw, _ = rwkv_forward(want, CFG, tokens)
+    lg, _ = rwkv_forward(got, CFG, tokens)
+    np.testing.assert_allclose(lw, lg, rtol=2e-4, atol=2e-4)
+
+    reg = AdapterRegistry(params)
+    reg.register("chat", trained, lc, pissa_init=adapter0)
+    lr, _ = rwkv_forward(reg.materialize("chat"), CFG, tokens)
+    np.testing.assert_allclose(lw, lr, rtol=2e-4, atol=2e-4)
