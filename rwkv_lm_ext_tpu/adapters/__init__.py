@@ -10,7 +10,11 @@ from rwkv_lm_ext_tpu.adapters.lora import (  # noqa: F401
     LoraConfig,
     init_lora_params,
     merge_lora,
+    merge_lora_stacked,
+    merge_pissa,
     pissa_init,
+    stack_adapter,
+    unstack_adapter,
     lora_trainable_mask,
     lora_state_dict_to_tree,
     lora_tree_to_state_dict,
