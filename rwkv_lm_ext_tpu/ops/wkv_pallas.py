@@ -197,6 +197,19 @@ def _fwd(r, k, v, w, u, s0, chunk_size, interpret):
 def _bwd(chunk_size, interpret, residuals, cts):
     r, k, v, w, u, s0 = residuals
     gy, gs = cts
+    B, T, H, N = r.shape
+    P = 128 // N if N <= 128 and 128 % N == 0 else 1
+    if P > 1 and H % P == 0 and P * N == 128:
+        # two-pass Pallas backward, sharing the fused kernels with the
+        # GroupNorm/gate stages compiled out (gn=False)
+        ones = jnp.ones((B, T, H, N), r.dtype)
+        vec1 = jnp.ones((H * N,), jnp.float32)
+        dr, dk, dv, dw, du, ds0, _dg, _dsc, _dbi = _fused_bwd_pallas(
+            r, k, v, w, u, s0, ones, vec1, jnp.zeros_like(vec1),
+            (gy.astype(jnp.float32).reshape(B, T, H * N), gs),
+            eps=1e-5, chunk_size=chunk_size, interpret=interpret, gn=False,
+        )
+        return dr, dk, dv, dw, du, ds0
 
     def f(r, k, v, w, u, s0):
         y, sT = wkv_chunked(
@@ -459,10 +472,13 @@ def _fused_bwd(eps, chunk_size, interpret, residuals, cts):
 
 
 def _fused_bwd_pallas(
-    r, k, v, w, u, s0, g, scale, bias, cts, *, eps, chunk_size, interpret
+    r, k, v, w, u, s0, g, scale, bias, cts, *, eps, chunk_size, interpret,
+    gn=True,
 ):
     """Two-pass Pallas backward (see header above): re-run forward saving
-    chunk-entry states, then reverse-adjoint kernel."""
+    chunk-entry states, then reverse-adjoint kernel. gn=False runs the
+    same two passes for the UNFUSED op (raw y out; GroupNorm/gate adjoint
+    skipped, dout flows straight into dy)."""
     dout, dsT = cts
     B, T, H, N = r.shape
     P = 128 // N
@@ -509,7 +525,7 @@ def _fused_bwd_pallas(
     # pass 1: forward with state checkpoints
     out, sout, states = pl.pallas_call(
         functools.partial(
-            _wkv_gn_fwd_save_kernel, L=L, N=N, P=P, TB=TB, eps=eps
+            _wkv_gn_fwd_save_kernel, L=L, N=N, P=P, TB=TB, eps=eps, gn=gn
         ),
         grid=(B * H2, NTB),
         in_specs=[lane, lane, lane, lane, lane, vec, vec, vec, smat],
@@ -527,7 +543,8 @@ def _fused_bwd_pallas(
     partial_vec = pl.BlockSpec((1, 1, W), lambda i, c: (i, 0, 0))
     dr, dk, dv, dw, dg, du_p, dsc_p, dbi_p, ds0 = pl.pallas_call(
         functools.partial(
-            _wkv_gn_bwd_kernel, L=L, N=N, P=P, TB=TB, eps=eps, NTB=NTB
+            _wkv_gn_bwd_kernel, L=L, N=N, P=P, TB=TB, eps=eps, NTB=NTB,
+            gn=gn,
         ),
         grid=(B * H2, NTB),
         in_specs=[
@@ -614,7 +631,7 @@ def _wkv_gn_fwd_save_kernel(
     r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref, s0_ref,
     out_ref, sout_ref, states_ref,
     state,
-    *, L: int, N: int, P: int, TB: int, eps: float,
+    *, L: int, N: int, P: int, TB: int, eps: float, gn: bool = True,
 ):
     c = pl.program_id(1)
 
@@ -678,13 +695,16 @@ def _wkv_gn_fwd_save_kernel(
                 preferred_element_type=jnp.float32,
             )
             state[lane, :] = new_s
-            mu = jnp.mean(y, axis=1, keepdims=True)
-            var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
-            outs.append((y - mu) * jax.lax.rsqrt(var + eps))
+            if gn:
+                mu = jnp.mean(y, axis=1, keepdims=True)
+                var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
+                outs.append((y - mu) * jax.lax.rsqrt(var + eps))
+            else:
+                outs.append(y)
         yn_all = jnp.concatenate(outs, axis=1)
-        out_ref[0, sl, :] = ((yn_all * scale + bias) * g_all).astype(
-            out_ref.dtype
-        )
+        if gn:
+            yn_all = (yn_all * scale + bias) * g_all
+        out_ref[0, sl, :] = yn_all.astype(out_ref.dtype)
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
@@ -698,6 +718,7 @@ def _wkv_gn_bwd_kernel(
     ds0_ref,
     dstate,
     *, L: int, N: int, P: int, TB: int, eps: float, NTB: int,
+    gn: bool = True,
 ):
     # grid axis 1 indexes T-blocks in REVERSE (index maps flip it)
     c = pl.program_id(1)
@@ -778,25 +799,32 @@ def _wkv_gn_bwd_kernel(
                 qi, S0h, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            mu = jnp.mean(y, axis=1, keepdims=True)
-            var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
-            rstd = jax.lax.rsqrt(var + eps)
-            z = (y - mu) * rstd
+            if gn:
+                mu = jnp.mean(y, axis=1, keepdims=True)
+                var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
+                rstd = jax.lax.rsqrt(var + eps)
+                z = (y - mu) * rstd
 
-            # ---- GroupNorm + gate backward ----
-            do = dout_all[:, lane]
-            g_h = g_all[:, lane]
-            sc_h = scale[:, lane]
-            dg_parts.append(do * (z * sc_h + bias[:, lane]))
-            dpre = do * g_h
-            dsc_parts.append(jnp.sum(dpre * z, axis=0, keepdims=True))
-            dbi_parts.append(jnp.sum(dpre, axis=0, keepdims=True))
-            dz = dpre * sc_h
-            dy = rstd * (
-                dz
-                - jnp.mean(dz, axis=1, keepdims=True)
-                - z * jnp.mean(dz * z, axis=1, keepdims=True)
-            )
+                # ---- GroupNorm + gate backward ----
+                do = dout_all[:, lane]
+                g_h = g_all[:, lane]
+                sc_h = scale[:, lane]
+                dg_parts.append(do * (z * sc_h + bias[:, lane]))
+                dpre = do * g_h
+                dsc_parts.append(jnp.sum(dpre * z, axis=0, keepdims=True))
+                dbi_parts.append(jnp.sum(dpre, axis=0, keepdims=True))
+                dz = dpre * sc_h
+                dy = rstd * (
+                    dz
+                    - jnp.mean(dz, axis=1, keepdims=True)
+                    - z * jnp.mean(dz * z, axis=1, keepdims=True)
+                )
+            else:
+                dy = dout_all[:, lane]
+                zero = jnp.zeros((1, N), jnp.float32)
+                dg_parts.append(jnp.zeros_like(dy))
+                dsc_parts.append(zero)
+                dbi_parts.append(zero)
 
             # ---- WKV backward ----
             # y_inter = qi @ S0h

@@ -228,3 +228,36 @@ def test_fused_prologue_time_mix_matches_unfused():
     np.testing.assert_allclose(o_f, o_ref, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(s_f, s_ref, atol=1e-6)
     np.testing.assert_allclose(w_f, w_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unfused_pallas_backward_matches_reference():
+    """The UNFUSED wkv_pallas backward (two-pass kernels with gn=False)
+    vs reference autodiff, incl. a T that forces time padding."""
+    import numpy as np
+    from rwkv_lm_ext_tpu.ops.wkv_reference import wkv_reference
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv_pallas
+
+    rng = np.random.default_rng(3)
+    for T in (64, 41):  # 41: pads to the TB boundary inside the bwd
+        B, H, N = 2, 2, 64  # P=2 -> W=128, Pallas backward engages
+        mk = lambda: jnp.asarray(rng.normal(size=(B, T, H, N)).astype(np.float32))
+        r, k, v = mk(), mk(), mk()
+        w = jnp.asarray(rng.uniform(-6, 0.4, size=(B, T, H, N)).astype(np.float32))
+        u = jnp.asarray(rng.normal(size=(H, N)).astype(np.float32))
+        s0 = jnp.asarray(rng.normal(size=(B, H, N, N)).astype(np.float32))
+
+        def loss(fn, r, k, v, w, u, s0, **kw):
+            y, sT = fn(r, k, v, w, u, s0, **kw)
+            c = jnp.cos(jnp.arange(y.size, dtype=jnp.float32)).reshape(y.shape)
+            return jnp.sum(y * c) + jnp.sum(sT * 0.1)
+
+        g_ref = jax.grad(
+            lambda *a: loss(wkv_reference, *a), argnums=(0, 1, 2, 3, 4, 5)
+        )(r, k, v, w, u, s0)
+        g_pl = jax.grad(
+            lambda *a: loss(wkv_pallas, *a, chunk_size=16, interpret=True),
+            argnums=(0, 1, 2, 3, 4, 5),
+        )(r, k, v, w, u, s0)
+        for name, a, b in zip("rkvwus", g_ref, g_pl):
+            rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+            assert rel < 2e-4, (T, name, rel)
