@@ -1,0 +1,48 @@
+"""Batched decode-step benchmark: gumbel vs invcdf sampling at B=64.
+
+Measured r1: gumbel 16.3 ms/step, invcdf 16.67 — decode is op-dispatch +
+state-traffic bound, not RNG-bound (see STATUS.md roadmap item 5).
+"""
+"""Batched decode step: gumbel vs invcdf categorical at B=64, 1B6."""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+from rwkv_lm_ext_tpu.config import rwkv6_1b6
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+from rwkv_lm_ext_tpu.models.state import init_model_state
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, sample_token
+
+B = 64
+N_TOK = 64
+cfg = rwkv6_1b6(param_dtype="bfloat16")
+params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
+state = init_model_state(cfg, B)
+tok0 = jnp.full((B,), 5, jnp.int32)
+
+def mk(sp, n):
+    @jax.jit
+    def f(params, tok0, state, rng):
+        occ = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+        def body(carry, _):
+            tok, st, occ, rng = carry
+            lg, st = rwkv_forward(params, cfg, tok[:, None], st)
+            rng, sub = jax.random.split(rng)
+            nxt, occ = sample_token(sub, lg[:, -1], occ, sp)
+            return (nxt, st, occ, rng), jnp.sum(tok)
+        (tok, st, _, _), s = jax.lax.scan(body, (tok0, state, occ, rng), None, length=n)
+        return jnp.sum(s)
+    return f
+
+for name, sp in [
+    ("gumbel", SamplingParams(top_p_impl="bisect")),
+    ("invcdf", SamplingParams(top_p_impl="bisect", categorical_impl="invcdf")),
+]:
+    f1, fn = mk(sp, 8), mk(sp, N_TOK)
+    rng = jax.random.PRNGKey(0)
+    float(f1(params, tok0, state, rng)); float(fn(params, tok0, state, rng))
+    t0 = time.perf_counter(); float(fn(params, tok0, state, rng)); dtn = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(f1(params, tok0, state, rng)); dt1 = time.perf_counter() - t0
+    per = (dtn - dt1) / (N_TOK - 8)
+    print(json.dumps({"impl": name, "step_ms": round(per*1e3, 2),
+                      "agg_tok_s": round(B/per, 1)}))

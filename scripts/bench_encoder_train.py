@@ -1,0 +1,66 @@
+"""Bidirectional-encoder train-step benchmark (the unfused-WKV backward
+path): pallas (two-pass Pallas backward) vs chunked (XLA recompute).
+
+Measured r1 (1x v5e, RWKV-6 1B6, B8 ctx512): pallas 96.0 ms/step
+(42.7 Kt/s), chunked 158.5 ms/step (25.8 Kt/s) — 1.65x end-to-end.
+Run one backend per process (compiles are remote and slow):
+    python scripts/bench_encoder_train.py pallas
+    python scripts/bench_encoder_train.py chunked
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_lm_ext_tpu.config import rwkv6_1b6
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
+
+backend = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+B = int(os.environ.get("BENCH_BATCH", "8"))
+T = int(os.environ.get("BENCH_CTX", "512"))
+ITERS = int(os.environ.get("BENCH_ITERS", "6"))
+
+cfg = rwkv6_1b6(param_dtype="bfloat16")
+params = jax.device_put(
+    init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+)
+toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
+
+
+def loss(p, toks):
+    h = encoder_forward(
+        p, cfg, toks, wkv_backend=backend, remat=True, chunk_size=64
+    )
+    return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-6
+
+
+g = jax.grad(loss)
+
+
+@jax.jit
+def chain(p, toks):
+    # anti-elision: data-chain the grads into the carry (see bench.py)
+    def body(c, _):
+        grads = g(p, toks)
+        dd = (jnp.abs(grads["emb"][:1, :1]).sum() * 1e3).astype(jnp.int32) % 7
+        return c + dd, None
+
+    s, _ = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
+    return s
+
+
+float(chain(params, toks))  # compile
+t0 = time.perf_counter()
+float(chain(params, toks))
+per = (time.perf_counter() - t0) / ITERS
+print(json.dumps({
+    "metric": f"encoder_train_step ({backend}, RWKV-6 1B6, B{B}, ctx {T})",
+    "value": round(B * T / per / 1e3, 2), "unit": "Kt/s",
+    "step_ms": round(per * 1e3, 1), "vs_baseline": None,
+}))
