@@ -53,11 +53,9 @@ def sft_loss_fn(
     """Causal-LM SFT loss: batch = {"input_ids" (B,T), "labels" (B,T)}
     with labels -100 on prompt/pad (the reference's collator contract,
     data/custom_datasets.py pad_only_according_data)."""
-    # fused_prologue off: its backward recomputes in jnp, which under remat
-    # costs more than the forward fusion saves
     logits, _ = rwkv_forward(
         params, cfg, batch["input_ids"], remat=remat,
-        wkv_backend=wkv_backend, fused_prologue=False,
+        wkv_backend=wkv_backend,
     )
     return causal_lm_loss(logits, batch["labels"])
 
@@ -84,7 +82,7 @@ def tbptt_loss_fn(
         tk, lb = inp
         logits, state = rwkv_forward(
             params, cfg, tk, state, remat=remat,
-            wkv_backend=wkv_backend, fused_prologue=False,
+            wkv_backend=wkv_backend,
         )
         valid = jnp.sum(lb != -100)
         loss = causal_lm_loss(logits, lb, l2_wrap=False)
