@@ -212,6 +212,35 @@ def time_mix_v6(
 
     from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
 
+    # RWKV_FUSED_DECODE=1 routes T=1 through the fused Pallas decode step
+    # (ops/wkv_decode.py). Opt-in for now: per-layer it matches the XLA
+    # path's state cost but the whole-step dispatch did not yet win on the
+    # axon stack (see scripts/ablate_decode.py numbers in STATUS.md).
+    if T == 1 and (
+        wkv_backend == "pallas"
+        or (
+            wkv_backend == "auto"
+            and os.environ.get("RWKV_FUSED_DECODE", "0") == "1"
+        )
+    ):
+        from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
+
+        if wkv_backend == "pallas" or pallas_available():
+            # fused decode step: one pass over the fp32 state
+            # (ops/wkv_decode.py); the dominant decode cost is state R/W
+            from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step
+
+            gated, new_wkv = wkv6_decode_step(
+                r[:, 0], k[:, 0], v[:, 0], w[:, 0],
+                g[:, 0],
+                p["time_faaaa"],
+                p["ln_x"]["scale"], p["ln_x"]["bias"],
+                s0,
+                eps=cfg.ln_x_eps,
+            )
+            out = gated @ as_weight(p["output"], dt)
+            return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv
+
     be = _resolve_backend(wkv_backend, T)
     if be == "pallas":
         # fused WKV + GroupNorm + gate (layout-free, see ops/wkv_pallas.py)
@@ -467,8 +496,8 @@ def block_forward(
     with the reference's legacy options: layer-0 pos_emb / pre_ffn, tiny
     attention at tiny_att_layer, MishGLU ffn, dropout.
 
-    fused_prologue: use the Pallas ln1+shift+ddlerp kernel (inference win;
-    its backward recomputes in jnp, so training losses pass False)."""
+    fused_prologue: use the Pallas ln1+shift+ddlerp kernel (its backward
+    is a hand-written Pallas adjoint, so training uses it too)."""
     att_shift, wkv_state, ffn_shift = layer_state
     if layer_id == 0 and "ln0" in p:
         x = layer_norm(x, p["ln0"])

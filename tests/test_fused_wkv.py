@@ -261,3 +261,102 @@ def test_unfused_pallas_backward_matches_reference():
         for name, a, b in zip("rkvwus", g_ref, g_pl):
             rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
             assert rel < 2e-4, (T, name, rel)
+
+
+def test_prologue_pallas_backward_matches_reference():
+    """The hand-written Pallas adjoint of the fused prologue (reverse grid,
+    cross-block dprev carry, accumulated weight grads) vs autodiff through
+    the jnp composition. T=128 with TB=64 exercises the block-boundary
+    coupling; grads checked for every input."""
+    from rwkv_lm_ext_tpu.ops.ddlerp_pallas import (
+        _prologue,
+        _prologue_ref,
+    )
+
+    rng = np.random.default_rng(11)
+    B, T, C, D = 2, 128, 256, 16
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+    sc = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bi = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    maa = jnp.asarray(rng.uniform(0, 1, size=(6, C)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(C, 5 * D)) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(5, D, C)) * 0.1).astype(np.float32))
+
+    def loss(fn, *args):
+        outs = fn(*args)
+        tot = 0.0
+        for j, o in enumerate(outs):
+            c = jnp.cos(jnp.arange(o.size, dtype=jnp.float32) + j).reshape(
+                o.shape
+            )
+            tot = tot + jnp.sum(o * c)
+        return tot
+
+    args = (x, shift, sc, bi, maa, w1, w2)
+    g_ref = jax.grad(
+        lambda *a: loss(_prologue_ref, *a, 1e-5), argnums=tuple(range(7))
+    )(*args)
+    g_pl = jax.grad(
+        lambda *a: loss(_prologue, *a, 1e-5, True), argnums=tuple(range(7))
+    )(*args)
+    names = ["x", "shift", "scale", "bias", "maa", "w1", "w2"]
+    for name, a, b in zip(names, g_ref, g_pl):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        assert rel < 5e-4, (name, rel)
+
+
+def test_decode_step_kernel_matches_reference():
+    """wkv6_decode_step (fused T=1 WKV update + GroupNorm + gate, interpret)
+    vs the jnp composition and vs the sequential-scan path."""
+    from rwkv_lm_ext_tpu.ops.wkv_decode import _decode_ref, wkv6_decode_step
+
+    rng = np.random.default_rng(7)
+    B, H, N = 3, 4, 64
+    C = H * N
+    mk = lambda sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
+    r, k, v, g = mk((B, C)), mk((B, C)), mk((B, C)), mk((B, C))
+    w = jnp.asarray(rng.uniform(-6, 0.5, size=(B, C)).astype(np.float32))
+    u = mk((H, N)) * 0.5
+    scale = 1.0 + 0.1 * mk((C,))
+    bias = 0.1 * mk((C,))
+    state = mk((B, H, N, N)) * 0.3
+    out_k, s_k = wkv6_decode_step(
+        r, k, v, w, g, u, scale, bias, state, eps=64e-5, interpret=True
+    )
+    out_r, s_r = _decode_ref(
+        r.reshape(B, H, N), k.reshape(B, H, N), v.reshape(B, H, N),
+        w.reshape(B, H, N), g.reshape(B, H, N), u, scale, bias, state, 64e-5,
+    )
+    np.testing.assert_allclose(out_k, out_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(s_k, s_r, rtol=2e-5, atol=2e-5)
+
+
+def test_decode_step_time_mix_matches_sequential():
+    """time_mix_v6 at T=1 with wkv_backend='pallas' (fused decode kernel,
+    interpreted on CPU) == wkv_backend='reference' (sequential scan +
+    unfused GroupNorm/gate), including the carried state contract."""
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import layer_norm, time_mix_v6
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=128, vocab_size=100, head_size=64,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    att = params["blocks"][1]["att"]
+    B, C = 2, 128
+    H, N = cfg.n_head, cfg.head_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, C))
+    shift = jax.random.normal(jax.random.PRNGKey(2), (B, C))
+    wkv0 = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (B, H, N, N))
+    o_ref, sh_ref, w_ref = time_mix_v6(
+        att, cfg, x, shift, wkv0, wkv_backend="reference"
+    )
+    o_f, sh_f, w_f = time_mix_v6(
+        att, cfg, x, shift, wkv0, wkv_backend="pallas"
+    )
+    np.testing.assert_allclose(o_f, o_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(sh_f, sh_ref, atol=1e-6)
+    np.testing.assert_allclose(w_f, w_ref, rtol=2e-4, atol=2e-4)
