@@ -334,15 +334,19 @@ def init_one_layer_decoder(key: jax.Array, cfg) -> Dict:
 
 
 def init_bi_streaming_state(cfg, batch_size: int):
-    """5-slot per-layer state (att_shift, wkv, wkv_rev, ffn_shift)."""
+    """5-slot per-layer state (att_shift, wkv, wkv_rev, ffn_shift); WKV
+    slots use the canonical tile-packed layout (models/state.py)."""
+    from rwkv_lm_ext_tpu.models.state import wkv_state_shape
+
     L, B, C = cfg.n_layer, batch_size, cfg.n_embd
     H, N = cfg.n_head, cfg.head_size
-    z = lambda *s: jnp.zeros(s, jnp.float32)
+    z = lambda s: jnp.zeros(s, jnp.float32)
+    trail = wkv_state_shape(H, N)
     return {
-        "att_shift": z(L, B, C),
-        "wkv": z(L, B, H, N, N),
-        "wkv_rev": z(L, B, H, N, N),
-        "ffn_shift": z(L, B, C),
+        "att_shift": z((L, B, C)),
+        "wkv": z((L, B) + trail),
+        "wkv_rev": z((L, B) + trail),
+        "ffn_shift": z((L, B, C)),
     }
 
 
@@ -360,9 +364,12 @@ def bi_streaming_time_mix(
     is_last_chunk: bool, wkv_backend: str = "auto", chunk_size: int = 32,
 ):
     from rwkv_lm_ext_tpu.ops import wkv
+    from rwkv_lm_ext_tpu.models.state import unpack_wkv
 
     B, T, C = x.shape
     H, N = cfg.n_head, cfg.head_size
+    wkv_state = unpack_wkv(wkv_state, N)
+    wkv_state_rev = unpack_wkv(wkv_state_rev, N)
     r, k, v, g, w = tmix_v6_projections(p, cfg, x, att_shift)
     r4 = r.reshape(B, T, H, N)
 
@@ -383,7 +390,11 @@ def bi_streaming_time_mix(
     out = tmix_v6_output(p, cfg, y_fwd.astype(x.dtype), g)
     out_rev = tmix_v6_output(p, cfg, y_rev.astype(x.dtype), g)
     out = out + _chunk_reverse(out_rev, is_last_chunk)
-    return out, x[:, -1].astype(jnp.float32), s_new, s_rev_new
+    from rwkv_lm_ext_tpu.models.state import pack_wkv
+
+    return (
+        out, x[:, -1].astype(jnp.float32), pack_wkv(s_new), pack_wkv(s_rev_new)
+    )
 
 
 def bi_streaming_forward(

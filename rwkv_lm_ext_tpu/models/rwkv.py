@@ -212,34 +212,56 @@ def time_mix_v6(
 
     from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
 
-    # RWKV_FUSED_DECODE=1 routes T=1 through the fused Pallas decode step
-    # (ops/wkv_decode.py). Opt-in for now: per-layer it matches the XLA
-    # path's state cost but the whole-step dispatch did not yet win on the
-    # axon stack (see scripts/ablate_decode.py numbers in STATUS.md).
-    if T == 1 and (
-        wkv_backend == "pallas"
-        or (
+    if T == 1:
+        # RWKV_FUSED_DECODE=1 (or backend="pallas") routes T=1 through the
+        # fused Pallas decode step (ops/wkv_decode.py). Opt-in: per-layer
+        # it matches the XLA path's state cost but the whole-step dispatch
+        # did not win on the axon stack (scripts/ablate_decode.py).
+        use_pallas_decode = wkv_backend == "pallas" or (
             wkv_backend == "auto"
             and os.environ.get("RWKV_FUSED_DECODE", "0") == "1"
         )
-    ):
-        from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
+        if use_pallas_decode:
+            from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
 
-        if wkv_backend == "pallas" or pallas_available():
-            # fused decode step: one pass over the fp32 state
-            # (ops/wkv_decode.py); the dominant decode cost is state R/W
-            from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step
+            if wkv_backend == "pallas" or pallas_available():
+                # fused decode step: one pass over the fp32 state
+                # (ops/wkv_decode.py); the dominant decode cost is state R/W
+                from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step
 
-            gated, new_wkv = wkv6_decode_step(
+                gated, new_wkv = wkv6_decode_step(
+                    r[:, 0], k[:, 0], v[:, 0], w[:, 0],
+                    g[:, 0],
+                    p["time_faaaa"],
+                    p["ln_x"]["scale"], p["ln_x"]["bias"],
+                    s0,
+                    eps=cfg.ln_x_eps,
+                )
+                out = gated @ as_weight(p["output"], dt)
+                return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv
+        from rwkv_lm_ext_tpu.models.state import pack_wkv
+        from rwkv_lm_ext_tpu.ops.wkv_decode import decode_packable
+
+        if (
+            wkv_backend in ("auto", "chunked", "chunked_exact")
+            and decode_packable(N)
+            and os.environ.get("RWKV_PACKED_DECODE", "1") == "1"
+        ):
+            # default decode step: pure-XLA on the tile-packed state (the
+            # round-trip reshape via the logical view folds away in XLA;
+            # the canonical carried state is already packed)
+            from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step_packed
+
+            gated, new_wkv_packed = wkv6_decode_step_packed(
                 r[:, 0], k[:, 0], v[:, 0], w[:, 0],
                 g[:, 0],
                 p["time_faaaa"],
                 p["ln_x"]["scale"], p["ln_x"]["bias"],
-                s0,
+                pack_wkv(s0.astype(jnp.float32)),
                 eps=cfg.ln_x_eps,
             )
             out = gated @ as_weight(p["output"], dt)
-            return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv
+            return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv_packed
 
     be = _resolve_backend(wkv_backend, T)
     if be == "pallas":
@@ -498,7 +520,12 @@ def block_forward(
 
     fused_prologue: use the Pallas ln1+shift+ddlerp kernel (its backward
     is a hand-written Pallas adjoint, so training uses it too)."""
+    from rwkv_lm_ext_tpu.models.state import pack_wkv, unpack_wkv
+
     att_shift, wkv_state, ffn_shift = layer_state
+    # canonical state is tile-packed (models/state.py); time-mix math uses
+    # the logical (B, H, N, N) view
+    wkv_state = unpack_wkv(wkv_state, cfg.head_size)
     if layer_id == 0 and "ln0" in p:
         x = layer_norm(x, p["ln0"])
         if cfg.my_pos_emb > 0 and "pos_emb_x" in p:
@@ -563,7 +590,7 @@ def block_forward(
         and "tiny_q" in p
     ):
         x = x + tiny_attention(p, cfg, x, x_emb)
-    return x, (att_shift, wkv_state, ffn_shift)
+    return x, (att_shift, pack_wkv(wkv_state), ffn_shift)
 
 
 def rwkv_forward(

@@ -9,8 +9,19 @@ steps, vmappable for beam-search state forking, and trivially savable.
 
 Layout (L = n_layer, B = batch, C = n_embd, H = heads, N = head_size):
     att_shift: (L, B, C)      last token fed to each time-mix   (fp32)
-    wkv:       (L, B, H, N, N) WKV state, (K, V) layout          (fp32)
+    wkv:       (L, B, H, N*N/128, 128) WKV state, PACKED         (fp32)
     ffn_shift: (L, B, C)      last token fed to each channel-mix (fp32)
+
+**Packed WKV layout** (TPU tile alignment): the logical per-head state is
+(N, N) in (K, V) order, but a minor dim of N=64 makes XLA physically pad
+every tile to 128 lanes — 2x the HBM footprint AND a measured ~6x loss of
+copy bandwidth (291 GB/s vs 1878 GB/s on v5e for the same 67 MB). Since
+the state is the dominant HBM traffic of batched decode, the canonical
+in-memory layout packs the row-major (N, N) bytes into (N*N/128, 128) —
+a pure reshape, no data movement — whenever N*N is a multiple of 128.
+`unpack_wkv` / `pack_wkv` convert at the boundaries of consumers that do
+logical (N, N) math (the XLA wkv backends, sequence-parallel composition);
+the fused decode kernel consumes the packed layout natively.
 
 Bidirectional streaming additionally carries reverse-direction slots
 (att_shift_rev / wkv_rev) — see models/bidirectional.py — mirroring the
@@ -18,7 +29,7 @@ reference's 5-slot layout (src/model_run.py:727-758).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,22 +39,51 @@ LAYER_STATE_KEYS = ("att_shift", "wkv", "ffn_shift")
 ModelState = Dict[str, jax.Array]
 
 
+def wkv_is_packable(N: int) -> bool:
+    return (N * N) % 128 == 0 and N * N >= 128
+
+
+def wkv_state_shape(H: int, N: int) -> Tuple[int, ...]:
+    """Trailing (per batch row) dims of the canonical WKV state."""
+    if wkv_is_packable(N):
+        return (H, (N * N) // 128, 128)
+    return (H, N, N)
+
+
+def pack_wkv(x: jax.Array) -> jax.Array:
+    """(..., N, N) logical state -> canonical packed (..., N*N/128, 128).
+    Idempotent: non-square trailing dims (already packed) and unpackable
+    head sizes pass through."""
+    n = x.shape[-1]
+    if x.shape[-2] != n or not wkv_is_packable(n):
+        return x
+    return x.reshape(x.shape[:-2] + ((n * n) // 128, 128))
+
+
+def unpack_wkv(x: jax.Array, N: int) -> jax.Array:
+    """Canonical packed (..., N*N/128, 128) -> logical (..., N, N)."""
+    if x.shape[-1] == N and x.shape[-2] == N:
+        return x
+    return x.reshape(x.shape[:-2] + (N, N))
+
+
 def init_model_state(
     cfg, batch_size: int, *, wkv_init: Optional[jax.Array] = None
 ) -> ModelState:
-    """Zero state; `wkv_init` ((L,H,N,N) or (L,B,H,N,N)) overrides the WKV
-    slots — the hook for state-tuned "states" serving
+    """Zero state; `wkv_init` ((L,H,N,N) or (L,B,H,N,N), logical or packed)
+    overrides the WKV slots — the hook for state-tuned "states" serving
     (reference infer/states_generator.py:34-49)."""
     L, B, C = cfg.n_layer, batch_size, cfg.n_embd
     H, N = cfg.n_head, cfg.head_size
+    trail = wkv_state_shape(H, N)
     if wkv_init is None:
-        wkv = jnp.zeros((L, B, H, N, N), dtype=jnp.float32)
+        wkv = jnp.zeros((L, B) + trail, dtype=jnp.float32)
     elif wkv_init.ndim == 4:
         wkv = jnp.broadcast_to(
-            wkv_init[:, None].astype(jnp.float32), (L, B, H, N, N)
+            pack_wkv(wkv_init.astype(jnp.float32))[:, None], (L, B) + trail
         )
     else:
-        wkv = wkv_init.astype(jnp.float32)
+        wkv = pack_wkv(wkv_init.astype(jnp.float32))
     return {
         "att_shift": jnp.zeros((L, B, C), dtype=jnp.float32),
         "wkv": wkv,

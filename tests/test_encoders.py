@@ -136,8 +136,12 @@ def test_states_registry_pth_roundtrip(params, tmp_path):
     reg = StatesRegistry(CFG)
     reg.register_pth("unit", path)
     st = reg.initial_state("unit", batch_size=2)
-    assert st["wkv"].shape == (2, 2, 4, 16, 16)
-    np.testing.assert_allclose(st["wkv"][0, 0], 0.05, atol=1e-7)
+    from rwkv_lm_ext_tpu.models.state import unpack_wkv, wkv_state_shape
+
+    assert st["wkv"].shape == (2, 2) + wkv_state_shape(4, 16)
+    logical = unpack_wkv(st["wkv"], 16)
+    assert logical.shape == (2, 2, 4, 16, 16)
+    np.testing.assert_allclose(logical[0, 0], 0.05, atol=1e-7)
 
 
 def test_instructor_and_chunked_embed(params):

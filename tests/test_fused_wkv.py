@@ -332,6 +332,39 @@ def test_decode_step_kernel_matches_reference():
     np.testing.assert_allclose(s_k, s_r, rtol=2e-5, atol=2e-5)
 
 
+def test_decode_step_packed_matches_reference():
+    """wkv6_decode_step_packed (pure-XLA T=1 step on the tile-packed
+    state) vs the logical jnp composition, over the supported geometries."""
+    from rwkv_lm_ext_tpu.models.state import pack_wkv, unpack_wkv
+    from rwkv_lm_ext_tpu.ops.wkv_decode import (
+        _decode_ref, decode_packable, wkv6_decode_step_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    for H, N in ((4, 64), (3, 16), (2, 32), (2, 128)):
+        assert decode_packable(N)
+        B, C = 3, H * N
+        mk = lambda sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
+        r, k, v, g = mk((B, C)), mk((B, C)), mk((B, C)), mk((B, C))
+        w = jnp.asarray(rng.uniform(-6, 0.5, size=(B, C)).astype(np.float32))
+        u = mk((H, N)) * 0.5
+        scale = 1.0 + 0.1 * mk((C,))
+        bias = 0.1 * mk((C,))
+        state = mk((B, H, N, N)) * 0.3
+        out_p, s_p = wkv6_decode_step_packed(
+            r, k, v, w, g, u, scale, bias, pack_wkv(state), eps=64e-5
+        )
+        out_r, s_r = _decode_ref(
+            r.reshape(B, H, N), k.reshape(B, H, N), v.reshape(B, H, N),
+            w.reshape(B, H, N), g.reshape(B, H, N), u, scale, bias,
+            state, 64e-5,
+        )
+        np.testing.assert_allclose(out_p, out_r, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            unpack_wkv(s_p, N), s_r, rtol=2e-5, atol=2e-5
+        )
+
+
 def test_decode_step_time_mix_matches_sequential():
     """time_mix_v6 at T=1 with wkv_backend='pallas' (fused decode kernel,
     interpreted on CPU) == wkv_backend='reference' (sequential scan +

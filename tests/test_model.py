@@ -68,6 +68,27 @@ def test_decode_loop_matches_full(params6, tokens):
     )
 
 
+def test_packed_decode_loop_matches_full(params6, tokens):
+    """T=1 decode via the default packed-state XLA step (backend 'chunked'
+    routes T=1 to wkv6_decode_step_packed) == full reference forward."""
+    logits_full, _ = rwkv_forward(
+        params6, CFG6, tokens, wkv_backend="reference"
+    )
+    s = init_model_state(CFG6, 2)
+    step = jax.jit(
+        lambda tok, s: rwkv_forward(
+            params6, CFG6, tok, s, wkv_backend="chunked"
+        )
+    )
+    outs = []
+    for t in range(tokens.shape[1]):
+        l, s = step(tokens[:, t : t + 1], s)
+        outs.append(l)
+    np.testing.assert_allclose(
+        jnp.concatenate(outs, 1), logits_full, rtol=2e-4, atol=2e-4
+    )
+
+
 def test_backends_agree_on_model(params6, tokens):
     l_ref, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="reference")
     l_chk, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="chunked")
