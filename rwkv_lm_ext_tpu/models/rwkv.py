@@ -213,53 +213,43 @@ def time_mix_v6(
     from rwkv_lm_ext_tpu.ops.wkv import _resolve_backend
 
     if T == 1:
-        # RWKV_FUSED_DECODE=1 (or backend="pallas") routes T=1 through the
-        # fused Pallas decode step (ops/wkv_decode.py). Opt-in: per-layer
-        # it matches the XLA path's state cost but the whole-step dispatch
-        # did not win on the axon stack (scripts/ablate_decode.py).
+        from rwkv_lm_ext_tpu.models.state import pack_wkv
+        from rwkv_lm_ext_tpu.ops.wkv_decode import decode_packable
+
+        # T=1 runs on the tile-packed state (the round-trip reshape via
+        # the logical view folds away in XLA; the canonical carried state
+        # is already packed). Default: the pure-XLA composition.
+        # backend="pallas" (or RWKV_FUSED_DECODE=1) opts into the
+        # single-pass Pallas kernel — measured ~even with the XLA path.
         use_pallas_decode = wkv_backend == "pallas" or (
             wkv_backend == "auto"
             and os.environ.get("RWKV_FUSED_DECODE", "0") == "1"
         )
-        if use_pallas_decode:
+        packed_ok = decode_packable(N) and os.environ.get(
+            "RWKV_PACKED_DECODE", "1"
+        ) == "1"
+        if packed_ok and (
+            use_pallas_decode
+            or wkv_backend in ("auto", "chunked", "chunked_exact")
+        ):
+            from rwkv_lm_ext_tpu.ops import wkv_decode
             from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
 
-            if wkv_backend == "pallas" or pallas_available():
-                # fused decode step: one pass over the fp32 state
-                # (ops/wkv_decode.py); the dominant decode cost is state R/W
-                from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step
-
-                gated, new_wkv = wkv6_decode_step(
-                    r[:, 0], k[:, 0], v[:, 0], w[:, 0],
-                    g[:, 0],
-                    p["time_faaaa"],
-                    p["ln_x"]["scale"], p["ln_x"]["bias"],
-                    s0,
-                    eps=cfg.ln_x_eps,
-                )
-                out = gated @ as_weight(p["output"], dt)
-                return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv
-        from rwkv_lm_ext_tpu.models.state import pack_wkv
-        from rwkv_lm_ext_tpu.ops.wkv_decode import decode_packable
-
-        if (
-            wkv_backend in ("auto", "chunked", "chunked_exact")
-            and decode_packable(N)
-            and os.environ.get("RWKV_PACKED_DECODE", "1") == "1"
-        ):
-            # default decode step: pure-XLA on the tile-packed state (the
-            # round-trip reshape via the logical view folds away in XLA;
-            # the canonical carried state is already packed)
-            from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step_packed
-
-            gated, new_wkv_packed = wkv6_decode_step_packed(
+            args = (
                 r[:, 0], k[:, 0], v[:, 0], w[:, 0],
                 g[:, 0],
                 p["time_faaaa"],
                 p["ln_x"]["scale"], p["ln_x"]["bias"],
                 pack_wkv(s0.astype(jnp.float32)),
-                eps=cfg.ln_x_eps,
             )
+            if use_pallas_decode:
+                gated, new_wkv_packed = wkv_decode.wkv6_decode_step_packed_pallas(
+                    *args, cfg.ln_x_eps, not pallas_available()
+                )
+            else:
+                gated, new_wkv_packed = wkv_decode.wkv6_decode_step_packed(
+                    *args, eps=cfg.ln_x_eps
+                )
             out = gated @ as_weight(p["output"], dt)
             return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv_packed
 

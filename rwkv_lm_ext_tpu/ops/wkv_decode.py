@@ -1,4 +1,4 @@
-"""Fused T=1 decode step: WKV state update + GroupNorm(ln_x) + gate.
+"""T=1 decode step: WKV state update + GroupNorm(ln_x) + gate.
 
 At decode time the WKV "scan" degenerates to one recurrence step
 (cuda/rwkv6.cu:23-60 semantics): per head,
@@ -6,115 +6,40 @@ At decode time the WKV "scan" degenerates to one recurrence step
     y_j     = sum_i r_i (u_i k_i v_j + S[i,j])
     S'[i,j] = exp(-exp(w_i)) S[i,j] + k_i v_j
 
-The FLOPs are trivial; the cost is the fp32 state (B,H,N,N) — ~34 MB per
-layer at 1B6 B=64 — which the unfused XLA path walks several times
-(ablation: stubbing the state math drops the 1B6 B=64 decode step from
-16.3 ms to 4.6 ms, vs a ~2 ms one-pass roofline). This kernel makes one
-pass: state block in VMEM once, y/GN/gate computed in place, state
-written back once.
+The FLOPs are trivial; the cost is the fp32 state — ~34 MB per layer at
+1B6 B=64 — so the op is HBM-bandwidth bound and LAYOUT is everything: a
+logical (..., N, N) array with N=64 is physically padded to 128 lanes by
+XLA (2x footprint, ~6.5x measured copy-bandwidth loss), so both
+implementations here consume the TILE-PACKED (B, H, N*N/128, 128) state
+(models/state.py) and never materialize a logical view.
 
-Layout is everything here. Two earlier drafts were beaten by XLA:
-(HT,N,N) 3D broadcasts lowered to per-element relayouts, and per-head
-(1,N)x(N,N) matmuls serialized on MXU latency. This version uses rows =
-(batch, head, channel i) and lanes = j, so every per-row scalar (r, k,
-decay) arrives as an (R,1) column produced by FREE reshapes in XLA (the
-(B,C) activation layout is already row-major in (b,h,i)), and the only
-cross-row ops are two large MXU matmuls against a one-hot head-expansion
-matrix E[(b,h,i), (b,h)]: Y = E^T (rcol*S) does the per-head reduction,
-vmat = E v does the per-head broadcast. No transposes, no tiny matmuls.
+Two implementations, measured at 1B6 B=64 inside a decode scan on v5e:
+  * wkv6_decode_step_packed — pure XLA, ~130 us/layer. The per-row
+    scalar spreads / per-head v tile are constant one-hot MXU matmuls
+    (x @ M, M (N, N*N)); XLA fuses them into the two state passes.
+    DEFAULT path (models/rwkv.py routes T=1 here).
+  * wkv6_decode_step_packed_pallas — single-pass Pallas kernel,
+    ~140 us/layer: state block to VMEM once, spread/tile/plane-sum via
+    one one-hot MXU matmul + static 128-lane block slices. Kept as the
+    opt-in wkv_backend="pallas" route and as the template for multi-op
+    fusion; it does not yet beat the XLA composition (the op is
+    elementwise-bound and XLA pipelines it well).
+Formulations that LOST (for the record): logical-layout einsum 172 us;
+broadcast/repeat lane spreads 530-1030 us (lane-index arithmetic lowers
+to VREG shuffles); in-kernel masked-reduce spreads 235-310 us; Mosaic
+rejects lanes->sublanes shape casts outright.
 
-Grid: (B/BT,). Backward (never hot: decode is inference) recomputes
-through the jnp composition.
+Backward (never hot: decode is inference) recomputes through the jnp
+composition _decode_ref.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-
-def _decode_kernel(
-    r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref,
-    eb_ref, ef_ref, it_ref, s_ref,
-    out_ref, snew_ref,
-    *, BT: int, H: int, N: int, eps: float,
-):
-    f = jnp.float32
-    bf = jnp.bfloat16
-    r2 = r_ref[:, :]                               # (QT, N) bf16-ish
-    k2 = k_ref[:, :]
-    v2 = v_ref[:, :]
-    g2 = g_ref[:, :].astype(f)
-    w2 = w_ref[:, :]                               # (QT, N) fp32
-    decay = jnp.exp(-jnp.exp(w2))                  # fp32, tiny array
-    d_hi = decay.astype(bf)
-    d_lo = (decay - d_hi.astype(f)).astype(bf)
-    S = s_ref[:, :]                                # (R, N) fp32
-
-    u2 = u_ref[:, :].astype(f)                     # (H, N)
-    sc = sc_ref[:, :].astype(f)
-    bi = bi_ref[:, :].astype(f)
-    if BT > 1:
-        u2 = jnp.concatenate([u2] * BT, axis=0)
-        sc = jnp.concatenate([sc] * BT, axis=0)
-        bi = jnp.concatenate([bi] * BT, axis=0)
-    r2f = r2.astype(f)
-    k2f = k2.astype(f)
-    v2f = v2.astype(f)
-    bonus = jnp.sum(r2f * u2 * k2f, axis=1, keepdims=True)   # (QT, 1)
-
-    # E[(q,i), q'] = (q==q') (bf16 + fp32 copies), I[(q,i), j] = (i==j):
-    # constant inputs resident in VMEM across the whole grid. A = E @ X
-    # broadcasts each head row to its N state rows; sum(A_x * I, lanes)
-    # extracts the per-row scalar as an (R,1) column. bf16 matmuls are
-    # exact for one-hot E against bf16 activations; the fp32 decay rides
-    # a hi/lo split. (Earlier versions: (R,1) columns from XLA -> 64MB
-    # 128x-padded layout copies; in-kernel fp32 E rebuild + fp32 matmuls
-    # -> ~5x roofline.)
-    Eb = eb_ref[:, :]                              # (R, QT) bf16
-    Ef = ef_ref[:, :]                              # (R, QT) fp32
-    I_t = it_ref[:, :]                             # (R, N) fp32
-
-    def split(x):
-        hi = x.astype(bf)
-        return hi, (x - hi.astype(f)).astype(bf)
-
-    r_hi, r_lo = split(r2f)
-    k_hi, k_lo = split(k2f)
-    v_hi, v_lo = split(v2f)
-    X = jnp.concatenate(
-        [r_hi, k_hi, v_hi, d_hi, r_lo, k_lo, v_lo, d_lo], axis=1
-    )                                              # (QT, 8N) bf16
-    A = jax.lax.dot_general(                       # (R, 8N) fp32
-        Eb, X, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f,
-    )
-    HALF = 4 * N
-
-    def col(i):
-        part = A[:, i * N : (i + 1) * N] + A[:, HALF + i * N : HALF + (i + 1) * N]
-        return jnp.sum(part * I_t, axis=1, keepdims=True)
-
-    rcol, kcol, dcol = col(0), col(1), col(3)
-    vmat = A[:, 2 * N : 3 * N] + A[:, HALF + 2 * N : HALF + 3 * N]
-
-    G = rcol * S
-    y = jax.lax.dot_general(                       # E^T @ G: per-head sums
-        Ef, G, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f,
-    )                                              # (QT, N)
-    y += bonus * v2f
-    snew_ref[:, :] = dcol * S + kcol * vmat
-
-    # per-head GroupNorm + affine + gate
-    mu = jnp.mean(y, axis=1, keepdims=True)
-    var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
-    yn = (y - mu) * jax.lax.rsqrt(var + eps)
-    out_ref[:, :] = ((yn * sc + bi) * g2).astype(out_ref.dtype)
 
 
 def _decode_ref(r, k, v, w, g, u, scale, bias, state, eps):
@@ -138,94 +63,164 @@ def _decode_ref(r, k, v, w, g, u, scale, bias, state, eps):
     return out.reshape(B, H * N).astype(g.dtype), snew
 
 
-def _pick_bt(B: int, H: int, N: int) -> Optional[int]:
-    """Largest divisor of B with 8-aligned block rows and state block
-    <= ~1 MB (falling back to the whole batch when alignment needs it)."""
-    cap = max(1, (1 << 20) // (H * N * N * 4))
+
+
+def _decode_packed_kernel(
+    r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref,
+    msp_ref, s_ref,
+    out_ref, snew_ref,
+    *, BT: int, H: int, N: int, eps: float,
+):
+    """Packed-state decode step, one program per BT batch rows.
+
+    Everything stays 2D with 128-aligned lanes: the state block is
+    (QT, P*128) (a free reshape of the packed (B, H, P, 128) carry; lane
+    q = p*128 + a*N + j holds logical (i, j) = (p*K + a, j)). One
+    one-hot MXU matmul produces all three per-row scalar spreads
+    (row-stacked [decay; k; r] @ Msp — bf16 one-hot matmuls are exact
+    and the hi/lo split rides the same contraction); tile(v) and the
+    y plane-sum are static 128-lane block concats/adds on the VPU. No
+    lane shuffles, no shape casts, no masked reduces — earlier drafts
+    using those were 1.5-8x slower than the XLA composition."""
+    f = jnp.float32
+    bf = jnp.bfloat16
+    K = 128 // N
+    P = (N * N) // 128
+    QT = BT * H
+
+    r2 = r_ref[:, :].astype(f)
+    k2 = k_ref[:, :].astype(f)
+    v2 = v_ref[:, :].astype(f)
+    g2 = g_ref[:, :].astype(f)
+    w2 = w_ref[:, :]                                   # fp32
+    decay = jnp.exp(-jnp.exp(w2))
+    S = s_ref[:, :]                                    # (QT, P*128) fp32
+
+    u2 = u_ref[:, :].astype(f)                         # (H, N)
+    sc = sc_ref[:, :].astype(f)
+    bi = bi_ref[:, :].astype(f)
+    if BT > 1:
+        u2 = jnp.concatenate([u2] * BT, axis=0)
+        sc = jnp.concatenate([sc] * BT, axis=0)
+        bi = jnp.concatenate([bi] * BT, axis=0)
+    bonus = jnp.sum(r2 * u2 * k2, axis=1, keepdims=True)   # (QT, 1)
+
+    Msp = msp_ref[:, :]                                # (2N, P*128) bf16
+
+    def hilo(x):                                       # (QT, N) -> (QT, 2N)
+        hi = x.astype(bf)
+        lo = (x - hi.astype(f)).astype(bf)
+        return jnp.concatenate([hi, lo], axis=1)
+
+    # one MXU matmul produces all three spreads (row-stacked)
+    X3 = jnp.concatenate(
+        [hilo(decay), hilo(k2), hilo(r2)], axis=0
+    )                                                  # (3QT, 2N) bf16
+    A3 = jax.lax.dot_general(                          # (3QT, P*128) f32
+        X3, Msp, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f,
+    )
+    sd, sk, sr = A3[:QT], A3[QT : 2 * QT], A3[2 * QT :]
+
+    # tile(v) and the plane-sum are static 128-lane block concats/adds
+    rep = jnp.concatenate([v2] * K, axis=1)            # (QT, 128)
+    tile_v = jnp.concatenate([rep] * P, axis=1)        # (QT, P*128)
+
+    snew_ref[:, :] = sd * S + sk * tile_v
+
+    t = sr * S                                         # (QT, P*128)
+    yh = t[:, :128]
+    for p in range(1, P):
+        yh = yh + t[:, p * 128 : (p + 1) * 128]        # (QT, 128) fp32
+    y = sum(yh[:, a * N : (a + 1) * N] for a in range(K))
+    y = y + bonus * v2                                 # (QT, N)
+
+    mu = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    out_ref[:, :] = ((yn * sc + bi) * g2).astype(out_ref.dtype)
+
+
+def _pick_bt_packed(B: int, H: int, N: int) -> int:
+    """Largest divisor of B with 8-aligned row blocks and a state block
+    <= ~2 MB in VMEM (the kernel keeps ~8 state-sized live values:
+    S, A3 spreads, tile, products, snew, double-buffered I/O; BT=4 at
+    1B6 B=64 measured fastest — bigger blocks OOM the 16 MB scoped
+    VMEM, smaller ones pay more per-program fixed cost)."""
+    P = (N * N) // 128
+    cap = max(1, (2 << 20) // (H * P * 128 * 4))
     for bt in range(min(B, cap), 0, -1):
-        if B % bt == 0 and (bt * H) % 8 == 0 and (bt * H * N) % 8 == 0:
+        if B % bt == 0 and (bt * H) % 8 == 0 and (bt * H * P) % 8 == 0:
             return bt
-    return B  # full-array blocks always satisfy the tiling rule
+    return B
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def _decode(r, k, v, w, g, u, scale, bias, state, eps, interpret):
-    return _decode_impl(r, k, v, w, g, u, scale, bias, state, eps, interpret)
+def wkv6_decode_step_packed_pallas(
+    r, k, v, w, g, u, ln_scale, ln_bias, state_packed, eps, interpret=False
+):
+    """Pallas single-pass variant of wkv6_decode_step_packed: the state
+    block is read into VMEM once and written once per step (the XLA
+    version materializes the one-hot spread products in HBM). Same packed
+    (B, H, P, 128) state contract. eps/interpret are positional
+    (custom_vjp nondiff); backward recomputes through the XLA packed
+    composition."""
+    H, N = u.shape
+    B = r.shape[0]
+    K, P = 128 // N, (N * N) // 128
+    BT = _pick_bt_packed(B, H, N)
+    R, QT = BT * H * P, BT * H
 
-
-def _decode_impl(r, k, v, w, g, u, scale, bias, state, eps, interpret):
-    B, H, N = r.shape
-    if N % 8 != 0 or N > 512:
-        return _decode_ref(r, k, v, w, g, u, scale, bias, state, eps)
-    BT = _pick_bt(B, H, N)
-    R, QT = BT * H * N, BT * H
-
-    # free reshapes: (B,H,N) is row-major in (b,h)
     r2 = r.reshape(B * H, N)
     k2 = k.reshape(B * H, N)
     v2 = v.reshape(B * H, N)
-    w2 = w.reshape(B * H, N)
+    w2 = w.astype(jnp.float32).reshape(B * H, N)
     g2 = g.reshape(B * H, N)
-    s2 = state.reshape(B * H * N, N)
+    s2 = state_packed.reshape(B * H, P * 128)
 
-    # constant one-hot expansion/selection matrices (built once in XLA,
-    # resident in VMEM across the whole grid via constant index maps)
-    rows = jnp.arange(R)
-    E = (rows[:, None] // N == jnp.arange(QT)[None, :])
-    I_t = (rows[:, None] % N == jnp.arange(N)[None, :])
-    Eb = E.astype(jnp.bfloat16)
-    Ef = E.astype(jnp.float32)
-    If = I_t.astype(jnp.float32)
+    # one-hot data-movement matrices (trace-time constants); the hi/lo
+    # halves stack so spread(hi)+spread(lo) rides one contraction
+    i_idx = jnp.arange(N)[:, None]
+    q_idx = jnp.arange(P * 128)[None, :]
+    msp1 = (i_idx == q_idx // N).astype(jnp.bfloat16)
+    Msp = jnp.concatenate([msp1, msp1], axis=0)        # (2N, P*128)
 
     qrow = lambda: pl.BlockSpec((QT, N), lambda b: (b, 0))
-    smat = pl.BlockSpec((R, N), lambda b: (b, 0))
+    smat = pl.BlockSpec((QT, P * 128), lambda b: (b, 0))
     hconst = lambda: pl.BlockSpec((H, N), lambda b: (0, 0))
-    econst = lambda sh: pl.BlockSpec(sh, lambda b: (0, 0))
+    cconst = lambda sh: pl.BlockSpec(sh, lambda b: (0, 0))
     out, snew = pl.pallas_call(
-        functools.partial(_decode_kernel, BT=BT, H=H, N=N, eps=eps),
+        functools.partial(
+            _decode_packed_kernel, BT=BT, H=H, N=N, eps=eps
+        ),
         grid=(B // BT,),
         in_specs=[
             qrow(), qrow(), qrow(), qrow(), qrow(),
             hconst(), hconst(), hconst(),
-            econst((R, QT)), econst((R, QT)), econst((R, N)),
+            cconst((2 * N, P * 128)),
             smat,
         ],
         out_specs=[qrow(), smat],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, N), g.dtype),
-            jax.ShapeDtypeStruct((B * H * N, N), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, P * 128), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * N * N * H,  # E matmuls contract over QT/R
+            flops=8 * B * H * N * N * N,
             bytes_accessed=2 * B * H * N * N * 4,
             transcendentals=2 * B * H * N,
         ),
     )(
         r2, k2, v2, w2, g2,
-        u.reshape(H, N), scale.reshape(H, N), bias.reshape(H, N),
-        Eb, Ef, If,
+        u.reshape(H, N), ln_scale.reshape(H, N), ln_bias.reshape(H, N),
+        Msp,
         s2,
     )
-    return out.reshape(B, H * N), snew.reshape(B, H, N, N)
-
-
-def _decode_fwd(r, k, v, w, g, u, scale, bias, state, eps, interpret):
-    out = _decode_impl(r, k, v, w, g, u, scale, bias, state, eps, interpret)
-    return out, (r, k, v, w, g, u, scale, bias, state)
-
-
-def _decode_bwd(eps, interpret, res, cts):
-    r, k, v, w, g, u, scale, bias, state = res
-
-    def f(r, k, v, w, g, u, scale, bias, state):
-        return _decode_ref(r, k, v, w, g, u, scale, bias, state, eps)
-
-    _, vjp = jax.vjp(f, r, k, v, w, g, u, scale, bias, state)
-    return vjp(cts)
-
-
-_decode.defvjp(_decode_fwd, _decode_bwd)
+    return (
+        out.reshape(B, H * N),
+        snew.reshape(B, H, P, 128),
+    )
 
 
 def decode_packable(N: int) -> bool:
@@ -311,37 +306,20 @@ def wkv6_decode_step_packed(
     ) * g3
     return out.reshape(B, H * N).astype(g.dtype), snew
 
-
-def wkv6_decode_step(
-    r: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    w: jax.Array,
-    g: jax.Array,
-    u: jax.Array,
-    ln_scale: jax.Array,
-    ln_bias: jax.Array,
-    state: jax.Array,
-    *,
-    eps: float,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """One fused decode step.
-
-    r,k,v,g: (B, C) compute dtype; w: (B, C) fp32 (raw log-decay; the
-    kernel applies exp(-exp(w))); u (H,N); ln_scale/ln_bias (C,);
-    state (B, H, N, N) fp32.
-    Returns (gated output (B, C) in g.dtype — feed the output projection —
-    and the updated state)."""
-    from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
-
-    H, N = u.shape
-    B = r.shape[0]
-    if interpret is None:
-        interpret = not pallas_available()
-    r3, k3, v3, g3 = (x.reshape(B, H, N) for x in (r, k, v, g))
-    w3 = w.astype(jnp.float32).reshape(B, H, N)
-    return _decode(
-        r3, k3, v3, w3, g3, u, ln_scale, ln_bias,
-        state.astype(jnp.float32), eps, interpret,
+def _packed_pallas_fwd(r, k, v, w, g, u, ln_scale, ln_bias, state_packed,
+                       eps, interpret):
+    out = wkv6_decode_step_packed_pallas(
+        r, k, v, w, g, u, ln_scale, ln_bias, state_packed, eps, interpret
     )
+    return out, (r, k, v, w, g, u, ln_scale, ln_bias, state_packed)
+
+
+def _packed_pallas_bwd(eps, interpret, res, cts):
+    def f(*args):
+        return wkv6_decode_step_packed(*args, eps=eps)
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(cts)
+
+
+wkv6_decode_step_packed_pallas.defvjp(_packed_pallas_fwd, _packed_pallas_bwd)

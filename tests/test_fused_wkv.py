@@ -307,29 +307,35 @@ def test_prologue_pallas_backward_matches_reference():
 
 
 def test_decode_step_kernel_matches_reference():
-    """wkv6_decode_step (fused T=1 WKV update + GroupNorm + gate, interpret)
-    vs the jnp composition and vs the sequential-scan path."""
-    from rwkv_lm_ext_tpu.ops.wkv_decode import _decode_ref, wkv6_decode_step
+    """wkv6_decode_step_packed_pallas (single-pass packed-state kernel,
+    interpret) vs the jnp composition, over the supported geometries."""
+    from rwkv_lm_ext_tpu.models.state import pack_wkv, unpack_wkv
+    from rwkv_lm_ext_tpu.ops.wkv_decode import (
+        _decode_ref, wkv6_decode_step_packed_pallas,
+    )
 
     rng = np.random.default_rng(7)
-    B, H, N = 3, 4, 64
-    C = H * N
-    mk = lambda sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
-    r, k, v, g = mk((B, C)), mk((B, C)), mk((B, C)), mk((B, C))
-    w = jnp.asarray(rng.uniform(-6, 0.5, size=(B, C)).astype(np.float32))
-    u = mk((H, N)) * 0.5
-    scale = 1.0 + 0.1 * mk((C,))
-    bias = 0.1 * mk((C,))
-    state = mk((B, H, N, N)) * 0.3
-    out_k, s_k = wkv6_decode_step(
-        r, k, v, w, g, u, scale, bias, state, eps=64e-5, interpret=True
-    )
-    out_r, s_r = _decode_ref(
-        r.reshape(B, H, N), k.reshape(B, H, N), v.reshape(B, H, N),
-        w.reshape(B, H, N), g.reshape(B, H, N), u, scale, bias, state, 64e-5,
-    )
-    np.testing.assert_allclose(out_k, out_r, rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(s_k, s_r, rtol=2e-5, atol=2e-5)
+    for B, H, N in ((3, 4, 64), (2, 3, 16), (4, 2, 32)):
+        C = H * N
+        mk = lambda sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
+        r, k, v, g = mk((B, C)), mk((B, C)), mk((B, C)), mk((B, C))
+        w = jnp.asarray(rng.uniform(-6, 0.5, size=(B, C)).astype(np.float32))
+        u = mk((H, N)) * 0.5
+        scale = 1.0 + 0.1 * mk((C,))
+        bias = 0.1 * mk((C,))
+        state = mk((B, H, N, N)) * 0.3
+        out_k, s_k = wkv6_decode_step_packed_pallas(
+            r, k, v, w, g, u, scale, bias, pack_wkv(state), 64e-5, True
+        )
+        out_r, s_r = _decode_ref(
+            r.reshape(B, H, N), k.reshape(B, H, N), v.reshape(B, H, N),
+            w.reshape(B, H, N), g.reshape(B, H, N), u, scale, bias,
+            state, 64e-5,
+        )
+        np.testing.assert_allclose(out_k, out_r, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            unpack_wkv(s_k, N), s_r, rtol=2e-4, atol=2e-4
+        )
 
 
 def test_decode_step_packed_matches_reference():
@@ -390,6 +396,11 @@ def test_decode_step_time_mix_matches_sequential():
     o_f, sh_f, w_f = time_mix_v6(
         att, cfg, x, shift, wkv0, wkv_backend="pallas"
     )
+    from rwkv_lm_ext_tpu.models.state import unpack_wkv
+
     np.testing.assert_allclose(o_f, o_ref, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(sh_f, sh_ref, atol=1e-6)
-    np.testing.assert_allclose(w_f, w_ref, rtol=2e-4, atol=2e-4)
+    # T=1 pallas routes through the packed-state kernel -> packed carry
+    np.testing.assert_allclose(
+        unpack_wkv(w_f, N), w_ref, rtol=2e-4, atol=2e-4
+    )
