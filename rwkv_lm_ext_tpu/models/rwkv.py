@@ -193,6 +193,9 @@ def time_mix_v6(
     """RWKV-6 time mix (src/model.py:434-477 jit_func/jit_func_2/forward).
 
     x: (B, T, C). Returns (out (B,T,C), new_att_shift (B,C), new_wkv).
+    wkv_state may be the canonical tile-packed form or the logical
+    (B, H, N, N) view; the T=1 packed route consumes packed directly (no
+    logical materialization), other paths unpack at their boundary.
     `state_param_override`: a learnable (H,N,N) initial state (state-tuning,
     src/model.py:481-584 RWKV_Tmix_x060_state) used *instead of* the carried
     wkv_state.
@@ -253,6 +256,10 @@ def time_mix_v6(
             out = gated @ as_weight(p["output"], dt)
             return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv_packed
 
+    from rwkv_lm_ext_tpu.models.state import unpack_wkv
+
+    s0 = unpack_wkv(s0, N)  # logical view for the generic backends
+
     be = _resolve_backend(wkv_backend, T)
     if be == "pallas":
         # fused WKV + GroupNorm + gate (layout-free, see ops/wkv_pallas.py)
@@ -308,10 +315,13 @@ def time_mix_v6_fused(
     from rwkv_lm_ext_tpu.ops.ddlerp_pallas import tmix_prologue
     from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv6_fused_output
 
+    from rwkv_lm_ext_tpu.models.state import unpack_wkv
+
     p = block_p["att"]
     B, T, C = x.shape
     H, N = cfg.n_head, cfg.head_size
     dt = x.dtype
+    wkv_state = unpack_wkv(wkv_state, N)
     maa = jnp.stack([
         p["time_maa_x"], p["time_maa_w"], p["time_maa_k"],
         p["time_maa_v"], p["time_maa_r"], p["time_maa_g"],
@@ -367,9 +377,12 @@ def time_mix_v5(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """RWKV-5.x (Eagle) time mix (src/model.py:292-374): static lerp mixing,
     per-channel constant decay, GroupNorm on y/head_size_divisor."""
+    from rwkv_lm_ext_tpu.models.state import unpack_wkv
+
     B, T, C = x.shape
     H, N = cfg.n_head, cfg.head_size
     dt = x.dtype
+    wkv_state = unpack_wkv(wkv_state, N)
 
     prev = _token_shift(x, att_shift)
 
@@ -513,9 +526,9 @@ def block_forward(
     from rwkv_lm_ext_tpu.models.state import pack_wkv, unpack_wkv
 
     att_shift, wkv_state, ffn_shift = layer_state
-    # canonical state is tile-packed (models/state.py); time-mix math uses
-    # the logical (B, H, N, N) view
-    wkv_state = unpack_wkv(wkv_state, cfg.head_size)
+    # canonical state is tile-packed (models/state.py); each time-mix
+    # variant unpacks to the logical view only where it needs it (the T=1
+    # packed decode route consumes the packed form directly)
     if layer_id == 0 and "ln0" in p:
         x = layer_norm(x, p["ln0"])
         if cfg.my_pos_emb > 0 and "pos_emb_x" in p:
@@ -600,7 +613,10 @@ def rwkv_forward(
 ) -> Tuple[jax.Array, Dict]:
     """Full model: emb -> blocks -> ln_out -> head (src/model.py:1193-1243).
 
-    tokens: (B, T) int32. state: ModelState or None (zeros).
+    tokens: (B, T) int32. state: ModelState, None (zeros), or the
+    UNSTACKED per-layer form (models.state.unstack_state; the return
+    matches the input form — note the stacked dict measured FASTER as a
+    decode-scan carry, see unstack_state).
     use_state_params: read each block's learnable att.time_state as the WKV
       initial state (state-tuning training / "states" serving).
     dropout_rng: enables dropout (training only) when cfg.dropout > 0.
@@ -645,8 +661,14 @@ def rwkv_forward(
             fused_prologue=fused_prologue,
         )
 
+    unstacked = isinstance(state, (list, tuple))
     for i, bp in enumerate(params["blocks"]):
-        ls = (state["att_shift"][i], state["wkv"][i], state["ffn_shift"][i])
+        if unstacked:
+            ls = state[i]
+        else:
+            ls = (
+                state["att_shift"][i], state["wkv"][i], state["ffn_shift"][i]
+            )
         fn = run_block
         if remat:
             fn = jax.checkpoint(
@@ -659,11 +681,16 @@ def rwkv_forward(
         new_wkv.append(ls[1])
         new_ffn_shift.append(ls[2])
 
-    new_state = {
-        "att_shift": jnp.stack(new_att_shift),
-        "wkv": jnp.stack(new_wkv),
-        "ffn_shift": jnp.stack(new_ffn_shift),
-    }
+    if unstacked:
+        new_state = tuple(
+            zip(new_att_shift, new_wkv, new_ffn_shift)
+        )
+    else:
+        new_state = {
+            "att_shift": jnp.stack(new_att_shift),
+            "wkv": jnp.stack(new_wkv),
+            "ffn_shift": jnp.stack(new_ffn_shift),
+        }
 
     x = layer_norm(x, params["ln_out"])
     if return_hidden and not return_logits:

@@ -1,9 +1,10 @@
-"""Batched decode-step benchmark: gumbel vs invcdf sampling at B=64.
+"""Batched decode-step benchmark: gumbel vs invcdf sampling at B=64, 1B6.
 
-Measured r1: gumbel 16.3 ms/step, invcdf 16.67 — decode is op-dispatch +
-state-traffic bound, not RNG-bound (see STATUS.md roadmap item 5).
+Measured r1: gumbel 16.3 ms/step (3.9k tok/s aggregate) on the padded
+(N, N) state layout. With the tile-packed canonical state + packed T=1
+step (models/state.py + ops/wkv_decode.py): 10.67 ms (6.0k tok/s);
+int8 weights 9.74 ms (6.6k). Set INT8=1 to quantize.
 """
-"""Batched decode step: gumbel vs invcdf categorical at B=64, 1B6."""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
@@ -16,7 +17,12 @@ from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, sample_token
 B = 64
 N_TOK = 64
 cfg = rwkv6_1b6(param_dtype="bfloat16")
-params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
+params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+if os.environ.get("INT8") == "1":
+    from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+    params = quantize_tree(params, "int8", include_head=True)
+params = jax.device_put(params)
 state = init_model_state(cfg, B)
 tok0 = jnp.full((B,), 5, jnp.int32)
 

@@ -89,6 +89,28 @@ def test_packed_decode_loop_matches_full(params6, tokens):
     )
 
 
+def test_unstacked_state_decode_matches_stacked(params6, tokens):
+    """Decode threading the unstacked per-layer state (the fast carry
+    form for decode scans) == the stacked-dict state contract."""
+    from rwkv_lm_ext_tpu.models.state import restack_state, unstack_state
+
+    s = init_model_state(CFG6, 2)
+    su = unstack_state(s)
+    outs_s, outs_u = [], []
+    for t in range(6):
+        ls, s = rwkv_forward(params6, CFG6, tokens[:, t : t + 1], s)
+        lu, su = rwkv_forward(params6, CFG6, tokens[:, t : t + 1], su)
+        outs_s.append(ls)
+        outs_u.append(lu)
+    np.testing.assert_allclose(
+        jnp.concatenate(outs_u, 1), jnp.concatenate(outs_s, 1),
+        rtol=1e-5, atol=1e-5,
+    )
+    rs = restack_state(su)
+    for k in s:
+        np.testing.assert_allclose(rs[k], s[k], atol=1e-6)
+
+
 def test_backends_agree_on_model(params6, tokens):
     l_ref, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="reference")
     l_chk, _ = rwkv_forward(params6, CFG6, tokens, wkv_backend="chunked")
