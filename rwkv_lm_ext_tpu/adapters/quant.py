@@ -56,9 +56,11 @@ NF4_CODE = jnp.asarray(
 
 
 def quantize_int8(w: jax.Array) -> Dict:
-    """Per-output-channel (last axis) absmax int8."""
+    """Per-output-channel (last axis) absmax int8; the absmax runs over
+    the input axis (-2), so stacked (L, in, out) leaves quantize with an
+    independent scale per (layer, out-channel)."""
     wf = w.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return QuantizedTensor("int8", q, scale)
@@ -129,8 +131,8 @@ def quantize_tree(
     out = dict(params)
     if include_head and "head" in out and not is_quantized(out["head"]):
         out["head"] = enc(params["head"])
-    out["blocks"] = []
-    for b in params["blocks"]:
+
+    def quant_block(b):
         nb = dict(b)
         nb["att"] = dict(b["att"])
         nb["ffn"] = dict(b["ffn"])
@@ -140,7 +142,16 @@ def quantize_tree(
         for name in _FFN_TARGETS:
             if name in nb["ffn"] and not is_quantized(nb["ffn"][name]):
                 nb["ffn"][name] = enc(nb["ffn"][name])
-        out["blocks"].append(nb)
+        return nb
+
+    if "blocks_stacked" in params:
+        # scan-over-layers trees: the stacked leaves carry a leading layer
+        # axis; int8 per-output-channel / nf4 block codecs are shape-
+        # preserving so the same encoders apply per stacked leaf
+        out["block0"] = quant_block(params["block0"])
+        out["blocks_stacked"] = quant_block(params["blocks_stacked"])
+    else:
+        out["blocks"] = [quant_block(b) for b in params["blocks"]]
     return out
 
 
@@ -148,14 +159,21 @@ def dequantize_tree(params: Dict, dtype=jnp.float32) -> Dict:
     def walk(leaf):
         return dequantize(leaf, dtype) if is_quantized(leaf) else leaf
 
-    out = dict(params)
-    out["blocks"] = []
-    for b in params["blocks"]:
+    def walk_block(b):
         nb = {}
         for k, v in b.items():
             if k in ("att", "ffn"):
                 nb[k] = {kk: walk(vv) for kk, vv in v.items()}
             else:
                 nb[k] = v
-        out["blocks"].append(nb)
+        return nb
+
+    out = dict(params)
+    if "head" in out and is_quantized(out["head"]):
+        out["head"] = walk(out["head"])
+    if "blocks_stacked" in params:
+        out["block0"] = walk_block(params["block0"])
+        out["blocks_stacked"] = walk_block(params["blocks_stacked"])
+    else:
+        out["blocks"] = [walk_block(b) for b in params["blocks"]]
     return out

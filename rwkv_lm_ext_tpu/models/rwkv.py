@@ -159,16 +159,22 @@ def suggest_fused_chunk(params) -> int:
     ops.wkv_chunked.safe_chunk_size."""
     import numpy as np
 
+    if "blocks_stacked" in params:           # scan-over-layers trees
+        blocks = [params["block0"], params["blocks_stacked"]]
+    else:
+        blocks = params["blocks"]
     w_max = -1e30
-    for b in params["blocks"]:
+    for b in blocks:
         att = b["att"]
         if "time_decay" not in att:
             continue
         td = np.asarray(att["time_decay"], np.float32)
         bound = float(td.max())
         if "time_decay_w2" in att:
+            # stacked leaves carry a leading layer axis; the column-L1
+            # bound sums the second-to-last axis either way
             w2 = np.abs(np.asarray(att["time_decay_w2"], np.float32))
-            bound += float(w2.sum(axis=0).max())
+            bound += float(w2.sum(axis=-2).max())
         w_max = max(w_max, bound)
     if w_max <= 0:
         return 256

@@ -67,6 +67,28 @@ def test_quantized_model_forward_close():
     np.testing.assert_allclose(l_q, l_dq, atol=1e-5)
 
 
+def test_quantize_tree_on_stacked_params():
+    """int8/nf4 quantization + suggest_fused_chunk work on scan-over-
+    layers (stacked) trees; stacked int8 scales are per (layer, channel)
+    so the quantized stacked forward matches the quantized flat one."""
+    from rwkv_lm_ext_tpu.models.rwkv import suggest_fused_chunk
+    from rwkv_lm_ext_tpu.models.stacked import stack_params
+
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 12), 0, 100)
+    sp = stack_params(params)
+    assert suggest_fused_chunk(sp) == suggest_fused_chunk(params)
+    l_flat, _ = rwkv_forward(quantize_tree(params, "int8"), CFG, tokens)
+    qsp = quantize_tree(sp, "int8", include_head=True)
+    l_stacked, _ = rwkv_forward(qsp, CFG, tokens)
+    # block0 quantizes identically; stacked layers 1.. share per-layer
+    # scales with the flat form, so logits agree to head-quant error
+    denom = float(jnp.abs(l_flat).max())
+    assert float(jnp.abs(l_stacked - l_flat).max()) / max(denom, 1e-6) < 0.1
+    l_dq, _ = rwkv_forward(dequantize_tree(qsp), CFG, tokens)
+    np.testing.assert_allclose(l_stacked, l_dq, atol=1e-5)
+
+
 def test_json_recovery():
     assert _extract_json('noise {"entities": []} more')["entities"] == []
     assert _extract_json("no json here") is None
