@@ -42,6 +42,12 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--max-steps", type=int, default=0, help="0 = all data")
     p.add_argument("--ctx-len", type=int, default=512)
     p.add_argument("--chunk-ctx", type=int, default=0, help="TBPTT (infctx)")
+    p.add_argument(
+        "--grad-checkpoint", choices=["on", "off"], default="on",
+        help="per-block activation remat (reference grad_cp). 'off' "
+        "trades ~25%% recompute flops for activation memory — wins when "
+        "the batch fits (e.g. LoRA 1B6 B8 ctx512 on a 16 GB chip)",
+    )
     p.add_argument("--dp", type=int, default=0, help="0 = all devices")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -86,6 +92,7 @@ def _train_config(args, total_steps: int):
         micro_bsz=args.micro_bsz,
         accumulate_grad_batches=args.accumulate_grad_batches,
         chunk_ctx=args.chunk_ctx,
+        grad_checkpoint=args.grad_checkpoint == "on",
         seed=args.seed,
     )
 
@@ -263,12 +270,12 @@ def cmd_sft(args):
 
             def loss_fn(adapter_p, frozen, cfg_, batch):
                 merged = merge_lora_stacked(frozen, adapter_p, lc)
-                return sft_loss_fn(merged, cfg_, batch, remat=True)
+                return sft_loss_fn(merged, cfg_, batch, remat=tc.grad_checkpoint)
         else:
 
             def loss_fn(adapter_p, frozen, cfg_, batch):
                 merged = merge_lora(frozen, adapter_p, lc)
-                return sft_loss_fn(merged, cfg_, batch, remat=True)
+                return sft_loss_fn(merged, cfg_, batch, remat=tc.grad_checkpoint)
 
         init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
 
@@ -304,7 +311,7 @@ def cmd_sft(args):
             from rwkv_lm_ext_tpu.train.losses import causal_lm_loss
 
             logits, _ = rwkv_forward(
-                p, cfg_, batch["input_ids"], remat=True, use_state_params=True
+                p, cfg_, batch["input_ids"], remat=tc.grad_checkpoint, use_state_params=True
             )
             return causal_lm_loss(logits, batch["labels"])
 
@@ -424,7 +431,7 @@ def cmd_bi_encoder(args):
         merged = merge_lora(frozen, adapter_p, lc)
         embs = {
             k: embed_sequences(
-                merged, cfg_, batch[k], pooling_type=args.pooling, remat=True
+                merged, cfg_, batch[k], pooling_type=args.pooling, remat=tc.grad_checkpoint
             )
             for k in ("query", "positive", "negative")
             if k in batch
@@ -468,7 +475,7 @@ def cmd_encoder_biencoder(args):
 
     def loss_fn(p, cfg_, batch):
         embs = {
-            k: encode_sentence(p, cfg_, batch[k], mode=args.bi_mode, remat=True)
+            k: encode_sentence(p, cfg_, batch[k], mode=args.bi_mode, remat=tc.grad_checkpoint)
             for k in ("query", "positive", "negative")
             if k in batch
         }
@@ -549,7 +556,7 @@ def cmd_encoder_crossencoder(args):
     def loss_fn(tp, cfg_, batch):
         emb = encode_sentence(
             tp["model"], cfg_, batch["input_ids"], mode=args.bi_mode,
-            remat=True,
+            remat=tc.grad_checkpoint,
         )
         scores = emb.astype(jnp.float32) @ tp["score"]["kernel"].astype(
             jnp.float32
@@ -597,7 +604,7 @@ def cmd_cross_encoder(args):
     def loss_fn(tp, frozen, cfg_, batch):
         merged = merge_lora(frozen, tp["adapter"], lc)
         scores = classify_sequences(
-            merged, cfg_, batch["input_ids"], tp["score"], remat=True
+            merged, cfg_, batch["input_ids"], tp["score"], remat=tc.grad_checkpoint
         )
         # scalar scores -> MSE on 0/1 labels (RwkvForClassification
         # num_labels==1 semantics, src/model_ext.py:238-249)
@@ -679,7 +686,7 @@ def cmd_mlm(args, mae: bool = False):
             out = mae_forward(
                 p, cfg_, batch["encoder_input_ids"],
                 batch["decoder_input_ids"], bidirectional=not args.uni,
-                remat=True,
+                remat=tc.grad_checkpoint,
             )
             loss = mlm_loss(out["encoder_logits"], batch["encoder_labels"])
             loss += mlm_loss(out["decoder_logits"], batch["decoder_labels"])
@@ -694,7 +701,7 @@ def cmd_mlm(args, mae: bool = False):
             from rwkv_lm_ext_tpu.models.heads import mlm_logits
 
             hidden = encoder_forward(
-                p, cfg_, batch["input_ids"], remat=True
+                p, cfg_, batch["input_ids"], remat=tc.grad_checkpoint
             )
             return mlm_loss(mlm_logits(p, cfg_, hidden), batch["labels"])
 
@@ -773,7 +780,7 @@ def cmd_simcse(args):
 
     def embed(p, tokens, rng):
         hidden, _ = rwkv_forward(
-            p, cfg, tokens, remat=True, dropout_rng=rng,
+            p, cfg, tokens, remat=tc.grad_checkpoint, dropout_rng=rng,
             return_hidden=True, return_logits=False,
         )
         return pool_hidden(hidden, first_token_position(tokens, 1), args.pooling)

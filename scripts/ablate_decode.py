@@ -2,9 +2,10 @@
 
 Differential methodology (long scan minus short scan, one host fetch) so
 the remote-dispatch round trip cancels. Variants:
-  full/kernel    auto backend (fused Pallas decode step)
-  full/xla       reference backend (sequential-scan XLA path)
-  nostate        WKV stubbed to y=r*k+v, state passthrough (non-state ceiling)
+  full/packed    auto backend (tile-packed XLA T=1 step — the default)
+  full/xla       reference backend (sequential-scan XLA path, logical state)
+  nostate        packed T=1 step stubbed to y=r*k+v, state passthrough
+                 (non-state ceiling)
   nohead         hidden state only: no 65536-vocab head matmul, no sampling
 Env: B (64), N_LONG (48), N_SHORT (8).
 """
@@ -32,13 +33,20 @@ state0 = init_model_state(cfg, B)
 tok0 = jnp.full((B,), 5, jnp.int32)
 sp = SamplingParams(top_p_impl="bisect")
 
+import rwkv_lm_ext_tpu.ops.wkv_decode as wkv_decode_mod
+
 real_wkv = rwkv_mod.wkv
+real_packed = wkv_decode_mod.wkv6_decode_step_packed
 
 
 def fake_wkv(r, k, v, w, u, s0=None, **kw):
     Bs, Ts, H, N = r.shape
     S = s0 if s0 is not None else jnp.zeros((Bs, H, N, N), jnp.float32)
     return (r * k + v).astype(jnp.float32), S
+
+
+def fake_packed(r, k, v, w, g, u, scale, bias, state_packed, *, eps):
+    return (r * k + v).astype(g.dtype), state_packed
 
 
 def mk(n, backend, head=True):
@@ -72,6 +80,9 @@ def mk(n, backend, head=True):
 
 def run(name, backend, head=True, stub=False):
     rwkv_mod.wkv = fake_wkv if stub else real_wkv
+    wkv_decode_mod.wkv6_decode_step_packed = (
+        fake_packed if stub else real_packed
+    )
     try:
         fs, fl = mk(NS, backend, head), mk(NL, backend, head)
         rng = jax.random.PRNGKey(0)
@@ -87,10 +98,11 @@ def run(name, backend, head=True, stub=False):
         print(json.dumps({"variant": name, "step_ms": round(per * 1e3, 2)}))
     finally:
         rwkv_mod.wkv = real_wkv
+        wkv_decode_mod.wkv6_decode_step_packed = real_packed
 
 
-run("full/kernel", "auto")
+run("full/packed", "auto")
 run("full/xla", "reference")
-run("nohead/kernel", "auto", head=False)
+run("nohead/packed", "auto", head=False)
 run("nohead/xla", "reference", head=False)
-run("nostate/xla", "reference", stub=True)
+run("nostate/packed", "auto", stub=True)

@@ -3,7 +3,8 @@
 Chained-scan methodology; measures a full jitted train step (fwd+bwd+adam)
 with remat, LoRA adapter trainable, base frozen. Prints one JSON line.
 Env: TRAIN_BATCH (def 8), TRAIN_CTX (512), TRAIN_ITERS (4),
-TRAIN_TYPE (lora|full).
+TRAIN_TYPE (lora|full), REMAT (1|0; 0 skips per-block activation
+checkpointing — ~25% fewer flops when the batch fits in HBM).
 """
 import json
 import os
@@ -24,6 +25,7 @@ B = int(os.environ.get("TRAIN_BATCH", "8"))
 T = int(os.environ.get("TRAIN_CTX", "512"))
 ITERS = int(os.environ.get("TRAIN_ITERS", "4"))
 TRAIN_TYPE = os.environ.get("TRAIN_TYPE", "lora")
+REMAT = os.environ.get("REMAT", "1") == "1"
 
 cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
@@ -38,7 +40,7 @@ if TRAIN_TYPE == "lora":
 
     def loss_fn(adapter_p, frozen, cfg_, b):
         merged = merge_lora(frozen, adapter_p, lc)
-        return sft_loss_fn(merged, cfg_, b, remat=True)
+        return sft_loss_fn(merged, cfg_, b, remat=REMAT)
 
     init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn, donate=False)
     ts = init_fn(adapter)
