@@ -173,3 +173,23 @@ def test_grad_flows():
         sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g))
     )
     assert jnp.isfinite(gn) and gn > 0
+
+
+def test_specialized_decode_step_matches_forward(params6, tokens):
+    """models.decode.rwkv_decode_step (T-axis-free decode) == the generic
+    rwkv_forward at T=1, logits AND carried state."""
+    from rwkv_lm_ext_tpu.models.decode import decode_supported, rwkv_decode_step
+
+    assert decode_supported(CFG6, params6)
+    s_a = init_model_state(CFG6, 2)
+    s_b = init_model_state(CFG6, 2)
+    for t in range(6):
+        lg_a, s_a = rwkv_forward(
+            params6, CFG6, tokens[:, t : t + 1], s_a, wkv_backend="chunked"
+        )
+        lg_b, s_b = rwkv_decode_step(params6, CFG6, tokens[:, t], s_b)
+        np.testing.assert_allclose(
+            lg_b, lg_a[:, 0], rtol=2e-5, atol=2e-5
+        )
+    for k in s_a:
+        np.testing.assert_allclose(s_b[k], s_a[k], rtol=2e-5, atol=2e-5)
