@@ -404,3 +404,40 @@ def test_decode_step_time_mix_matches_sequential():
     np.testing.assert_allclose(
         unpack_wkv(w_f, N), w_ref, rtol=2e-4, atol=2e-4
     )
+
+
+def test_layer_norm_pallas_kernel_matches_reference():
+    """ln_pallas kernel (interpret) vs the jnp composition, fwd + grads —
+    the tiled path only engages on TPU shapes (C%128==0, rows%256==0), so
+    CPU runs otherwise never execute the kernel."""
+    from rwkv_lm_ext_tpu.ops.ln_pallas import _ln_ref, layer_norm_pallas
+
+    rng = np.random.default_rng(3)
+    B, T, C = 2, 256, 256   # M = 512 rows: tiles
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    sc = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    bi = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    y_k = layer_norm_pallas(x, sc, bi, 1e-5, interpret=True)
+    y_r = _ln_ref(x.reshape(-1, C), sc, bi, 1e-5).reshape(x.shape)
+    np.testing.assert_allclose(y_k, y_r, rtol=2e-5, atol=2e-5)
+
+    def loss_k(x, sc, bi):
+        return jnp.sum(layer_norm_pallas(x, sc, bi, 1e-5, interpret=True) ** 2)
+
+    def loss_r(x, sc, bi):
+        return jnp.sum(_ln_ref(x.reshape(-1, C), sc, bi, 1e-5) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, sc, bi)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, sc, bi)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a).reshape(b.shape), b, rtol=2e-4, atol=2e-4
+        )
+
+    # non-tiling shapes fall back (odd rows) and still match
+    x2 = x[:, :100]
+    np.testing.assert_allclose(
+        layer_norm_pallas(x2, sc, bi, 1e-5, interpret=True),
+        _ln_ref(x2.reshape(-1, C), sc, bi, 1e-5).reshape(x2.shape),
+        rtol=2e-5, atol=2e-5,
+    )
