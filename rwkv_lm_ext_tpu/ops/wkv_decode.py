@@ -264,38 +264,57 @@ def wkv6_decode_step_packed(
     K, P = 128 // N, (N * N) // 128
     assert 128 % N == 0 and (N * N) % 128 == 0, (H, N)
     f = jnp.float32
-    r3 = r.reshape(B, H, N).astype(f)
-    k3 = k.reshape(B, H, N).astype(f)
-    v3 = v.reshape(B, H, N).astype(f)
+    bf = jnp.bfloat16
+    # r/k/v spreads stay in the INPUT dtype when it is bf16: a one-hot
+    # matmul is pure selection, so a bf16 output of a bf16 input is exact
+    # and the materialized state-sized intermediates halve their HBM
+    # traffic (op 136 -> 109 us/layer at 1B6 B=64). fp32 inputs (tests,
+    # fp32 serving) keep fp32 HIGHEST spreads.
+    lossless_bf16 = r.dtype == bf and k.dtype == bf and v.dtype == bf
+    act_dt = bf if lossless_bf16 else f
+    r3 = r.reshape(B, H, N).astype(act_dt)
+    k3 = k.reshape(B, H, N).astype(act_dt)
+    v3 = v.reshape(B, H, N).astype(act_dt)
     g3 = g.reshape(B, H, N).astype(f)
     w3 = w.astype(f).reshape(B, H, N)
     decay = jnp.exp(-jnp.exp(w3))
     uf = u.astype(f)
-    bonus = jnp.sum(r3 * uf[None] * k3, axis=-1, keepdims=True)  # (B,H,1)
+    bonus = jnp.sum(
+        r3.astype(f) * uf[None] * k3.astype(f), axis=-1, keepdims=True
+    )                                                    # (B,H,1)
     S = state_packed.astype(f)
 
     # constant one-hot spread/tile matrices over the flat packed lane
     # index q = i*N + j (trace-time constants, shared across scan steps)
     i_idx = jnp.arange(N)[:, None]
     q_idx = jnp.arange(N * N)[None, :]
-    M_spread = (i_idx == q_idx // N).astype(f)           # (N, N*N)
-    M_tile = (i_idx == q_idx % N).astype(f)              # (N, N*N)
+    M_spread = (i_idx == q_idx // N)                     # (N, N*N)
+    M_tile = (i_idx == q_idx % N)
 
     def mm(x, M):  # (B,H,N) @ (N, N*N) -> packed (B,H,P,128)
-        # HIGHEST: the TPU default truncates fp32 operands to bf16; the
-        # hi/lo 3-pass is exact for a 0/1 one-hot M (selection, not math)
+        # fp32 path at HIGHEST: the TPU default truncates fp32 operands
+        # to bf16; the hi/lo 3-pass is exact for a 0/1 one-hot M
+        # (selection, not math). bf16 path: single pass, exact.
         out = jax.lax.dot_general(
-            x.reshape(B * H, N), M,
+            x.reshape(B * H, N), M.astype(x.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f,
-            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=x.dtype,
+            precision=(
+                None if x.dtype == bf else jax.lax.Precision.HIGHEST
+            ),
         )
         return out.reshape(B, H, P, 128)
 
-    spread = lambda x: mm(x, M_spread)
-    snew = spread(decay) * S + spread(k3) * mm(v3, M_tile)
-    y128 = jnp.sum(spread(r3) * S, axis=2)               # (B, H, 128)
-    y = jnp.sum(y128.reshape(B, H, K, N), axis=2) + bonus * v3
+    # products in fp32 (CUDA contract: bf16 I/O, fp32 state math); the
+    # upcasts fuse into the consumer so the HBM intermediates stay bf16
+    snew = mm(decay, M_spread) * S + (
+        mm(k3, M_spread).astype(f) * mm(v3, M_tile).astype(f)
+    )
+    y128 = jnp.sum(mm(r3, M_spread).astype(f) * S, axis=2)   # (B, H, 128)
+    y = (
+        jnp.sum(y128.reshape(B, H, K, N), axis=2)
+        + bonus * v3.astype(f)
+    )
 
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)

@@ -441,3 +441,40 @@ def test_layer_norm_pallas_kernel_matches_reference():
         _ln_ref(x2.reshape(-1, C), sc, bi, 1e-5).reshape(x2.shape),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_decode_step_packed_bf16_inputs_fp32_products():
+    """bf16 activations take the bf16-spread path (halved intermediate
+    traffic); products must still accumulate in fp32 — parity vs the
+    reference composition on the same bf16 inputs is fp32-tight."""
+    from rwkv_lm_ext_tpu.models.state import pack_wkv, unpack_wkv
+    from rwkv_lm_ext_tpu.ops.wkv_decode import (
+        _decode_ref, wkv6_decode_step_packed,
+    )
+
+    rng = np.random.default_rng(17)
+    B, H, N = 3, 4, 64
+    C = H * N
+    mk = lambda sh: jnp.asarray(rng.normal(size=sh).astype(np.float32))
+    r, k, v, g = (mk((B, C)).astype(jnp.bfloat16) for _ in range(4))
+    w = jnp.asarray(rng.uniform(-6, 0.5, size=(B, C)).astype(np.float32))
+    u = mk((H, N)) * 0.5
+    scale = 1.0 + 0.1 * mk((C,))
+    bias = 0.1 * mk((C,))
+    state = mk((B, H, N, N)) * 0.3
+    out_p, s_p = wkv6_decode_step_packed(
+        r, k, v, w, g, u, scale, bias, pack_wkv(state), eps=64e-5
+    )
+    out_r, s_r = _decode_ref(
+        r.reshape(B, H, N), k.reshape(B, H, N), v.reshape(B, H, N),
+        w.reshape(B, H, N), g.reshape(B, H, N), u, scale, bias,
+        state, 64e-5,
+    )
+    assert out_p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        out_p.astype(np.float32), out_r.astype(np.float32),
+        rtol=2e-2, atol=2e-2,  # out itself is bf16
+    )
+    np.testing.assert_allclose(
+        unpack_wkv(s_p, N), s_r, rtol=2e-5, atol=2e-5  # fp32 state math
+    )
