@@ -137,29 +137,77 @@ def pissa_init(
     return new_params, adapter
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LoraDeltaLeaf:
+    """A quantized frozen base with a lazy LoRA delta (QLoRA training:
+    reference LORA_CONFIG['quant'] + QuantLinear, rwkvLinear.py:97-120).
+
+    The base stays quantized in HBM; models.rwkv.as_weight materializes
+    dequant(base) + scale * A @ B per use — the A@B outer product is
+    ~2·r·in·out flops (trivial at r=8) and fuses into the dequant
+    elementwise, so the memory saving of the quantized base survives
+    training. Gradients flow to A/B through the delta term only (the
+    quantized base rides in the frozen arg)."""
+
+    base: Any
+    A: jax.Array
+    B: jax.Array
+    scale: float
+
+    def tree_flatten(self):
+        return (self.base, self.A, self.B), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        base, A, B = children
+        return cls(base, A, B, aux[0])
+
+    def materialize(self, dt):
+        from rwkv_lm_ext_tpu.adapters.quant import dequantize, is_quantized
+
+        w = (
+            dequantize(self.base, jnp.float32)
+            if is_quantized(self.base)
+            else self.base.astype(jnp.float32)
+        )
+        A = self.A.astype(jnp.float32)
+        B = self.B.astype(jnp.float32)
+        if A.ndim == 3:  # stacked (L, in, r) x (L, r, out)
+            delta = self.scale * jnp.einsum("lir,lro->lio", A, B)
+        else:
+            delta = self.scale * (A @ B)
+        return (w + delta).astype(dt)
+
+
 def merge_lora(params: Dict, adapter: Dict, lc: LoraConfig) -> Dict:
     """Serving weights: W + scaling * A @ B per adapted leaf (the weight-
     merge strategy; the per-token fused low-rank path of the reference's
     LoraLinear costs extra HBM reads every step on TPU — merging is free
-    after the first use)."""
+    after the first use). Quantized base leaves (QLoRA) are not densified:
+    they become LoraDeltaLeaf nodes that as_weight materializes per use."""
     scale = lc.scaling
     out = jax.tree_util.tree_map(lambda x: x, params)
     out["blocks"] = [dict(b) for b in params["blocks"]]
     for i, b in enumerate(out["blocks"]):
         b["att"] = dict(b["att"])
         b["ffn"] = dict(b["ffn"])
-    for keyname, ab in adapter.items():
+    from rwkv_lm_ext_tpu.adapters.quant import is_quantized
+
+    def merged(base, ab):
+        if is_quantized(base):
+            return LoraDeltaLeaf(base, ab["A"], ab["B"], scale)
         delta = (scale * (ab["A"] @ ab["B"])).astype(jnp.float32)
+        return (base.astype(jnp.float32) + delta).astype(base.dtype)
+
+    for keyname, ab in adapter.items():
         if keyname.startswith("blocks."):
             _, idx, sub, name = keyname.split(".")
             i = int(idx)
             base = out["blocks"][i][sub][name]
-            out["blocks"][i][sub][name] = (
-                base.astype(jnp.float32) + delta
-            ).astype(base.dtype)
+            out["blocks"][i][sub][name] = merged(base, ab)
         else:
-            base = out[keyname]
-            out[keyname] = (base.astype(jnp.float32) + delta).astype(base.dtype)
+            out[keyname] = merged(out[keyname], ab)
     return out
 
 
@@ -276,22 +324,27 @@ def merge_lora_stacked(sparams: Dict, sadapter: Dict, lc: LoraConfig) -> Dict:
         for k, v in sparams["blocks_stacked"].items()
     }
 
-    def merged(base, delta):
+    from rwkv_lm_ext_tpu.adapters.quant import is_quantized
+
+    def merged(base, ab):
+        if is_quantized(base):   # QLoRA: keep the base quantized
+            return LoraDeltaLeaf(base, ab["A"], ab["B"], scale)
+        if ab["A"].ndim == 3:
+            delta = scale * jnp.einsum("lir,lro->lio", ab["A"], ab["B"])
+        else:
+            delta = scale * (ab["A"] @ ab["B"])
         return (base.astype(jnp.float32) + delta).astype(base.dtype)
 
     for path, ab in sadapter["block0"].items():
         sub, name = path.split(".")
-        delta = scale * (ab["A"] @ ab["B"])
-        out["block0"][sub][name] = merged(out["block0"][sub][name], delta)
+        out["block0"][sub][name] = merged(out["block0"][sub][name], ab)
     for path, ab in sadapter["stacked"].items():
         sub, name = path.split(".")
-        delta = scale * jnp.einsum("lir,lro->lio", ab["A"], ab["B"])
         out["blocks_stacked"][sub][name] = merged(
-            out["blocks_stacked"][sub][name], delta
+            out["blocks_stacked"][sub][name], ab
         )
     for keyname, ab in sadapter["global"].items():
-        delta = scale * (ab["A"] @ ab["B"])
-        out[keyname] = merged(out[keyname], delta)
+        out[keyname] = merged(out[keyname], ab)
     return out
 
 

@@ -27,12 +27,16 @@ from rwkv_lm_ext_tpu.models.state import init_model_state
 
 def as_weight(leaf, dt):
     """Weight accessor: dequantizes QuantizedTensor leaves (adapters.quant)
-    so quantized trees run through the same forward (and through jit —
-    the quant format is static pytree aux data)."""
-    if not isinstance(leaf, jax.Array) and hasattr(leaf, "qformat"):
-        from rwkv_lm_ext_tpu.adapters.quant import dequantize
+    and materializes LoraDeltaLeaf (QLoRA quantized-base + lazy LoRA
+    delta, adapters.lora) so quantized/adapted trees run through the same
+    forward (and through jit — the formats are static pytree aux data)."""
+    if not isinstance(leaf, jax.Array):
+        if hasattr(leaf, "qformat"):
+            from rwkv_lm_ext_tpu.adapters.quant import dequantize
 
-        return dequantize(leaf, dt)
+            return dequantize(leaf, dt)
+        if hasattr(leaf, "materialize"):
+            return leaf.materialize(dt)
     return leaf.astype(dt)
 
 def layer_norm(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:

@@ -253,6 +253,12 @@ def cmd_sft(args):
             )
         else:
             adapter = init_lora_params(jax.random.PRNGKey(args.seed), params, lc)
+        if getattr(args, "quant", "none") != "none":
+            # QLoRA: quantize the frozen base AFTER pissa subtraction
+            # (the reference quantizes the residual weight the same way)
+            from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+            params = quantize_tree(params, args.quant)
         if args.peft_checkpoint:
             from rwkv_lm_ext_tpu.adapters import lora_state_dict_to_tree
             from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
@@ -927,6 +933,10 @@ def main(argv=None):
                    choices=["full", "lora", "pissa", "state", "states"])
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--quant", default="none", choices=["none", "int8", "nf4"],
+                   help="QLoRA: quantize the frozen base (reference "
+                        "LORA_CONFIG['quant']); the base stays quantized "
+                        "in HBM and LoRA rides as a lazy delta")
     p.add_argument("--peft-checkpoint", default=None)
     p.add_argument("--lisa-k", type=int, default=0,
                    help="LISA: train k random layers, resampled every "
@@ -938,6 +948,10 @@ def main(argv=None):
     _common_args(p)
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--quant", default="none", choices=["none", "int8", "nf4"],
+                   help="QLoRA: quantize the frozen base (reference "
+                        "LORA_CONFIG['quant']); the base stays quantized "
+                        "in HBM and LoRA rides as a lazy delta")
     p.add_argument("--pooling", default="weightedmean")
     p.add_argument("--loss", default="infonce", choices=["infonce", "cosent"])
     p.set_defaults(fn=cmd_bi_encoder)
@@ -946,6 +960,10 @@ def main(argv=None):
     _common_args(p)
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--quant", default="none", choices=["none", "int8", "nf4"],
+                   help="QLoRA: quantize the frozen base (reference "
+                        "LORA_CONFIG['quant']); the base stays quantized "
+                        "in HBM and LoRA rides as a lazy delta")
     p.set_defaults(fn=cmd_cross_encoder)
 
     p = sub.add_parser("encoder-biencoder")

@@ -150,3 +150,63 @@ def test_merge_pissa_against_original_base():
     reg.register("chat", trained, lc, pissa_init=adapter0)
     lr, _ = rwkv_forward(reg.materialize("chat"), CFG, tokens)
     np.testing.assert_allclose(lw, lr, rtol=2e-4, atol=2e-4)
+
+
+def test_qlora_quantized_base_delta_leaf():
+    """QLoRA: merge_lora over an int8-quantized frozen base keeps the
+    base quantized (LoraDeltaLeaf), matches the dense merge numerically,
+    and gradients flow to A/B through as_weight's materialization."""
+    from rwkv_lm_ext_tpu.adapters.lora import LoraDeltaLeaf
+    from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in adapter.values():
+        ab["B"] = 0.01 * jnp.ones_like(ab["B"])
+    qparams = quantize_tree(params, "int8")
+    qmerged = merge_lora(qparams, adapter, LC)
+    leaf = qmerged["blocks"][0]["att"]["receptance"]
+    assert isinstance(leaf, LoraDeltaLeaf)
+
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 100)
+    # dense path on the dequantized base == lazy QLoRA path
+    from rwkv_lm_ext_tpu.adapters.quant import dequantize_tree
+
+    dense = merge_lora(dequantize_tree(qparams), adapter, LC)
+    l_dense, _ = rwkv_forward(dense, CFG, tokens)
+    l_q, _ = rwkv_forward(qmerged, CFG, tokens)
+    np.testing.assert_allclose(l_q, l_dense, rtol=1e-4, atol=1e-4)
+
+    def loss(ad):
+        merged = merge_lora(qparams, ad, LC)
+        lg, _ = rwkv_forward(merged, CFG, tokens)
+        return jnp.mean(lg.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(adapter)
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_qlora_stacked_matches_flat():
+    """QLoRA on scan-over-layers trees: merge_lora_stacked with an int8
+    base == the flat QLoRA merge."""
+    from rwkv_lm_ext_tpu.adapters.lora import (
+        merge_lora_stacked, stack_adapter,
+    )
+    from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+    from rwkv_lm_ext_tpu.models.stacked import stack_params
+
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in adapter.values():
+        ab["B"] = 0.01 * jnp.ones_like(ab["B"])
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 100)
+
+    l_flat, _ = rwkv_forward(
+        merge_lora(quantize_tree(params, "int8"), adapter, LC), CFG, tokens
+    )
+    sq = quantize_tree(stack_params(params), "int8")
+    l_stacked, _ = rwkv_forward(
+        merge_lora_stacked(sq, stack_adapter(adapter), LC), CFG, tokens
+    )
+    np.testing.assert_allclose(l_stacked, l_flat, rtol=2e-4, atol=2e-4)

@@ -233,3 +233,21 @@ def test_sft_lora_stacked(base_ckpt, sft_jsonl, tmp_path):
                for k in lora)
     bs = [v for k, v in lora.items() if k.endswith(".lora_B")]
     assert any(np.abs(b).max() > 0 for b in bs)
+
+
+def test_sft_qlora_int8_base(base_ckpt, sft_jsonl, tmp_path):
+    """--quant int8: LoRA trains over a quantized frozen base
+    (LoraDeltaLeaf path) and still writes a movable adapter."""
+    out = str(tmp_path / "out_qlora")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "lora", "--quant", "int8",
+        "--max-steps", "2", "--micro-bsz", "2", "--log-every", "1",
+        "--save-every-steps", "2", "--warmup-steps", "1", "--dp", "1",
+    ])
+    files = os.listdir(out)
+    lora = load_torch_pth(os.path.join(
+        out, sorted(f for f in files if f.startswith("lora-step"))[-1]
+    ))
+    bs = [v for k, v in lora.items() if k.endswith(".lora_B")]
+    assert any(np.abs(b).max() > 0 for b in bs)
