@@ -3,8 +3,9 @@
 Chained-scan methodology; measures a full jitted train step (fwd+bwd+adam)
 with remat, LoRA adapter trainable, base frozen. Prints one JSON line.
 Env: TRAIN_BATCH (def 8), TRAIN_CTX (512), TRAIN_ITERS (4),
-TRAIN_TYPE (lora|full), REMAT (1|0; 0 skips per-block activation
-checkpointing — ~25% fewer flops when the batch fits in HBM).
+TRAIN_TYPE (lora|qlora|full), REMAT (1|0; 0 skips per-block activation
+checkpointing — ~25% fewer flops when the batch fits in HBM). qlora =
+LoRA over an int8-quantized frozen base (LoraDeltaLeaf path).
 """
 import json
 import os
@@ -34,9 +35,13 @@ tc = TrainConfig(lr_init=1e-4, warmup_steps=1, total_steps=100)
 tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
 batch = {"input_ids": tokens, "labels": tokens}
 
-if TRAIN_TYPE == "lora":
+if TRAIN_TYPE in ("lora", "qlora"):
     lc = LoraConfig(r=8, alpha=32.0)
     adapter = init_lora_params(jax.random.PRNGKey(2), params, lc)
+    if TRAIN_TYPE == "qlora":
+        from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+        params = jax.device_put(quantize_tree(params, "int8"))
 
     def loss_fn(adapter_p, frozen, cfg_, b):
         merged = merge_lora(frozen, adapter_p, lc)
