@@ -8,6 +8,7 @@ base model (the BiCrossFusionEncoder pattern, infer/encoders.py:27-115).
 """
 from rwkv_lm_ext_tpu.adapters.lora import (  # noqa: F401
     LoraConfig,
+    LoraDeltaLeaf,
     init_lora_params,
     merge_lora,
     merge_lora_stacked,
