@@ -70,38 +70,55 @@ def dequantize_int8(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     return (d.q.astype(jnp.float32) * d.scale).astype(dtype)
 
 
-def quantize_nf4(w: jax.Array, block: int = 64) -> Dict:
-    """Blockwise NF4: each `block` consecutive values share an absmax."""
+def quantize_nf4(w: jax.Array, block: int = 64, *, stacked: bool = False) -> Dict:
+    """Blockwise NF4: each `block` consecutive values share an absmax.
+
+    ``stacked=True`` treats the leading axis as a layer axis (scan-over-
+    layers trees) and quantizes each layer independently, so q keeps shape
+    (L, nb, block//2) and scale (L, nb) — lax.scan can slice the layer
+    axis, and the aux ``shape`` records the PER-LAYER logical shape so an
+    in-scan slice dequantizes to one layer's weight.
+    """
     wf = w.astype(jnp.float32)
-    shape = wf.shape
-    flat = wf.reshape(-1)
-    pad = (-flat.size) % block
-    flat = jnp.pad(flat, (0, pad))
-    blocks = flat.reshape(-1, block)
-    absmax = jnp.maximum(jnp.max(jnp.abs(blocks), axis=1, keepdims=True), 1e-12)
+    if stacked:
+        lead, shape = wf.shape[0], wf.shape[1:]
+        flat = wf.reshape(lead, -1)
+    else:
+        lead, shape = None, wf.shape
+        flat = wf.reshape(1, -1)
+    pad = (-flat.shape[-1]) % block
+    flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    blocks = flat.reshape(flat.shape[0], -1, block)
+    absmax = jnp.maximum(jnp.max(jnp.abs(blocks), axis=-1, keepdims=True), 1e-12)
     normed = blocks / absmax
     idx = jnp.argmin(
-        jnp.abs(normed[..., None] - NF4_CODE[None, None, :]), axis=-1
+        jnp.abs(normed[..., None] - NF4_CODE[None, None, None, :]), axis=-1
     ).astype(jnp.uint8)
     # pack two 4-bit codes per byte
-    lo = idx[:, 0::2]
-    hi = idx[:, 1::2]
+    lo = idx[..., 0::2]
+    hi = idx[..., 1::2]
     packed = (lo | (hi << 4)).astype(jnp.uint8)
-    return QuantizedTensor(
-        "nf4", packed, absmax[:, 0], tuple(shape), block, int(pad)
-    )
+    scale = absmax[..., 0]
+    if not stacked:
+        packed, scale = packed[0], scale[0]
+    return QuantizedTensor("nf4", packed, scale, tuple(shape), block, int(pad))
 
 
 def dequantize_nf4(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_nf4. Handles both the flat layout
+    (q: (nb, block//2)) and the stacked layout (q: (L, nb, block//2) →
+    returns (L, *shape)); a stacked leaf sliced by lax.scan arrives here
+    2-D and reshapes to the per-layer ``shape``."""
     packed = d.q
+    lead = packed.shape[:-2]  # () flat / in-scan slice, (L,) stacked
     lo = (packed & 0xF).astype(jnp.int32)
     hi = (packed >> 4).astype(jnp.int32)
-    idx = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
-    vals = NF4_CODE[idx] * d.scale[:, None]
-    flat = vals.reshape(-1)
+    idx = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    vals = NF4_CODE[idx] * d.scale[..., None]
+    flat = vals.reshape(*lead, -1)
     if d.pad:
-        flat = flat[: -d.pad]
-    return flat.reshape(d.shape).astype(dtype)
+        flat = flat[..., : -d.pad]
+    return flat.reshape(*lead, *d.shape).astype(dtype)
 
 
 def is_quantized(leaf) -> bool:
@@ -127,12 +144,25 @@ def quantize_tree(
     the same Linears make_linear_att/ffn wraps). emb/ln stay full;
     include_head also quantizes the LM head (another ~8%% of 1B6 decode
     weight traffic)."""
-    enc = quantize_int8 if mode == "int8" else quantize_nf4
+    if mode not in ("int8", "nf4"):
+        raise ValueError(f"unknown quant mode {mode!r} (expected int8|nf4)")
     out = dict(params)
-    if include_head and "head" in out and not is_quantized(out["head"]):
-        out["head"] = enc(params["head"])
 
-    def quant_block(b):
+    def make_enc(stacked: bool):
+        if mode == "int8":
+            # int8 absmax runs over the input axis (-2): shape-preserving,
+            # so a stacked (L, in, out) leaf quantizes with an independent
+            # scale per (layer, out-channel) with no special casing.
+            return quantize_int8
+        if stacked:
+            return lambda w: quantize_nf4(w, stacked=True)
+        return quantize_nf4
+
+    if include_head and "head" in out and not is_quantized(out["head"]):
+        out["head"] = make_enc(False)(params["head"])
+
+    def quant_block(b, stacked: bool):
+        enc = make_enc(stacked)
         nb = dict(b)
         nb["att"] = dict(b["att"])
         nb["ffn"] = dict(b["ffn"])
@@ -146,12 +176,12 @@ def quantize_tree(
 
     if "blocks_stacked" in params:
         # scan-over-layers trees: the stacked leaves carry a leading layer
-        # axis; int8 per-output-channel / nf4 block codecs are shape-
-        # preserving so the same encoders apply per stacked leaf
-        out["block0"] = quant_block(params["block0"])
-        out["blocks_stacked"] = quant_block(params["blocks_stacked"])
+        # axis that lax.scan slices, so the codec must keep it (int8 does
+        # by construction; nf4 quantizes per layer via stacked=True)
+        out["block0"] = quant_block(params["block0"], stacked=False)
+        out["blocks_stacked"] = quant_block(params["blocks_stacked"], stacked=True)
     else:
-        out["blocks"] = [quant_block(b) for b in params["blocks"]]
+        out["blocks"] = [quant_block(b, stacked=False) for b in params["blocks"]]
     return out
 
 

@@ -141,18 +141,22 @@ def _decode_packed_kernel(
     out_ref[:, :] = ((yn * sc + bi) * g2).astype(out_ref.dtype)
 
 
-def _pick_bt_packed(B: int, H: int, N: int) -> int:
+def _pick_bt_packed(B: int, H: int, N: int):
     """Largest divisor of B with 8-aligned row blocks and a state block
     <= ~2 MB in VMEM (the kernel keeps ~8 state-sized live values:
     S, A3 spreads, tile, products, snew, double-buffered I/O; BT=4 at
     1B6 B=64 measured fastest — bigger blocks OOM the 16 MB scoped
-    VMEM, smaller ones pay more per-program fixed cost)."""
+    VMEM, smaller ones pay more per-program fixed cost).
+
+    Returns None when no divisor of B yields 8-aligned row blocks (e.g.
+    B=2, H=3): the Mosaic kernel requires the alignment, so the caller
+    must route such shapes to the XLA packed composition instead."""
     P = (N * N) // 128
     cap = max(1, (2 << 20) // (H * P * 128 * 4))
     for bt in range(min(B, cap), 0, -1):
         if B % bt == 0 and (bt * H) % 8 == 0 and (bt * H * P) % 8 == 0:
             return bt
-    return B
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
@@ -169,6 +173,12 @@ def wkv6_decode_step_packed_pallas(
     B = r.shape[0]
     K, P = 128 // N, (N * N) // 128
     BT = _pick_bt_packed(B, H, N)
+    if BT is None:
+        # no 8-aligned row blocking exists for this (B, H): the XLA
+        # packed composition handles any shape at near-identical speed
+        return wkv6_decode_step_packed(
+            r, k, v, w, g, u, ln_scale, ln_bias, state_packed, eps=eps
+        )
     R, QT = BT * H * P, BT * H
 
     r2 = r.reshape(B * H, N)

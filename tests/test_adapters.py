@@ -1,3 +1,4 @@
+import pytest
 """LoRA / PiSSA adapter-tree transforms."""
 import jax
 import jax.numpy as jnp
@@ -187,9 +188,10 @@ def test_qlora_quantized_base_delta_leaf():
     assert np.isfinite(gn) and gn > 0
 
 
-def test_qlora_stacked_matches_flat():
-    """QLoRA on scan-over-layers trees: merge_lora_stacked with an int8
-    base == the flat QLoRA merge."""
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_qlora_stacked_matches_flat(mode):
+    """QLoRA on scan-over-layers trees: merge_lora_stacked with a
+    quantized (int8 or nf4) base == the flat QLoRA merge."""
     from rwkv_lm_ext_tpu.adapters.lora import (
         merge_lora_stacked, stack_adapter,
     )
@@ -203,9 +205,9 @@ def test_qlora_stacked_matches_flat():
     tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 100)
 
     l_flat, _ = rwkv_forward(
-        merge_lora(quantize_tree(params, "int8"), adapter, LC), CFG, tokens
+        merge_lora(quantize_tree(params, mode), adapter, LC), CFG, tokens
     )
-    sq = quantize_tree(stack_params(params), "int8")
+    sq = quantize_tree(stack_params(params), mode)
     l_stacked, _ = rwkv_forward(
         merge_lora_stacked(sq, stack_adapter(adapter), LC), CFG, tokens
     )

@@ -338,6 +338,24 @@ def test_decode_step_kernel_matches_reference():
         )
 
 
+def test_pick_bt_packed_alignment():
+    """_pick_bt_packed must never return a row blocking that violates the
+    kernel's 8-alignment (Mosaic would reject it on real TPU); shapes
+    with no aligned divisor return None and the pallas entry falls back
+    to the XLA packed path (ADVICE r1 low)."""
+    from rwkv_lm_ext_tpu.ops.wkv_decode import _pick_bt_packed
+
+    for B in (1, 2, 3, 4, 8, 12, 64):
+        for H, N in ((3, 16), (4, 64), (2, 32), (7, 16), (32, 64)):
+            bt = _pick_bt_packed(B, H, N)
+            if bt is not None:
+                P = (N * N) // 128
+                assert B % bt == 0
+                assert (bt * H) % 8 == 0 and (bt * H * P) % 8 == 0
+    # the ADVICE repro: B=2, H=3 has no aligned blocking
+    assert _pick_bt_packed(2, 3, 16) is None
+
+
 def test_decode_step_packed_matches_reference():
     """wkv6_decode_step_packed (pure-XLA T=1 step on the tile-packed
     state) vs the logical jnp composition, over the supported geometries."""

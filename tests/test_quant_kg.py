@@ -1,3 +1,4 @@
+import pytest
 """Weight-only quantization codecs + KG extraction pipeline."""
 import jax
 import jax.numpy as jnp
@@ -67,10 +68,12 @@ def test_quantized_model_forward_close():
     np.testing.assert_allclose(l_q, l_dq, atol=1e-5)
 
 
-def test_quantize_tree_on_stacked_params():
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_quantize_tree_on_stacked_params(mode):
     """int8/nf4 quantization + suggest_fused_chunk work on scan-over-
-    layers (stacked) trees; stacked int8 scales are per (layer, channel)
-    so the quantized stacked forward matches the quantized flat one."""
+    layers (stacked) trees; both codecs quantize each layer independently
+    (int8 per (layer, channel) scales; nf4 per-layer blocks) so the
+    quantized stacked forward matches the quantized flat one."""
     from rwkv_lm_ext_tpu.models.rwkv import suggest_fused_chunk
     from rwkv_lm_ext_tpu.models.stacked import stack_params
 
@@ -78,15 +81,34 @@ def test_quantize_tree_on_stacked_params():
     tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 12), 0, 100)
     sp = stack_params(params)
     assert suggest_fused_chunk(sp) == suggest_fused_chunk(params)
-    l_flat, _ = rwkv_forward(quantize_tree(params, "int8"), CFG, tokens)
-    qsp = quantize_tree(sp, "int8", include_head=True)
+    l_flat, _ = rwkv_forward(
+        quantize_tree(params, mode, include_head=True), CFG, tokens
+    )
+    qsp = quantize_tree(sp, mode, include_head=True)
     l_stacked, _ = rwkv_forward(qsp, CFG, tokens)
-    # block0 quantizes identically; stacked layers 1.. share per-layer
-    # scales with the flat form, so logits agree to head-quant error
-    denom = float(jnp.abs(l_flat).max())
-    assert float(jnp.abs(l_stacked - l_flat).max()) / max(denom, 1e-6) < 0.1
+    # both codecs quantize each layer independently, so stacked == flat
+    # up to float associativity
+    np.testing.assert_allclose(l_stacked, l_flat, rtol=1e-4, atol=1e-4)
     l_dq, _ = rwkv_forward(dequantize_tree(qsp), CFG, tokens)
     np.testing.assert_allclose(l_stacked, l_dq, atol=1e-5)
+
+
+def test_nf4_stacked_roundtrip_matches_per_layer():
+    """Stacked nf4 == per-layer nf4, layer by layer (the codec must keep
+    the leading layer axis intact for lax.scan — ADVICE r1 medium)."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 24, 40))
+    d = quantize_nf4(w, stacked=True)
+    assert d.q.shape[0] == 3 and d.scale.shape[0] == 3
+    back = dequantize_nf4(d)
+    assert back.shape == w.shape
+    for l in range(3):
+        per_layer = dequantize_nf4(quantize_nf4(w[l]))
+        np.testing.assert_allclose(back[l], per_layer, atol=1e-6)
+        # a scan-style slice of the stacked leaf dequantizes standalone
+        from rwkv_lm_ext_tpu.adapters.quant import QuantizedTensor
+
+        sliced = QuantizedTensor("nf4", d.q[l], d.scale[l], d.shape, d.block, d.pad)
+        np.testing.assert_allclose(dequantize_nf4(sliced), per_layer, atol=1e-6)
 
 
 def test_json_recovery():
