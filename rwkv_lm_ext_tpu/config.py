@@ -9,6 +9,7 @@ is an explicit field or function argument here.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax.numpy as jnp
 
@@ -43,6 +44,20 @@ class ModelConfig:
     # dtype policy: params/IO bf16, state + normalization fp32.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # ------------------------------------------------------------------
+    # Kernel-path knobs (documented HERE, the one place). The WKV kernels
+    # are exact for any decay, so these are pure performance choices.
+    # Each can be overridden for perf bisection by an RWKV_* env var —
+    # read once at config construction (never in model hot paths):
+    #   RWKV_FUSED_CHUNK=<n>     fused-kernel chunk length
+    #   RWKV_FUSED_PROLOGUE=0|1  Pallas ln1+token-shift+ddlerp prologue
+    #   RWKV_PACKED_DECODE=0|1   tile-packed T=1 decode state layout
+    #   RWKV_FUSED_DECODE=0|1    single-pass Pallas T=1 decode kernel
+    # ------------------------------------------------------------------
+    fused_chunk: int = 128
+    fused_prologue: bool = True
+    packed_decode: bool = True
+    fused_decode: bool = False
 
     def __post_init__(self):
         if self.dim_att == 0:
@@ -52,6 +67,15 @@ class ModelConfig:
                 self, "dim_ffn", int((self.n_embd * 3.5) // 32 * 32)
             )
         assert self.dim_att % self.head_size == 0
+        for field, env, conv in (
+            ("fused_chunk", "RWKV_FUSED_CHUNK", int),
+            ("fused_prologue", "RWKV_FUSED_PROLOGUE", lambda s: s == "1"),
+            ("packed_decode", "RWKV_PACKED_DECODE", lambda s: s == "1"),
+            ("fused_decode", "RWKV_FUSED_DECODE", lambda s: s == "1"),
+        ):
+            raw = os.environ.get(env)
+            if raw is not None:
+                object.__setattr__(self, field, conv(raw))
 
     @property
     def n_head(self) -> int:

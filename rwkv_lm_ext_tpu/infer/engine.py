@@ -61,16 +61,6 @@ class GenerationEngine:
         self.tokenizer = tokenizer
         self.chunk_len = chunk_len
         self.wkv_backend = wkv_backend
-        try:
-            from rwkv_lm_ext_tpu.models.rwkv import (
-                set_fused_chunk,
-                suggest_fused_chunk,
-            )
-
-            if "blocks" in params:
-                set_fused_chunk(suggest_fused_chunk(params))
-        except Exception:
-            pass
 
         def fwd(params, tokens, state):
             return rwkv_forward(

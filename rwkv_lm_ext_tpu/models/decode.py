@@ -31,7 +31,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from rwkv_lm_ext_tpu.models.rwkv import as_weight
+from rwkv_lm_ext_tpu.models.rwkv import as_weight, proj
 from rwkv_lm_ext_tpu.models.state import ModelState, init_model_state
 
 
@@ -87,10 +87,10 @@ def _att_step(
     xr = xa + xx * (p["time_maa_r"].astype(dt) + mr)
     xg = xa + xx * (p["time_maa_g"].astype(dt) + mg)
 
-    r = xr @ as_weight(p["receptance"], dt)
-    k = xk @ as_weight(p["key"], dt)
-    v = xv @ as_weight(p["value"], dt)
-    g = jax.nn.silu(xg @ as_weight(p["gate"], dt))
+    r = proj(xr, p["receptance"], dt)
+    k = proj(xk, p["key"], dt)
+    v = proj(xv, p["value"], dt)
+    g = jax.nn.silu(proj(xg, p["gate"], dt))
 
     ww = jnp.tanh(
         xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32)
@@ -104,7 +104,7 @@ def _att_step(
         wkv_packed,
         eps=cfg.ln_x_eps,
     )
-    return gated @ as_weight(p["output"], dt), xa.astype(jnp.float32), new_wkv
+    return proj(gated, p["output"], dt), xa.astype(jnp.float32), new_wkv
 
 
 def _ffn_step(
@@ -116,9 +116,9 @@ def _ffn_step(
     xx = prev - xf
     xk = xf + xx * p["time_maa_k"].astype(dt)
     xr = xf + xx * p["time_maa_r"].astype(dt)
-    k = jnp.square(jax.nn.relu(xk @ as_weight(p["key"], dt)))
-    kv = k @ as_weight(p["value"], dt)
-    out = jax.nn.sigmoid(xr @ as_weight(p["receptance"], dt)) * kv
+    k = jnp.square(jax.nn.relu(proj(xk, p["key"], dt)))
+    kv = proj(k, p["value"], dt)
+    out = jax.nn.sigmoid(proj(xr, p["receptance"], dt)) * kv
     return out, xf.astype(jnp.float32)
 
 
@@ -164,5 +164,5 @@ def rwkv_decode_step(
         "ffn_shift": jnp.stack(new_ffn),
     }
     x = _ln(x, params["ln_out"])
-    logits = x @ as_weight(params["head"], dt)
+    logits = proj(x, params["head"], dt)
     return logits, new_state

@@ -14,7 +14,6 @@ LayerNorm/GroupNorm statistics in fp32.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -38,6 +37,20 @@ def as_weight(leaf, dt):
         if hasattr(leaf, "materialize"):
             return leaf.materialize(dt)
     return leaf.astype(dt)
+
+
+def proj(x, leaf, dt):
+    """Projection matmul x @ W through a (possibly quantized) weight leaf.
+
+    ``int8c`` leaves (adapters.quant, quantize_tree(mode="int8c")) run
+    natively on the MXU's int8 path — the variant travels WITH the
+    parameter tree, not through config/global state. Everything else
+    dequantizes/materializes via as_weight and rides the bf16 MXU."""
+    if getattr(leaf, "qformat", None) == "int8c":
+        from rwkv_lm_ext_tpu.adapters.quant import int8_matmul
+
+        return int8_matmul(x, leaf, dt)
+    return x @ as_weight(leaf, dt)
 
 def layer_norm(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:
     if x.ndim >= 2:
@@ -109,10 +122,10 @@ def tmix_v6_projections(
     xr = x + xx * (p["time_maa_r"].astype(dt) + mr)
     xg = x + xx * (p["time_maa_g"].astype(dt) + mg)
 
-    r = xr @ as_weight(p["receptance"], dt)
-    k = xk @ as_weight(p["key"], dt)
-    v = xv @ as_weight(p["value"], dt)
-    g = jax.nn.silu(xg @ as_weight(p["gate"], dt))
+    r = proj(xr, p["receptance"], dt)
+    k = proj(xk, p["key"], dt)
+    v = proj(xv, p["value"], dt)
+    g = jax.nn.silu(proj(xg, p["gate"], dt))
 
     # data-dependent decay (fp32: feeds exp(-exp(w)))
     ww = jnp.tanh(xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32))
@@ -128,65 +141,7 @@ def tmix_v6_output(
     src/model.py:461-468)."""
     dt = g.dtype
     y = group_norm(y.astype(dt), p["ln_x"], cfg.n_head, cfg.ln_x_eps)
-    return (y * g) @ as_weight(p["output"], dt)
-
-
-_FUSED_CHUNK_OVERRIDE = None
-
-
-def set_fused_chunk(n) -> None:
-    """Set the fused-kernel chunk globally (serving engines call this with
-    suggest_fused_chunk(params) at construction). None resets to env/128."""
-    global _FUSED_CHUNK_OVERRIDE
-    _FUSED_CHUNK_OVERRIDE = n
-
-
-def _fused_chunk() -> int:
-    """Chunk length of the fused Pallas kernel. The chunk factoring is
-    exact (fp32-level) while (L/2)*exp(max w) < 80; L=128 is safe for
-    decays up to w ~ 1.5 (real checkpoints stay well below), L=256 is ~3%
-    faster but silently degrades beyond w ~ 1.1 — pick per checkpoint with
-    suggest_fused_chunk(params)/set_fused_chunk or RWKV_FUSED_CHUNK."""
-    if _FUSED_CHUNK_OVERRIDE is not None:
-        return int(_FUSED_CHUNK_OVERRIDE)
-    return int(os.environ.get("RWKV_FUSED_CHUNK", "128"))
-
-
-def suggest_fused_chunk(params) -> int:
-    """Largest safe fused-kernel chunk for this checkpoint: bounds the
-    data-dependent decay by max(time_decay) + max column L1 of
-    time_decay_w2 (|tanh| <= 1), then solves (L/2)*exp(w_max) < 80.
-
-    Floors at 32; if even 32 is unsafe for a (pathological) checkpoint,
-    use ``wkv_backend="chunked_exact"`` (ops.wkv_chunked exact mode, valid
-    for ANY decay) instead of the Pallas kernel — see
-    ops.wkv_chunked.safe_chunk_size."""
-    import numpy as np
-
-    if "blocks_stacked" in params:           # scan-over-layers trees
-        blocks = [params["block0"], params["blocks_stacked"]]
-    else:
-        blocks = params["blocks"]
-    w_max = -1e30
-    for b in blocks:
-        att = b["att"]
-        if "time_decay" not in att:
-            continue
-        td = np.asarray(att["time_decay"], np.float32)
-        bound = float(td.max())
-        if "time_decay_w2" in att:
-            # stacked leaves carry a leading layer axis; the column-L1
-            # bound sums the second-to-last axis either way
-            w2 = np.abs(np.asarray(att["time_decay_w2"], np.float32))
-            bound += float(w2.sum(axis=-2).max())
-        w_max = max(w_max, bound)
-    if w_max <= 0:
-        return 256
-    safe = int(2 * 80.0 / np.exp(min(w_max, 10.0)))
-    for L in (256, 128, 64, 32):
-        if L <= safe:
-            return L
-    return 32
+    return proj(y * g, p["output"], dt)
 
 
 def time_mix_v6(
@@ -232,15 +187,12 @@ def time_mix_v6(
         # T=1 runs on the tile-packed state (the round-trip reshape via
         # the logical view folds away in XLA; the canonical carried state
         # is already packed). Default: the pure-XLA composition.
-        # backend="pallas" (or RWKV_FUSED_DECODE=1) opts into the
+        # backend="pallas" (or cfg.fused_decode) opts into the
         # single-pass Pallas kernel — measured ~even with the XLA path.
         use_pallas_decode = wkv_backend == "pallas" or (
-            wkv_backend == "auto"
-            and os.environ.get("RWKV_FUSED_DECODE", "0") == "1"
+            wkv_backend == "auto" and getattr(cfg, "fused_decode", False)
         )
-        packed_ok = decode_packable(N) and os.environ.get(
-            "RWKV_PACKED_DECODE", "1"
-        ) == "1"
+        packed_ok = decode_packable(N) and getattr(cfg, "packed_decode", True)
         if packed_ok and (
             use_pallas_decode
             or wkv_backend in ("auto", "chunked", "chunked_exact")
@@ -263,7 +215,7 @@ def time_mix_v6(
                 gated, new_wkv_packed = wkv_decode.wkv6_decode_step_packed(
                     *args, eps=cfg.ln_x_eps
                 )
-            out = gated @ as_weight(p["output"], dt)
+            out = proj(gated, p["output"], dt)
             return out[:, None, :], x[:, -1].astype(jnp.float32), new_wkv_packed
 
     from rwkv_lm_ext_tpu.models.state import unpack_wkv
@@ -286,9 +238,9 @@ def time_mix_v6(
             p["ln_x"]["bias"],
             s0,
             eps=cfg.ln_x_eps,
-            chunk_size=max(chunk_size, _fused_chunk()),
+            chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 128)),
         )
-        out = gated @ as_weight(p["output"], dt)
+        out = proj(gated, p["output"], dt)
         return out, x[:, -1].astype(jnp.float32), new_wkv
 
     y, new_wkv = wkv(
@@ -342,10 +294,10 @@ def time_mix_v6_fused(
         maa, p["time_maa_w1"].astype(dt), p["time_maa_w2"].astype(dt),
         eps=1e-5, interpret=interpret,
     )
-    r = xr @ as_weight(p["receptance"], dt)
-    k = xk @ as_weight(p["key"], dt)
-    v = xv @ as_weight(p["value"], dt)
-    g = jax.nn.silu(xg @ as_weight(p["gate"], dt))
+    r = proj(xr, p["receptance"], dt)
+    k = proj(xk, p["key"], dt)
+    v = proj(xv, p["value"], dt)
+    g = jax.nn.silu(proj(xg, p["gate"], dt))
     ww = jnp.tanh(
         xw.astype(jnp.float32) @ p["time_decay_w1"].astype(jnp.float32)
     ) @ p["time_decay_w2"].astype(jnp.float32)
@@ -368,10 +320,10 @@ def time_mix_v6_fused(
         p["ln_x"]["bias"],
         s0,
         eps=cfg.ln_x_eps,
-        chunk_size=max(chunk_size, _fused_chunk()),
+        chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 128)),
         interpret=interpret,
     )
-    out = gated @ as_weight(p["output"], dt)
+    out = proj(gated, p["output"], dt)
     return out, xln[:, -1].astype(jnp.float32), new_wkv
 
 
@@ -400,11 +352,11 @@ def time_mix_v5(
         mixd = p[mix].astype(dt)
         return x * mixd + prev * (1 - mixd)
 
-    r = lerp("time_mix_r") @ as_weight(p["receptance"], dt)
-    k = lerp("time_mix_k") @ as_weight(p["key"], dt)
-    v = lerp("time_mix_v") @ as_weight(p["value"], dt)
+    r = proj(lerp("time_mix_r"), p["receptance"], dt)
+    k = proj(lerp("time_mix_k"), p["key"], dt)
+    v = proj(lerp("time_mix_v"), p["value"], dt)
     has_gate = "gate" in p  # v5.1+
-    g = jax.nn.silu(lerp("time_mix_g") @ as_weight(p["gate"], dt)) if has_gate else None
+    g = jax.nn.silu(proj(lerp("time_mix_g"), p["gate"], dt)) if has_gate else None
 
     w = jnp.broadcast_to(
         p["time_decay"].astype(jnp.float32).reshape(1, 1, H, N), (B, T, H, N)
@@ -430,9 +382,9 @@ def time_mix_v5(
             p["ln_x"]["bias"],
             wkv_state,
             eps=cfg.ln_x_eps,
-            chunk_size=max(chunk_size, _fused_chunk()),
+            chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 128)),
         )
-        out = gated @ as_weight(p["output"], dt)
+        out = proj(gated, p["output"], dt)
         return out, x[:, -1].astype(jnp.float32), new_wkv
 
     y, new_wkv = wkv(
@@ -449,7 +401,7 @@ def time_mix_v5(
     y = group_norm(y, p["ln_x"], H, 1e-5)
     if g is not None:
         y = y * g
-    out = y @ as_weight(p["output"], dt)
+    out = proj(y, p["output"], dt)
     return out, x[:, -1].astype(jnp.float32), new_wkv
 
 
@@ -468,10 +420,10 @@ def channel_mix(
         mr = p["time_mix_r"].astype(dt)
         xk = x * mk + prev * (1 - mk)
         xr = x * mr + prev * (1 - mr)
-    k = xk @ as_weight(p["key"], dt)
+    k = proj(xk, p["key"], dt)
     k = jnp.square(jax.nn.relu(k))
-    kv = k @ as_weight(p["value"], dt)
-    out = jax.nn.sigmoid(xr @ as_weight(p["receptance"], dt)) * kv
+    kv = proj(k, p["value"], dt)
+    out = jax.nn.sigmoid(proj(xr, p["receptance"], dt)) * kv
     return out, x[:, -1].astype(jnp.float32)
 
 
@@ -486,10 +438,10 @@ def mish_glu(
     mr = p["time_mix_r"].astype(dt)
     xa = x * mk + prev * (1 - mk)
     xb = x * mr + prev * (1 - mr)
-    a = xa @ as_weight(p["aa"], dt)
-    b = xb @ as_weight(p["bb"], dt)
+    a = proj(xa, p["aa"], dt)
+    b = proj(xb, p["bb"], dt)
     mish = b * jnp.tanh(jax.nn.softplus(b))
-    return (a * mish) @ as_weight(p["value"], dt), x[:, -1].astype(jnp.float32)
+    return proj(a * mish, p["value"], dt), x[:, -1].astype(jnp.float32)
 
 
 def tiny_attention(
@@ -564,8 +516,8 @@ def block_forward(
         use_fused_prologue = (
             v6
             and fused_prologue
+            and getattr(cfg, "fused_prologue", True)
             and _resolve_backend(wkv_backend, x.shape[1]) == "pallas"
-            and os.environ.get("RWKV_FUSED_PROLOGUE", "1") == "1"
         )
         if use_fused_prologue:
             att_out, att_shift, wkv_state = time_mix_v6_fused(
@@ -705,7 +657,7 @@ def rwkv_forward(
     x = layer_norm(x, params["ln_out"])
     if return_hidden and not return_logits:
         return x, new_state
-    logits = x @ as_weight(params["head"], dt)
+    logits = proj(x, params["head"], dt)
     if cfg.head_qk > 0 and "head_q" in params:
         # copy mechanism (src/model.py:1225-1238): causal q@k over hidden
         # plus one-hot scatter of the input tokens into the logits

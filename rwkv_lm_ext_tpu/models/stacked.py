@@ -20,7 +20,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from rwkv_lm_ext_tpu.models.rwkv import as_weight, block_forward, layer_norm
+from rwkv_lm_ext_tpu.models.rwkv import as_weight, block_forward, layer_norm, proj
 from rwkv_lm_ext_tpu.models.state import init_model_state
 
 
@@ -124,7 +124,7 @@ def rwkv_forward_stacked(
     x = layer_norm(x, sparams["ln_out"])
     if return_hidden and not return_logits:
         return x, new_state
-    logits = x @ as_weight(sparams["head"], dt)
+    logits = proj(x, sparams["head"], dt)
     if return_hidden:
         return (logits, x), new_state
     return logits, new_state

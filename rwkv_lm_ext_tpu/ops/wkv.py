@@ -72,9 +72,10 @@ def wkv(
             return wkv_reference(r, k, v, w, u, initial_state, reverse=True)
         return wkv_reference(r, k, v, w, u, initial_state)
     if be in ("chunked", "chunked_exact"):
+        # both names run the exact tiled decomposition ("chunked_exact" is
+        # a compatibility alias from round 1's approximate/exact split)
         return wkv_chunked(
             r, k, v, w, u, initial_state, chunk_size=chunk_size, remat=remat,
-            exact=(be == "chunked_exact"),
         )
     if be == "pallas":
         from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv_pallas

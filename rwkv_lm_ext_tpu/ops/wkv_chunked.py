@@ -1,4 +1,4 @@
-"""Chunked (blockwise-parallel) WKV — the XLA fast path.
+"""Chunked (blockwise-parallel) WKV — the XLA fast path, exact for ANY decay.
 
 Replaces the per-token sequential recurrence with a chunk-parallel
 formulation so the FLOPs land on the MXU as (L, N) x (N, N) / (L, L)
@@ -16,15 +16,18 @@ log-decay; Winc[t] = sum_{u<=t} lw[u], Wexc[t] = Winc[t] - lw[t]):
 
   S_next = e^{Winc[L-1]} ⊙_K S + sum_s (k[s] ⊙ e^{Winc[L-1]-Winc[s]})^T v[s]
 
-All per-chunk exponents are <= 0 except the intra-chunk key-side factor
-e^{-Winc[s]}, which is bounded by rescaling around the chunk midpoint and
-clipping at MAX_EXP (affects only contributions that are ~0 anyway; the
-sequential reference is the exactness backstop). The rescale is exact only
-while (L/2)·max(exp(w)) < MAX_EXP; `exact=True` instead forms the intra-
-chunk matrix from the pairwise logit differences Wexc[t]-Winc[s] (<= 0 for
-s < t, so it never overflows for ANY decay) — L²N elementwise work on the
-VPU instead of an MXU matmul, the right trade for a correctness fallback.
-`safe_chunk_size(w)` picks the largest safe L from concrete decay values.
+The inter-chunk and state factors have exponents <= 0 by construction.  The
+intra-chunk matrix A[t,s] = sum_n r k e^{Wexc[t]-Winc[s]} has pairwise
+exponents <= 0 for s < t, but a naive rank-factoring e^{Wexc[t]-m}·e^{m-Winc[s]}
+with one base m per chunk overflows/underflows when the accumulated decay
+within the chunk exceeds fp32 range (round 1 guarded this with a per-
+checkpoint max-chunk bound).  `_intra_A_exact` removes the guard: the chunk
+is split into EXACT_SUBTILE-sized s-tiles; each tile's contribution to
+strictly-later rows uses the base m_j = Winc[tile end] (both factors then
+have exponents <= 0 — no overflow, and no underflow beyond the true logit),
+while the diagonal tile is formed from the raw pairwise logits (clipped at
+0; clipping only touches s >= t entries the causal mask kills).  Exact for
+ANY decay, including w > 0 (per-step decay e^{-e^w} ~ 0).
 
 Differentiable by autodiff; each chunk body can be rematerialized
 (`remat=True`) — the analogue of fla's checkpoint_level.
@@ -37,23 +40,50 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-MAX_EXP = 80.0  # exp(80) ~ 5.5e34, safely below fp32 max
+# s-tile size of the exact intra-chunk decomposition: the pairwise diagonal
+# work is L*EXACT_SUBTILE*N per chunk (vs the L^2*N intra matmul), and every
+# off-diagonal factor exponent is <= 0 regardless of decay magnitude.
+EXACT_SUBTILE = 16
 
 
-def safe_chunk_size(w_max: float, candidates=(128, 64, 32, 16, 8)):
-    """Largest chunk L for which the midpoint rescale is exact given the
-    largest raw decay parameter value w_max (per-step |log-decay| is
-    exp(w)): needs (L/2)·exp(w_max) < MAX_EXP. Returns None when even the
-    smallest candidate is unsafe — use exact=True (or the sequential
-    reference) then. Call with CONCRETE values (e.g. from checkpoint
-    params), not traced ones."""
-    import math
+def _intra_A_exact(rr, kk, wexc, winc, Ls: int = EXACT_SUBTILE):
+    """A[..., t, s] = sum_n rr[...,t,n]·kk[...,s,n]·e^{wexc[...,t,n]-winc[...,s,n]},
+    exact for any decay. Entries with s >= t are meaningless (caller masks).
 
-    m = math.exp(float(w_max))
-    for L in candidates:
-        if (L / 2) * m < MAX_EXP:
-            return L
-    return None
+    rr, kk, wexc, winc: (..., L, N) fp32.
+    """
+    L, N = rr.shape[-2:]
+    Ls = min(Ls, L)
+    if L % Ls != 0:  # odd chunk size: single pairwise tile (rare, small L)
+        Ls = L
+    NT = L // Ls
+    row = jnp.arange(L)[:, None]
+    A = jnp.zeros((*rr.shape[:-2], L, L), jnp.float32)
+    for j in range(NT):
+        sl = slice(j * Ls, (j + 1) * Ls)
+        # rows strictly after the tile: factor around the tile-end cumulant
+        # m_j = winc[tile end]; q-side wexc[t]-m_j <= 0 for t > tile end,
+        # k-side m_j-winc[s] <= 0 for s <= tile end (winc is decreasing)
+        if j < NT - 1:
+            m = winc[..., (j + 1) * Ls - 1 : (j + 1) * Ls, :]
+            kj = kk[..., sl, :] * jnp.exp(m - winc[..., sl, :])
+            qj = rr * jnp.exp(jnp.minimum(wexc - m, 0.0))
+            C = jnp.einsum("...ln,...sn->...ls", qj, kj)
+            C = jnp.where(row >= (j + 1) * Ls, C, 0.0)
+            A = A.at[..., :, sl].add(C)
+        # diagonal tile: raw pairwise logits (<= 0 for s < t; clip kills
+        # the s >= t junk that the causal mask removes anyway)
+        logits = (
+            wexc[..., sl, :][..., :, None, :]
+            - winc[..., sl, :][..., None, :, :]
+        )
+        pair = (
+            rr[..., sl, :][..., :, None, :]
+            * kk[..., sl, :][..., None, :, :]
+        )
+        At = jnp.sum(pair * jnp.exp(jnp.minimum(logits, 0.0)), axis=-1)
+        A = A.at[..., sl, sl].add(At)
+    return A
 
 
 def _pad_time(x: jax.Array, pad: int) -> jax.Array:
@@ -74,13 +104,18 @@ def wkv_chunked(
     *,
     chunk_size: int = 32,
     remat: bool = True,
-    exact: bool = False,
+    exact: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunk-parallel WKV scan. Same contract as `wkv_reference`.
 
     r, k, v, w: (B, T, H, N); u: (H, N) or None; initial_state: (B, H, N, N).
     Returns (y (B,T,H,N) fp32, final_state (B,H,N,N) fp32).
+
+    ``exact`` is kept for API compatibility; both values run the exact
+    tiled decomposition (round 1's midpoint-rescale approximation and its
+    per-checkpoint chunk guard are gone).
     """
+    del exact
     B, T, H, N = r.shape
     L = min(chunk_size, T)
     pad = (-T) % L
@@ -115,16 +150,8 @@ def wkv_chunked(
     winc = jnp.cumsum(lwc, axis=-2)            # inclusive, (NC,B,H,L,N)
     wexc = winc - lwc                          # exclusive
     wlast = winc[..., -1:, :]                  # (NC,B,H,1,N) total chunk decay
-    wmid = winc[..., L // 2, :][..., None, :]  # midpoint rescale for intra
 
     q_inter = rc * jnp.exp(wexc)                             # <= |r|
-    if exact:
-        # intra matrix formed pairwise inside chunk_body; ship the raw
-        # cumulants instead of pre-scaled tensors
-        q_intra, k_intra = wexc, winc
-    else:
-        q_intra = rc * jnp.exp(jnp.clip(wexc - wmid, None, MAX_EXP))
-        k_intra = kc * jnp.exp(jnp.clip(wmid - winc, None, MAX_EXP))
     k_state = kc * jnp.exp(wlast - winc)                     # <= |k|
     decay_total = jnp.exp(wlast[..., 0, :])                  # (NC,B,H,N)
 
@@ -137,17 +164,8 @@ def wkv_chunked(
     tri = jnp.tril(jnp.ones((L, L), dtype=jnp.bool_), k=-1)
 
     def chunk_body(S, inp):
-        qi, qa, ka, ks, dt, vv, dg, rr, kk = inp
-        if exact:
-            # pairwise logits wexc[t]-winc[s] <= 0 for s < t: exact for any
-            # decay (qa carries wexc, ka carries winc here)
-            logits = qa[..., :, None, :] - ka[..., None, :, :]  # (b,h,L,L,N)
-            pair = rr[..., :, None, :] * kk[..., None, :, :]
-            A = jnp.sum(
-                pair * jnp.exp(jnp.minimum(logits, 0.0)), axis=-1
-            )
-        else:
-            A = jnp.einsum("bhln,bhmn->bhlm", qa, ka)
+        qi, ks, dt, vv, dg, rr, kk, we, wi = inp
+        A = _intra_A_exact(rr, kk, we, wi)
         # intra-chunk attention matrix (L, L), strictly causal + bonus diag
         A = jnp.where(tri[None, None], A, 0.0)
         y = jnp.einsum("bhlm,bhmn->bhln", A, vv)
@@ -161,17 +179,10 @@ def wkv_chunked(
     if remat:
         chunk_body = jax.checkpoint(chunk_body)
 
-    # rc/kc ride along only for the exact pairwise product (zero-size
-    # placeholders otherwise so the scan carries no dead memory)
-    if exact:
-        rk = (rc, kc)
-    else:
-        z = jnp.zeros((NC, B, H, 0, N), jnp.float32)
-        rk = (z, z)
     final_state, ys = jax.lax.scan(
         chunk_body,
         state0,
-        (q_inter, q_intra, k_intra, k_state, decay_total, vc, diag) + rk,
+        (q_inter, k_state, decay_total, vc, diag, rc, kc, wexc, winc),
     )
     # ys: (NC,B,H,L,N) -> (B,T,H,N)
     y = ys.transpose(1, 0, 3, 2, 4).reshape(B, Tp, H, N)[:, :T]

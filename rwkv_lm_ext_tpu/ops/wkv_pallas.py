@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the chunked WKV scan.
+"""Pallas TPU kernel for the chunked WKV scan — exact for ANY decay.
 
 The TPU replacement for all of the reference's cuda/*.cu WKV kernels: one
 fused kernel computes the chunk-parallel formulation of wkv_chunked.py with
@@ -11,9 +11,20 @@ innermost, so scratch carries the state across the chunk axis and resets
 when a new (batch, head) program begins. Intra-chunk work is (L,N)x(N,L)
 and (L,L)x(L,N) matmuls on the MXU in fp32.
 
-Backward: custom_vjp recomputes through the XLA chunked path (fla
-checkpoint_level-style recompute) — a fused Pallas backward is a later
-optimization.
+Exactness: the intra-chunk matrix A[t,s] = sum_n r k e^{Wexc[t]-Winc[s]}
+is built by `_exact_A_head` — per-s-tile factoring around the tile-end
+cumulant (both factor exponents <= 0, so no overflow and no underflow
+beyond the true logit) plus raw pairwise logits for each diagonal tile.
+This replaces round 1's single midpoint rescale, which silently degraded
+once the in-chunk accumulated decay exceeded fp32 range and needed a
+per-checkpoint chunk-size guard (suggest_fused_chunk — now deleted).
+All index plumbing is 2D lane-concats and one-hot MXU matmuls; Mosaic
+rejects sublane<->lane reshapes, so none are used.
+
+Backward: hand-written two-pass Pallas backward (chunk-entry state
+checkpoints, then a reverse-adjoint pass) with the exact-A adjoint in
+`_exact_A_head_bwd`; XLA-recompute fallback for geometries the packed
+kernels can't tile.
 """
 from __future__ import annotations
 
@@ -25,7 +36,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rwkv_lm_ext_tpu.ops.wkv_chunked import MAX_EXP, wkv_chunked
+from rwkv_lm_ext_tpu.ops.wkv_chunked import wkv_chunked
+
+# s-tile size of the exact intra-chunk decomposition (see wkv_chunked.py).
+_EXACT_LS = 16
+
+# The exact-A tiles and the HIGHEST-precision (multi-pass fp32) matmuls
+# push the backward kernel past Mosaic's default 16 MiB scoped-VMEM stack
+# (measured 20.7 MiB at 1B6 geometry); v5e has 128 MiB of VMEM, so give
+# every kernel generous headroom.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
 def pallas_available() -> bool:
@@ -33,6 +53,207 @@ def pallas_available() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _dot(a, b, dims, precision=None):
+    """In-kernel VALUE matmul: the MXU's 1-pass default (bf16 multiplies,
+    fp32 accumulation) — the same numerics as the reference CUDA kernels,
+    whose r/k/v inputs are bf16 with fp32 accumulators. Measured ~4e-3
+    relative error in fp32 value outputs on-chip; errors here stay
+    relative to the VALUES, so bf16-IO models see nothing new."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _cumsum_rows(x, L: int, *, reverse: bool = False):
+    """Exact fp32 inclusive prefix (or suffix) sum over the sublane axis,
+    by log-depth doubling with pltpu.roll.
+
+    Cumulant sums MUST be exact fp32, unlike the value matmuls:
+    log-decays reach -20/step and accumulate to O(-10^3) over a chunk,
+    and cumulant error amplifies EXPONENTIALLY through e^{Winc} — as a
+    1-pass tril matmul the cumsum loses ~1% of the exponent, measured as
+    a 2e0 y error at w_max=+3 on a real chip. log2(L) masked VPU adds
+    are both exact and ~100x cheaper than the 6-pass HIGHEST matmul."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < L:
+        if reverse:
+            sh = pltpu.roll(x, L - k, 0)  # roll is non-negative: -k mod L
+            x = x + jnp.where(row < L - k, sh, 0.0)
+        else:
+            sh = pltpu.roll(x, k, 0)
+            x = x + jnp.where(row >= k, sh, 0.0)
+        k *= 2
+    return x
+
+
+def _flatten_rows(X, Ls):
+    """(Ls, N) -> (1, Ls*N) with [0, s*N+n] = X[s, n].
+
+    One-hot select + sublane reduction: Mosaic rejects lane-concats of row
+    slices taken at different sublane offsets ("offset mismatch on
+    non-concat dimension"), so build the flat row by masking the
+    lane-repeated X with (q//N == s) and summing over sublanes."""
+    N = X.shape[1]
+    q_s = jax.lax.broadcasted_iota(jnp.int32, (Ls, Ls * N), 1) // N
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (Ls, Ls * N), 0)
+    rep = jnp.concatenate([X] * Ls, axis=1)
+    return jnp.sum(jnp.where(q_s == s_i, rep, 0.0), axis=0, keepdims=True)
+
+
+def _repeat_cols(X, Ls):
+    """(R, N) -> (R, Ls*N) with [t, s*N+n] = X[t, n]."""
+    return jnp.concatenate([X] * Ls, axis=1)
+
+
+def _fold_mats(Ls, N):
+    """One-hot fold matrices over the flat pair index q = s*N + n:
+    MfoldT (Ls, Ls*N): [s, q] = (q//N == s)   (expand / fold over s)
+    Mchan  (Ls*N, N):  [q, n] = (q%N == n)    (fold over s, keep channel)
+    """
+    q_s = jax.lax.broadcasted_iota(jnp.int32, (Ls, Ls * N), 1) // N
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (Ls, Ls * N), 0)
+    MfoldT = (q_s == s_i).astype(jnp.float32)
+    q_n = jax.lax.broadcasted_iota(jnp.int32, (Ls * N, N), 0) % N
+    n_i = jax.lax.broadcasted_iota(jnp.int32, (Ls * N, N), 1)
+    Mchan = (q_n == n_i).astype(jnp.float32)
+    return MfoldT, Mchan
+
+
+def _exact_ls(L: int) -> int:
+    Ls = min(_EXACT_LS, L)
+    return L if L % Ls else Ls
+
+
+def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
+    """Exact intra-chunk A (L, L) for one head; entries s >= t are junk
+    (caller applies the strict causal mask)."""
+    Ls = _exact_ls(L)
+    NT = L // Ls
+    MfoldT, _ = _fold_mats(Ls, N)
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, Ls), 0)
+    blocks = []
+    for j in range(NT):
+        sl = slice(j * Ls, (j + 1) * Ls)
+        # strictly-later rows: factor around m = winc[tile end]; both
+        # exponents <= 0 where used (clip only touches masked rows)
+        if j < NT - 1:
+            m = winc_h[(j + 1) * Ls - 1 : (j + 1) * Ls, :]       # (1, N)
+            kj = k_h[sl, :] * jnp.exp(m - winc_h[sl, :])
+            qj = r_h * jnp.exp(jnp.minimum(wexc_h - m, 0.0))
+            C = _dot(qj, kj, ((1,), (1,)), precision)             # (L, Ls)
+            C = jnp.where(row >= (j + 1) * Ls, C, 0.0)
+        else:
+            C = jnp.zeros((L, Ls), jnp.float32)
+        # diagonal tile: raw pairwise logits, exact for any decay
+        logits = _repeat_cols(wexc_h[sl, :], Ls) - _flatten_rows(
+            winc_h[sl, :], Ls
+        )
+        Pm = (
+            _repeat_cols(r_h[sl, :], Ls)
+            * _flatten_rows(k_h[sl, :], Ls)
+            * jnp.exp(jnp.minimum(logits, 0.0))
+        )                                                         # (Ls, Ls*N)
+        At = _dot(Pm, MfoldT, ((1,), (1,)), precision)            # (Ls, Ls)
+        parts = []
+        if j > 0:
+            parts.append(jnp.zeros((j * Ls, Ls), jnp.float32))
+        parts.append(At)
+        if j < NT - 1:
+            parts.append(jnp.zeros((L - (j + 1) * Ls, Ls), jnp.float32))
+        emb = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        blocks.append(C + emb)
+    return blocks[0] if NT == 1 else jnp.concatenate(blocks, axis=1)
+
+
+def _exact_A_head_bwd(dA, r_h, k_h, winc_h, wexc_h, L: int, N: int):
+    """Adjoint of _exact_A_head. dA must already be causal-masked (entries
+    s >= t zero — exactly where the diagonal-tile clip is active, so the
+    clip needs no extra adjoint masking).
+
+    Returns (dr, dk, dwexc, dwinc), each (L, N) fp32.
+
+    All matmuls run HIGHEST: the dw path sums near-cancelling terms
+    (the dlw suffix-sum cancels full-chunk partial sums by construction),
+    so summand rounding from 1-pass matmuls surfaces as O(1e-1) relative
+    dw error (measured); full-fp32 passes restore ~1e-5. Backward-only
+    cost — the forward keeps the reference-numerics 1-pass default.
+    """
+    P = jax.lax.Precision.HIGHEST
+    Ls = _exact_ls(L)
+    NT = L // Ls
+    MfoldT, Mchan = _fold_mats(Ls, N)
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, Ls), 0)
+    rowN = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)
+    dr = jnp.zeros((L, N), jnp.float32)
+    dwexc = jnp.zeros((L, N), jnp.float32)
+    dwinc = jnp.zeros((L, N), jnp.float32)
+    dk_blocks = []
+    for j in range(NT):
+        sl = slice(j * Ls, (j + 1) * Ls)
+        dk_sl = jnp.zeros((Ls, N), jnp.float32)
+        dwinc_sl = jnp.zeros((Ls, N), jnp.float32)
+        if j < NT - 1:
+            m = winc_h[(j + 1) * Ls - 1 : (j + 1) * Ls, :]
+            Ek = jnp.exp(m - winc_h[sl, :])
+            kj = k_h[sl, :] * Ek
+            Eq = jnp.exp(jnp.minimum(wexc_h - m, 0.0))
+            qj = r_h * Eq
+            dC = jnp.where(row >= (j + 1) * Ls, dA[:, sl], 0.0)   # (L, Ls)
+            dqj = _dot(dC, kj, ((1,), (0,)), P)                   # (L, N)
+            dkj = _dot(dC, qj, ((0,), (0,)), P)                   # (Ls, N)
+            dr = dr + dqj * Eq
+            dwexc = dwexc + dqj * qj
+            dk_sl = dk_sl + dkj * Ek
+            dwinc_sl = dwinc_sl - dkj * kj
+            # base adjoint: m = winc[tile end]
+            dm = jnp.sum(dkj * kj, axis=0, keepdims=True) - jnp.sum(
+                dqj * qj, axis=0, keepdims=True
+            )                                                     # (1, N)
+            dwinc = dwinc + jnp.where(rowN == (j + 1) * Ls - 1, dm, 0.0)
+        # diagonal tile pairwise adjoint
+        dAt = dA[sl, j * Ls : (j + 1) * Ls]                       # (Ls, Ls)
+        r_t = _repeat_cols(r_h[sl, :], Ls)
+        k_s = _flatten_rows(k_h[sl, :], Ls)
+        logits = _repeat_cols(wexc_h[sl, :], Ls) - _flatten_rows(
+            winc_h[sl, :], Ls
+        )
+        E = jnp.exp(jnp.minimum(logits, 0.0))
+        dPm = _dot(dAt, MfoldT, ((1,), (0,)), P)                  # (Ls, Ls*N)
+        G = dPm * E
+        dr_sl = _dot(G * k_s, Mchan, ((1,), (0,)), P)             # (Ls, N)
+        colsum = jnp.sum(G * r_t, axis=0, keepdims=True)          # (1, Ls*N)
+        dk_sl = dk_sl + _dot(MfoldT * colsum, Mchan, ((1,), (0,)), P)
+        dlog = G * (r_t * k_s)
+        dwexc_sl = _dot(dlog, Mchan, ((1,), (0,)), P)
+        dwinc_sl = dwinc_sl - _dot(
+            MfoldT * jnp.sum(dlog, axis=0, keepdims=True), Mchan,
+            ((1,), (0,)), P,
+        )
+        intile = (rowN >= j * Ls) & (rowN < (j + 1) * Ls)
+        pad_top = jnp.zeros((j * Ls, N), jnp.float32)
+        pad_bot = jnp.zeros((L - (j + 1) * Ls, N), jnp.float32)
+
+        def place(x):
+            parts = []
+            if j > 0:
+                parts.append(pad_top)
+            parts.append(x)
+            if j < NT - 1:
+                parts.append(pad_bot)
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+        dr = dr + place(dr_sl)
+        dwexc = dwexc + place(dwexc_sl)
+        dwinc = dwinc + place(dwinc_sl)
+        dk_blocks.append(dk_sl)
+        del intile
+    dk = dk_blocks[0] if NT == 1 else jnp.concatenate(dk_blocks, axis=0)
+    return dr, dk, dwexc, dwinc
 
 
 def _wkv_kernel(
@@ -51,7 +272,6 @@ def _wkv_kernel(
 
     row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tril_inc = (row0 >= col0).astype(jnp.float32)
     causal = row0 > col0
 
     # static loop over the L-sized chunks of this TB-sized block: the
@@ -66,46 +286,26 @@ def _wkv_kernel(
         lw = -jnp.exp(w)                         # <= 0
         # inclusive prefix sum as a lower-triangular matmul (Pallas TPU
         # has no cumsum; (L,L)x(L,N) rides the MXU anyway)
-        winc = jax.lax.dot_general(
-            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        winc = _cumsum_rows(lw, L)
         wexc = winc - lw                         # exclusive
         wlast = winc[L - 1, :][None, :]
-        wmid = winc[L // 2, :][None, :]
 
         q_inter = r * jnp.exp(wexc)
-        q_intra = r * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
-        k_intra = k * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
         k_state = k * jnp.exp(wlast - winc)
 
         # intra-chunk attention (strictly causal) + u-bonus diagonal
-        A = jax.lax.dot_general(
-            q_intra, k_intra,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                        # (L,L): A[t,s]
+        A = _exact_A_head(r, k, winc, wexc, L, N)
         A = jnp.where(causal, A, 0.0)
         diag = jnp.sum(r * u * k, axis=1, keepdims=True)  # (L,1)
 
-        y = jax.lax.dot_general(
-            A, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        y = _dot(A, v, ((1,), (0,)))
         y += diag * v
-        y += jax.lax.dot_general(
-            q_inter, state[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        y += _dot(q_inter, state[:, :], ((1,), (0,)))
         y_ref[0, sl, :] = y.astype(y_ref.dtype)
 
         # state update: S = decay_total ⊙_K S + k_state^T @ v
         new_s = state[:, :] * jnp.exp(wlast)[0][:, None]
-        new_s += jax.lax.dot_general(
-            k_state, v, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        new_s += _dot(k_state, v, ((0,), (0,)))
         state[:, :] = new_s
 
     @pl.when(c == pl.num_programs(1) - 1)
@@ -168,6 +368,7 @@ def _wkv_pallas_fwd_impl(
             jax.ShapeDtypeStruct((B * H, N, N), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((N, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Tp * N * (2 * N + L),
@@ -285,7 +486,6 @@ def _wkv_gn_kernel(
 
     row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tril_inc = (row0 >= col0).astype(jnp.float32)
     causal = row0 > col0
 
     for i in range(TB // L):
@@ -297,16 +497,10 @@ def _wkv_gn_kernel(
         g_all = g_ref[0, sl, :].astype(jnp.float32)
 
         lw = -jnp.exp(w_all)
-        winc = jax.lax.dot_general(
-            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        winc = _cumsum_rows(lw, L)
         wexc = winc - lw
         wlast = winc[L - 1, :][None, :]
-        wmid = winc[L // 2, :][None, :]
         q_inter_all = r_all * jnp.exp(wexc)
-        q_intra_all = r_all * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
-        k_intra_all = k_all * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
         k_state_all = k_all * jnp.exp(wlast - winc)
         diag_all = r_all * u_row * k_all
 
@@ -315,28 +509,16 @@ def _wkv_gn_kernel(
             lane = slice(p * N, (p + 1) * N)
             srows = slice(p * N, (p + 1) * N)
             v_h = v_all[:, lane]
-            A = jax.lax.dot_general(
-                q_intra_all[:, lane], k_intra_all[:, lane],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            A = _exact_A_head(
+                r_all[:, lane], k_all[:, lane],
+                winc[:, lane], wexc[:, lane], L, N,
             )
             A = jnp.where(causal, A, 0.0)
-            y = jax.lax.dot_general(
-                A, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            y = _dot(A, v_h, ((1,), (0,)))
             y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
-            y += jax.lax.dot_general(
-                q_inter_all[:, lane], state[srows, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            y += _dot(q_inter_all[:, lane], state[srows, :], ((1,), (0,)))
             new_s = state[srows, :] * jnp.exp(wlast[0, lane])[:, None]
-            new_s += jax.lax.dot_general(
-                k_state_all[:, lane], v_h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            new_s += _dot(k_state_all[:, lane], v_h, ((0,), (0,)))
             state[srows, :] = new_s
             # per-head GroupNorm (torch GroupNorm semantics, groups = heads)
             mu = jnp.mean(y, axis=1, keepdims=True)
@@ -428,6 +610,7 @@ def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
             jax.ShapeDtypeStruct((B, H2, W, N), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((W, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Tp * N * (2 * N + L),
@@ -536,6 +719,7 @@ def _fused_bwd_pallas(
             jax.ShapeDtypeStruct((B * H2, NTB * NCL, W, N), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((W, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(rb, kb, vb, wb, g, ub, scb, bib, s0b)
 
@@ -567,6 +751,7 @@ def _fused_bwd_pallas(
             jax.ShapeDtypeStruct((B, H2, W, N), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((W, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(rb, kb, vb, wb, g, ub, scb, bib, dout, dsTb, states)
 
@@ -623,7 +808,10 @@ def wkv6_fused_output(
 # checkpointed states, applies the GroupNorm/gate backward in-kernel, and
 # emits dr/dk/dv/dw/dg blocks plus per-program du/dscale/dbias partial sums
 # (reduced in XLA). The within-chunk dlw suffix-sum is an upper-triangular
-# matmul — the chunked analogue of the CUDA gw suffix-scan trick.
+# matmul — the chunked analogue of the CUDA gw suffix-scan trick. The
+# intra-chunk A and its adjoint run the exact tiled decomposition
+# (_exact_A_head/_exact_A_head_bwd) so forward and backward agree for ANY
+# decay.
 # ---------------------------------------------------------------------------
 
 
@@ -644,7 +832,6 @@ def _wkv_gn_fwd_save_kernel(
     bias = bi_ref[0].astype(jnp.float32)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tril_inc = (row0 >= col0).astype(jnp.float32)
     causal = row0 > col0
 
     for i in range(TB // L):
@@ -656,44 +843,26 @@ def _wkv_gn_fwd_save_kernel(
         w_all = w_ref[0, sl, :].astype(jnp.float32)
         g_all = g_ref[0, sl, :].astype(jnp.float32)
         lw = -jnp.exp(w_all)
-        winc = jax.lax.dot_general(
-            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        winc = _cumsum_rows(lw, L)
         wexc = winc - lw
         wlast = winc[L - 1, :][None, :]
-        wmid = winc[L // 2, :][None, :]
         q_inter_all = r_all * jnp.exp(wexc)
-        q_intra_all = r_all * jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
-        k_intra_all = k_all * jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
         k_state_all = k_all * jnp.exp(wlast - winc)
         diag_all = r_all * u_row * k_all
         outs = []
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             v_h = v_all[:, lane]
-            A = jax.lax.dot_general(
-                q_intra_all[:, lane], k_intra_all[:, lane],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            A = _exact_A_head(
+                r_all[:, lane], k_all[:, lane],
+                winc[:, lane], wexc[:, lane], L, N,
             )
             A = jnp.where(causal, A, 0.0)
-            y = jax.lax.dot_general(
-                A, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            y = _dot(A, v_h, ((1,), (0,)))
             y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
-            y += jax.lax.dot_general(
-                q_inter_all[:, lane], state[lane, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            y += _dot(q_inter_all[:, lane], state[lane, :], ((1,), (0,)))
             new_s = state[lane, :] * jnp.exp(wlast[0, lane])[:, None]
-            new_s += jax.lax.dot_general(
-                k_state_all[:, lane], v_h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            new_s += _dot(k_state_all[:, lane], v_h, ((0,), (0,)))
             state[lane, :] = new_s
             if gn:
                 mu = jnp.mean(y, axis=1, keepdims=True)
@@ -738,7 +907,6 @@ def _wkv_gn_bwd_kernel(
     bias = bi_ref[0].astype(jnp.float32)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tril_inc = (row0 >= col0).astype(jnp.float32)
     causal = row0 > col0
 
     for i in reversed(range(TB // L)):
@@ -752,20 +920,12 @@ def _wkv_gn_bwd_kernel(
         S0 = states_ref[0, i]                    # (W, N) chunk-entry state
 
         lw = -jnp.exp(w_all)
-        winc = jax.lax.dot_general(
-            tril_inc, lw, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        winc = _cumsum_rows(lw, L)
         wexc = winc - lw
         wlast = winc[L - 1, :][None, :]
-        wmid = winc[L // 2, :][None, :]
         e_exc = jnp.exp(wexc)
-        e_intra_q = jnp.exp(jnp.minimum(wexc - wmid, MAX_EXP))
-        e_intra_k = jnp.exp(jnp.minimum(wmid - winc, MAX_EXP))
         e_state_k = jnp.exp(wlast - winc)
         q_inter_all = r_all * e_exc
-        q_intra_all = r_all * e_intra_q
-        k_intra_all = k_all * e_intra_k
         k_state_all = k_all * e_state_k
         diag_all = r_all * u_row * k_all
 
@@ -775,30 +935,23 @@ def _wkv_gn_bwd_kernel(
 
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
+            r_h = r_all[:, lane]
+            k_h = k_all[:, lane]
             v_h = v_all[:, lane]
+            winc_h = winc[:, lane]
+            wexc_h = wexc[:, lane]
             qi = q_inter_all[:, lane]
-            qa = q_intra_all[:, lane]
-            ka = k_intra_all[:, lane]
             ks = k_state_all[:, lane]
             S0h = S0[lane, :]
             dSh = dstate[lane, :]
 
             # ---- recompute forward y (pre-GN) for this chunk/head ----
-            A = jax.lax.dot_general(
-                qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            A = _exact_A_head(r_h, k_h, winc_h, wexc_h, L, N)
             A = jnp.where(causal, A, 0.0)
             cdiag = jnp.sum(diag_all[:, lane], axis=1, keepdims=True)
-            y = jax.lax.dot_general(
-                A, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            y = _dot(A, v_h, ((1,), (0,)))
             y += cdiag * v_h
-            y += jax.lax.dot_general(
-                qi, S0h, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            y += _dot(qi, S0h, ((1,), (0,)))
             if gn:
                 mu = jnp.mean(y, axis=1, keepdims=True)
                 var = jnp.mean((y - mu) ** 2, axis=1, keepdims=True)
@@ -828,31 +981,14 @@ def _wkv_gn_bwd_kernel(
 
             # ---- WKV backward ----
             # y_inter = qi @ S0h
-            dqi = jax.lax.dot_general(
-                dy, S0h, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dS0h = jax.lax.dot_general(
-                qi, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # y_intra = A @ v ; A = tril(qa @ ka^T)
-            dA = jax.lax.dot_general(
-                dy, v_h, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            dqi = _dot(dy, S0h, ((1,), (1,)))
+            dS0h = _dot(qi, dy, ((0,), (0,)))
+            # y_intra = A @ v ; A from the exact tiled decomposition
+            dA = _dot(dy, v_h, ((1,), (1,)))
             dA = jnp.where(causal, dA, 0.0)
-            dv_h = jax.lax.dot_general(
-                A, dy, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dqa = jax.lax.dot_general(
-                dA, ka, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dka = jax.lax.dot_general(
-                dA, qa, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            dv_h = _dot(A, dy, ((0,), (0,)))
+            dr_A, dk_A, dwexc_A, dwinc_A = _exact_A_head_bwd(
+                dA, r_h, k_h, winc_h, wexc_h, L, N
             )
             # diag bonus: y += cdiag * v
             dcdiag = jnp.sum(dy * v_h, axis=1, keepdims=True)
@@ -860,35 +996,27 @@ def _wkv_gn_bwd_kernel(
             # state update: S1 = E ⊙ S0 + ks^T @ v
             E = jnp.exp(wlast[:, lane])          # (1,N)
             dS0h += E[0][:, None] * dSh
-            dks = jax.lax.dot_general(
-                v_h, dSh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dv_h += jax.lax.dot_general(
-                ks, dSh, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            dks = _dot(v_h, dSh, ((1,), (1,)))
+            dv_h += _dot(ks, dSh, ((1,), (0,)))
             dE = jnp.sum(dSh * S0h, axis=1)[None, :]  # (1,N)
 
             # ---- unfactor exponentials ----
-            r_h = r_all[:, lane]
-            k_h = k_all[:, lane]
             u_h = u_row[:, lane]
             dr_h = (
                 dqi * e_exc[:, lane]
-                + dqa * e_intra_q[:, lane]
+                + dr_A
                 + dcdiag * (u_h * k_h)
             )
             dk_h = (
-                dka * e_intra_k[:, lane]
+                dk_A
                 + dks * e_state_k[:, lane]
                 + dcdiag * (u_h * r_h)
             )
             du_parts.append(
                 jnp.sum(dcdiag * r_h * k_h, axis=0, keepdims=True)
             )
-            dwexc_h = dqi * qi + dqa * qa
-            dwinc_h = -dka * ka - dks * ks
+            dwexc_h = dqi * qi + dwexc_A
+            dwinc_h = dwinc_A - dks * ks
             dwlast_h = (
                 jnp.sum(dks * ks, axis=0, keepdims=True) + dE * E
             )
@@ -919,12 +1047,8 @@ def _wkv_gn_bwd_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) == L - 1
         )
         dwinc_tot = dwinc_tot + jnp.where(is_last_row, dwlast, 0.0)
-        # suffix sum: dlw[s] = sum_{t>=s} dwinc_tot[t]  (tril_inc[t,s]=t>=s)
-        dlw = jax.lax.dot_general(
-            tril_inc, dwinc_tot,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # suffix sum: dlw[s] = sum_{t>=s} dwinc_tot[t]
+        dlw = _cumsum_rows(dwinc_tot, L, reverse=True)
         dlw = dlw - dwexc                        # wexc_t = winc_t - lw_t
         dw_all = dlw * lw                        # dlw * d(lw)/dw, lw=-e^w
 

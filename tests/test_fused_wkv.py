@@ -99,6 +99,48 @@ def test_pallas_backward_matches_autodiff():
         assert float(jnp.abs(a - b).max()) / scale_ref < 1e-5
 
 
+def test_pallas_fwd_bwd_extreme_decay():
+    """Exact tiled A in the fused kernel AND its hand-written adjoint at
+    w up to +3 (per-step decay ~ e^-20): forward and gradients must match
+    the reference composition with no chunk-size guard (VERDICT r1 #4)."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, _wkv_fused
+
+    B, T, H, N = 2, 64, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(13), 9)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=1.5, maxval=3.0)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    scale = 1.0 + 0.1 * jax.random.normal(ks[6], (H * N,))
+    bias = 0.1 * jax.random.normal(ks[7], (H * N,))
+    s0 = 0.1 * jax.random.normal(ks[8], (B, H, N, N))
+    args = (r, k, v, w, u, s0, g, scale, bias)
+
+    out_f, s_f = _wkv_fused(*args, 64e-5, 64, True)
+    out_u, s_u = _fused_ref(*args, 64e-5, 64)
+    # tolerances are wider than the mild-decay test: with per-step decay
+    # e^-20 the pre-GN y is near-degenerate, so GroupNorm's rsqrt(var)
+    # amplifies fp32 accumulation-order differences (~3e-4 observed)
+    np.testing.assert_allclose(out_f, out_u, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
+
+    def loss_fused(a):
+        out, sT = _wkv_fused(*a, 64e-5, 64, True)
+        return jnp.sum(out**2) + jnp.sum(sT**2)
+
+    def loss_ref(a):
+        out, sT = _fused_ref(*a, 64e-5, 64)
+        return jnp.sum(out**2) + jnp.sum(sT**2)
+
+    gp = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(gp, gr):
+        scale_ref = max(float(jnp.abs(b).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / scale_ref < 1e-3
+
+
 def test_v5_gn_scale_invariance_equivalence():
     """GN(y/d, 1e-5) == GN(y, d^2 * 1e-5): the identity that lets RWKV-5
     ride the fused kernel (models/rwkv.py time_mix_v5 pallas branch)."""
@@ -149,23 +191,27 @@ def test_fused_kernel_v5_constant_decay():
     np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
 
 
-def test_suggest_fused_chunk():
+def test_kernel_knobs_env_override(monkeypatch):
+    """Kernel-path knobs live on ModelConfig; RWKV_* env vars override at
+    config construction only (no os.environ reads in model hot paths)."""
     from rwkv_lm_ext_tpu import ModelConfig
-    from rwkv_lm_ext_tpu.models import init_rwkv_params
-    from rwkv_lm_ext_tpu.models.rwkv import suggest_fused_chunk
 
-    cfg = ModelConfig(
-        n_layer=2, n_embd=64, vocab_size=100, head_size=16,
-        dtype="float32", param_dtype="float32",
-    )
-    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
-    # init decays are <= -1 -> large chunks are safe
-    assert suggest_fused_chunk(params) == 256
-    # aggressive decay forces small chunks
-    params["blocks"][0]["att"]["time_decay"] = (
-        params["blocks"][0]["att"]["time_decay"] * 0 + 2.0
-    )
-    assert suggest_fused_chunk(params) <= 32
+    cfg = ModelConfig(n_layer=1, n_embd=64, vocab_size=100, head_size=16)
+    assert cfg.fused_chunk == 128 and cfg.fused_prologue
+    assert cfg.packed_decode and not cfg.fused_decode
+    monkeypatch.setenv("RWKV_FUSED_CHUNK", "64")
+    monkeypatch.setenv("RWKV_FUSED_PROLOGUE", "0")
+    monkeypatch.setenv("RWKV_PACKED_DECODE", "0")
+    monkeypatch.setenv("RWKV_FUSED_DECODE", "1")
+    cfg2 = ModelConfig(n_layer=1, n_embd=64, vocab_size=100, head_size=16)
+    assert cfg2.fused_chunk == 64 and not cfg2.fused_prologue
+    assert not cfg2.packed_decode and cfg2.fused_decode
+    # models/ hot paths read the knobs from cfg, never from the env
+    import rwkv_lm_ext_tpu.models.rwkv as m
+
+    import inspect
+
+    assert "os.environ" not in inspect.getsource(m)
 
 
 def test_fused_kernel_p8_geometry_interpret():

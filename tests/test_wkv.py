@@ -181,20 +181,29 @@ def test_dispatcher_backends_agree():
 
 
 def test_chunked_exact_extreme_decay():
-    """Midpoint-rescale silently degrades once (L/2)*exp(w) > MAX_EXP;
-    exact mode (pairwise logits, all <= 0) must hold for ANY decay."""
-    from rwkv_lm_ext_tpu.ops.wkv_chunked import safe_chunk_size
-
+    """The chunked formulation must match the sequential reference for ANY
+    decay — including w up to +3, where round 1's midpoint rescale (and the
+    per-checkpoint chunk guard it required) silently degraded. Exactness is
+    now the algorithm, not an option: every chunk size agrees."""
     r, k, v, w, u = _rand(jax.random.PRNGKey(21), T=96, w_lo=2.0, w_hi=3.0)
     y_ref, S_ref = wkv_reference(r, k, v, w, u)
-    y_rs, _ = wkv_chunked(r, k, v, w, u, chunk_size=32, exact=False)
-    y_ex, S_ex = wkv_chunked(r, k, v, w, u, chunk_size=32, exact=True)
-    # document the failure exact mode fixes (guards the test's premise)
-    assert float(jnp.max(jnp.abs(y_rs - y_ref))) > 0.1
-    np.testing.assert_allclose(y_ex, y_ref, rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(S_ex, S_ref, rtol=2e-4, atol=2e-4)
-    assert safe_chunk_size(3.0) is None  # helper agrees this decay is unsafe
-    assert safe_chunk_size(1.0) == 32
+    for L in (32, 128):
+        y_ex, S_ex = wkv_chunked(r, k, v, w, u, chunk_size=L)
+        np.testing.assert_allclose(y_ex, y_ref, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(S_ex, S_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_extreme_decay_chunk_128():
+    """VERDICT r1 item 4 acceptance: the Pallas kernel (interpret) matches
+    wkv_reference at w_max=+3 with chunk 128 — the exact tiled A makes the
+    kernel decay-safe with no per-checkpoint guard."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv_pallas
+
+    r, k, v, w, u = _rand(jax.random.PRNGKey(23), T=160, w_lo=1.5, w_hi=3.0)
+    y_ref, S_ref = wkv_reference(r, k, v, w, u)
+    y_pl, S_pl = wkv_pallas(r, k, v, w, u, chunk_size=128, interpret=True)
+    np.testing.assert_allclose(y_pl, y_ref, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(S_pl, S_ref, rtol=2e-4, atol=2e-4)
 
 
 def test_chunked_exact_grads_and_dispatch():
