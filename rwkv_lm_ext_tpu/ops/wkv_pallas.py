@@ -38,8 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rwkv_lm_ext_tpu.ops.wkv_chunked import wkv_chunked
 
-# s-tile size of the exact intra-chunk decomposition (see wkv_chunked.py).
-_EXACT_LS = 16
+# Leaf size of the exact-A backward recursion: halve (L, L) until the
+# remaining tile fits the flat-pair adjoint (_pair_A_tile_bwd).
+_EXACT_LB = 16
 
 # The exact-A tiles and the HIGHEST-precision (multi-pass fp32) matmuls
 # push the backward kernel past Mosaic's default 16 MiB scoped-VMEM stack
@@ -124,58 +125,129 @@ def _fold_mats(Ls, N):
     return MfoldT, Mchan
 
 
-def _exact_ls(L: int) -> int:
-    Ls = min(_EXACT_LS, L)
-    return L if L % Ls else Ls
+def _pair_A_tile(r_t, k_t, winc_t, wexc_t, Ls: int, N: int, precision=None):
+    """Exact (Ls, Ls) diagonal tile from raw pairwise logits
+    wexc[t]-winc[s] (<= 0 for s < t; the clip only touches s >= t junk
+    the caller's causal mask removes). Flat-pair layout (Ls, Ls*N) +
+    one-hot fold — keep Ls small (8): the fold matmul has Ls output
+    lanes, so its MXU utilization is Ls/128."""
+    MfoldT, _ = _fold_mats(Ls, N)
+    logits = _repeat_cols(wexc_t, Ls) - _flatten_rows(winc_t, Ls)
+    Pm = (
+        _repeat_cols(r_t, Ls)
+        * _flatten_rows(k_t, Ls)
+        * jnp.exp(jnp.minimum(logits, 0.0))
+    )                                                         # (Ls, Ls*N)
+    return _dot(Pm, MfoldT, ((1,), (1,)), precision)          # (Ls, Ls)
+
+
+_BAND = 16  # leaf size: pairs closer than this ride banded VPU ops
+
+
+def _broadcast_block_base(x, L: int, bs: int):
+    """(L, N) -> (L, N) where EVERY row t holds x[(t//bs)*bs + bs//2 - 1]
+    (the block's base row). The dense level needs the base at row rows
+    (second half, q factor) AND at col rows (first half, k factor) — both
+    exponents are then <= 0 by cumulant monotonicity, so the safety clips
+    never fire inside selected pairs. Doubling broadcasts with pltpu.roll
+    — no gathers, no one-hot matmuls (a one-hot matmul would round the
+    cumulant to bf16)."""
+    h = bs // 2
+    rN = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    seed = jnp.where(rN % bs == h - 1, x, 0.0)
+    # downward: rows h..bs-1 sit at distance 1..h below the base row, so
+    # the doubling runs through s == h (after step s, distances < 2s are
+    # covered exactly once; the final step reaches the block's last row).
+    down = seed
+    s = 1
+    while s <= h:
+        sh = pltpu.roll(down, s, 0)
+        down = down + jnp.where((rN % bs) >= h - 1 + s, sh, 0.0)
+        s *= 2
+    # upward: rows 0..h-2 sit at distance 1..h-1 above the base row.
+    up = seed
+    s = 1
+    while s < h:
+        sh = pltpu.roll(up, L - s, 0)
+        up = up + jnp.where((rN % bs) <= h - 1 - s, sh, 0.0)
+        s *= 2
+    return down + up - seed
 
 
 def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
     """Exact intra-chunk A (L, L) for one head; entries s >= t are junk
-    (caller applies the strict causal mask)."""
-    Ls = _exact_ls(L)
-    NT = L // Ls
-    MfoldT, _ = _fold_mats(Ls, N)
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, Ls), 0)
-    blocks = []
-    for j in range(NT):
-        sl = slice(j * Ls, (j + 1) * Ls)
-        # strictly-later rows: factor around m = winc[tile end]; both
-        # exponents <= 0 where used (clip only touches masked rows)
-        if j < NT - 1:
-            m = winc_h[(j + 1) * Ls - 1 : (j + 1) * Ls, :]       # (1, N)
-            kj = k_h[sl, :] * jnp.exp(m - winc_h[sl, :])
-            qj = r_h * jnp.exp(jnp.minimum(wexc_h - m, 0.0))
-            C = _dot(qj, kj, ((1,), (1,)), precision)             # (L, Ls)
-            C = jnp.where(row >= (j + 1) * Ls, C, 0.0)
-        else:
-            C = jnp.zeros((L, Ls), jnp.float32)
-        # diagonal tile: raw pairwise logits, exact for any decay
-        logits = _repeat_cols(wexc_h[sl, :], Ls) - _flatten_rows(
-            winc_h[sl, :], Ls
-        )
-        Pm = (
-            _repeat_cols(r_h[sl, :], Ls)
-            * _flatten_rows(k_h[sl, :], Ls)
-            * jnp.exp(jnp.minimum(logits, 0.0))
-        )                                                         # (Ls, Ls*N)
-        At = _dot(Pm, MfoldT, ((1,), (1,)), precision)            # (Ls, Ls)
-        parts = []
-        if j > 0:
-            parts.append(jnp.zeros((j * Ls, Ls), jnp.float32))
-        parts.append(At)
-        if j < NT - 1:
-            parts.append(jnp.zeros((L - (j + 1) * Ls, Ls), jnp.float32))
-        emb = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        blocks.append(C + emb)
-    return blocks[0] if NT == 1 else jnp.concatenate(blocks, axis=1)
+    (caller applies the strict causal mask). Exact for ANY decay — the
+    replacement for round 1's midpoint rescale and its per-checkpoint
+    chunk guard (suggest_fused_chunk, deleted).
+
+    Decomposition tuned for the MXU (the first exact version — per-tile
+    narrow matmuls + one-hot folds — measured 13 seq/s off the embed
+    bench on utilization alone):
+    - pairs within a 16-row leaf: banded — for each offset d<16 one
+      rolled elementwise product + lane reduction, with the pairwise
+      logit wexc[t]-winc[t-d] <= 0 formed directly (difference of
+      cumulants; fp32-exact to ~1e-4 in the exponent).
+    - pairs crossing a leaf: one FULL-WIDTH (L,N)x(N,L) matmul per
+      dyadic level bs in {32, 64, ..., L}; row/col factors carry the
+      block base m = winc[block_mid-1] spread by doubling rolls, so
+      both exponents are <= 0 inside the selected lower-left blocks
+      (each pair is selected exactly once — at its LCA level).
+    """
+    if not (L <= _BAND or L % _BAND == 0):
+        return _pair_A_tile(r_h, k_h, winc_h, wexc_h, L, N, precision)
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    rN = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    A = jnp.zeros((L, L), jnp.float32)
+    for d in range(1, min(_BAND, L)):
+        ks = pltpu.roll(k_h, d, 0)
+        wis = pltpu.roll(winc_h, d, 0)
+        val = jnp.sum(
+            r_h * ks * jnp.exp(jnp.minimum(wexc_h - wis, 0.0)),
+            axis=1, keepdims=True,
+        )                                                     # (L, 1)
+        valid = (rN >= d) & ((rN // _BAND) == ((rN - d) // _BAND))
+        val = jnp.where(valid, val, 0.0)
+        A = A + jnp.where(row - col == d, val, 0.0)
+    bs = 2 * _BAND
+    while bs <= L:
+        h = bs // 2
+        m = _broadcast_block_base(winc_h, L, bs)
+        q = r_h * jnp.exp(jnp.minimum(wexc_h - m, 0.0))
+        kk = k_h * jnp.exp(jnp.minimum(m - winc_h, 0.0))
+        C = _dot(q, kk, ((1,), (1,)), precision)
+        mask = (row // bs == col // bs) & (row % bs >= h) & (col % bs < h)
+        A = A + jnp.where(mask, C, 0.0)
+        bs *= 2
+    return A
+
+
+def _pair_A_tile_bwd(dAt, r_t_in, k_t_in, winc_t, wexc_t, Ls: int, N: int):
+    """Adjoint of _pair_A_tile. dAt must already be causal-masked (entries
+    s >= t zero — exactly where the pairwise clip is active, so the clip
+    needs no extra adjoint masking). Returns (dr, dk, dwexc, dwinc)."""
+    P = jax.lax.Precision.HIGHEST
+    MfoldT, Mchan = _fold_mats(Ls, N)
+    r_t = _repeat_cols(r_t_in, Ls)
+    k_s = _flatten_rows(k_t_in, Ls)
+    logits = _repeat_cols(wexc_t, Ls) - _flatten_rows(winc_t, Ls)
+    E = jnp.exp(jnp.minimum(logits, 0.0))
+    dPm = _dot(dAt, MfoldT, ((1,), (0,)), P)                  # (Ls, Ls*N)
+    G = dPm * E
+    dr = _dot(G * k_s, Mchan, ((1,), (0,)), P)                # (Ls, N)
+    colsum = jnp.sum(G * r_t, axis=0, keepdims=True)          # (1, Ls*N)
+    dk = _dot(MfoldT * colsum, Mchan, ((1,), (0,)), P)
+    dlog = G * (r_t * k_s)
+    dwexc = _dot(dlog, Mchan, ((1,), (0,)), P)
+    dwinc = -_dot(
+        MfoldT * jnp.sum(dlog, axis=0, keepdims=True), Mchan, ((1,), (0,)), P
+    )
+    return dr, dk, dwexc, dwinc
 
 
 def _exact_A_head_bwd(dA, r_h, k_h, winc_h, wexc_h, L: int, N: int):
-    """Adjoint of _exact_A_head. dA must already be causal-masked (entries
-    s >= t zero — exactly where the diagonal-tile clip is active, so the
-    clip needs no extra adjoint masking).
-
-    Returns (dr, dk, dwexc, dwinc), each (L, N) fp32.
+    """Adjoint of _exact_A_head (same recursive halving). dA must already
+    be causal-masked. Returns (dr, dk, dwexc, dwinc), each (L, N) fp32.
 
     All matmuls run HIGHEST: the dw path sums near-cancelling terms
     (the dlw suffix-sum cancels full-chunk partial sums by construction),
@@ -184,76 +256,36 @@ def _exact_A_head_bwd(dA, r_h, k_h, winc_h, wexc_h, L: int, N: int):
     cost — the forward keeps the reference-numerics 1-pass default.
     """
     P = jax.lax.Precision.HIGHEST
-    Ls = _exact_ls(L)
-    NT = L // Ls
-    MfoldT, Mchan = _fold_mats(Ls, N)
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, Ls), 0)
-    rowN = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)
-    dr = jnp.zeros((L, N), jnp.float32)
-    dwexc = jnp.zeros((L, N), jnp.float32)
-    dwinc = jnp.zeros((L, N), jnp.float32)
-    dk_blocks = []
-    for j in range(NT):
-        sl = slice(j * Ls, (j + 1) * Ls)
-        dk_sl = jnp.zeros((Ls, N), jnp.float32)
-        dwinc_sl = jnp.zeros((Ls, N), jnp.float32)
-        if j < NT - 1:
-            m = winc_h[(j + 1) * Ls - 1 : (j + 1) * Ls, :]
-            Ek = jnp.exp(m - winc_h[sl, :])
-            kj = k_h[sl, :] * Ek
-            Eq = jnp.exp(jnp.minimum(wexc_h - m, 0.0))
-            qj = r_h * Eq
-            dC = jnp.where(row >= (j + 1) * Ls, dA[:, sl], 0.0)   # (L, Ls)
-            dqj = _dot(dC, kj, ((1,), (0,)), P)                   # (L, N)
-            dkj = _dot(dC, qj, ((0,), (0,)), P)                   # (Ls, N)
-            dr = dr + dqj * Eq
-            dwexc = dwexc + dqj * qj
-            dk_sl = dk_sl + dkj * Ek
-            dwinc_sl = dwinc_sl - dkj * kj
-            # base adjoint: m = winc[tile end]
-            dm = jnp.sum(dkj * kj, axis=0, keepdims=True) - jnp.sum(
-                dqj * qj, axis=0, keepdims=True
-            )                                                     # (1, N)
-            dwinc = dwinc + jnp.where(rowN == (j + 1) * Ls - 1, dm, 0.0)
-        # diagonal tile pairwise adjoint
-        dAt = dA[sl, j * Ls : (j + 1) * Ls]                       # (Ls, Ls)
-        r_t = _repeat_cols(r_h[sl, :], Ls)
-        k_s = _flatten_rows(k_h[sl, :], Ls)
-        logits = _repeat_cols(wexc_h[sl, :], Ls) - _flatten_rows(
-            winc_h[sl, :], Ls
-        )
-        E = jnp.exp(jnp.minimum(logits, 0.0))
-        dPm = _dot(dAt, MfoldT, ((1,), (0,)), P)                  # (Ls, Ls*N)
-        G = dPm * E
-        dr_sl = _dot(G * k_s, Mchan, ((1,), (0,)), P)             # (Ls, N)
-        colsum = jnp.sum(G * r_t, axis=0, keepdims=True)          # (1, Ls*N)
-        dk_sl = dk_sl + _dot(MfoldT * colsum, Mchan, ((1,), (0,)), P)
-        dlog = G * (r_t * k_s)
-        dwexc_sl = _dot(dlog, Mchan, ((1,), (0,)), P)
-        dwinc_sl = dwinc_sl - _dot(
-            MfoldT * jnp.sum(dlog, axis=0, keepdims=True), Mchan,
-            ((1,), (0,)), P,
-        )
-        intile = (rowN >= j * Ls) & (rowN < (j + 1) * Ls)
-        pad_top = jnp.zeros((j * Ls, N), jnp.float32)
-        pad_bot = jnp.zeros((L - (j + 1) * Ls, N), jnp.float32)
-
-        def place(x):
-            parts = []
-            if j > 0:
-                parts.append(pad_top)
-            parts.append(x)
-            if j < NT - 1:
-                parts.append(pad_bot)
-            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-
-        dr = dr + place(dr_sl)
-        dwexc = dwexc + place(dwexc_sl)
-        dwinc = dwinc + place(dwinc_sl)
-        dk_blocks.append(dk_sl)
-        del intile
-    dk = dk_blocks[0] if NT == 1 else jnp.concatenate(dk_blocks, axis=0)
-    return dr, dk, dwexc, dwinc
+    if L <= _EXACT_LB or L % 2:
+        return _pair_A_tile_bwd(dA, r_h, k_h, winc_h, wexc_h, L, N)
+    h = L // 2
+    m = winc_h[h - 1 : h, :]                                  # (1, N)
+    dr1, dk1, dwe1, dwi1 = _exact_A_head_bwd(
+        dA[:h, :h], r_h[:h], k_h[:h], winc_h[:h], wexc_h[:h], h, N
+    )
+    dr2, dk2, dwe2, dwi2 = _exact_A_head_bwd(
+        dA[h:, h:], r_h[h:], k_h[h:], winc_h[h:], wexc_h[h:], h, N
+    )
+    # C = q2 @ k1^T with q2 = r2*e^{wexc2-m}, k1 = k1*e^{m-winc1}
+    Ek = jnp.exp(m - winc_h[:h])
+    k1 = k_h[:h] * Ek
+    Eq = jnp.exp(wexc_h[h:] - m)
+    q2 = r_h[h:] * Eq
+    dC = dA[h:, :h]                                           # (h, h)
+    dq2 = _dot(dC, k1, ((1,), (0,)), P)                       # (h, N)
+    dk1c = _dot(dC, q2, ((0,), (0,)), P)                      # (h, N)
+    dr2 = dr2 + dq2 * Eq
+    dwe2 = dwe2 + dq2 * q2
+    dk1 = dk1 + dk1c * Ek
+    dwi1 = dwi1 - dk1c * k1
+    # base adjoint: m = winc[h-1] appears as +m in Ek, -m in Eq
+    dm = jnp.sum(dk1c * k1, axis=0, keepdims=True) - jnp.sum(
+        dq2 * q2, axis=0, keepdims=True
+    )                                                         # (1, N)
+    rowN = jax.lax.broadcasted_iota(jnp.int32, (h, N), 0)
+    dwi1 = dwi1 + jnp.where(rowN == h - 1, dm, 0.0)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    return cat(dr1, dr2), cat(dk1, dk2), cat(dwe1, dwe2), cat(dwi1, dwi2)
 
 
 def _wkv_kernel(
