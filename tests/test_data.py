@@ -197,3 +197,49 @@ def test_parquet_corpus(tmp_path):
     path = str(tmp_path / "c.parquet")
     pq.write_table(t, path)
     assert list(iter_corpus(path)) == ["doc one", "doc two"]
+
+
+def test_corpus_converters(tmp_path):
+    """COIG/DRCD/IEPile converters produce the sft instruction-jsonl
+    format (reference data/convert_coig.py, convert_drcd.py,
+    convert_iepile.py)."""
+    from rwkv_lm_ext_tpu.data.converters import (
+        IE_DEFAULT_INSTRUCTION,
+        convert_coig_records,
+        convert_drcd,
+        convert_iepile_records,
+    )
+
+    coig = [
+        {"input": "a", "instruction": "b", "output": "c",
+         "task_type": {"major": ["阅读理解"], "minor": ["其他"]}},
+        {"input": "x", "instruction": "y", "output": "z",
+         "task_type": {"major": ["代码"], "minor": []}},
+    ]
+    out = list(convert_coig_records(coig))
+    assert out == [{"input": "a", "instruction": "b", "output": "c"}]
+
+    drcd = {"data": [{"paragraphs": [{"context": "ctx", "qas": [
+        {"question": "q1", "answers": [{"text": "a1"}, {"text": "a2"}]}
+    ]}]}]}
+    recs = list(convert_drcd(drcd))
+    assert len(recs) == 2
+    assert recs[0]["input"] == "ctx" and "q1" in recs[0]["instruction"]
+    assert {r["output"] for r in recs} == {"a1", "a2"}
+
+    import json
+
+    iepile = [
+        {"task": "NER", "output": "[]", "instruction": json.dumps(
+            {"instruction": "ner please", "input": "text", "schema": ["PER"]}
+        )},
+        {"task": "RE", "output": "[]", "instruction": json.dumps(
+            {"instruction": "re", "input": "t", "schema": []}
+        )},
+        {"input": "plain", "output": "out"},
+    ]
+    recs = list(convert_iepile_records(iepile, task="NER"))
+    assert len(recs) == 2
+    assert recs[0]["instruction"] == "ner please"
+    assert json.loads(recs[0]["input"])["schema"] == ["PER"]
+    assert recs[1]["instruction"] == IE_DEFAULT_INSTRUCTION
