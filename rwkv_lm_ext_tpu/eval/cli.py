@@ -128,6 +128,36 @@ def cmd_rerank(args):
     print(json.dumps(rerank_metrics(scores, labels), indent=2))
 
 
+def cmd_retrieval_task(args):
+    """Run an MTEB/BEIR-format task dump (corpus.jsonl + queries.jsonl +
+    qrels) through the bi-encoder, optionally reranking the dense top-k
+    with the cross-encoder (tests/test_cmteb.py:92-94 protocol)."""
+    from rwkv_lm_ext_tpu.eval.tasks import RetrievalTask, run_retrieval_task
+
+    task = RetrievalTask.load(args.task_dir, split=args.split)
+    be, params, cfg, tok = _load_model(args)
+    rerank_fn = None
+    if args.score_head:
+        import numpy as np
+
+        from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
+        from rwkv_lm_ext_tpu.infer.encoders import CrossEncoder
+
+        score_sd = load_torch_pth(args.score_head)
+        ce = CrossEncoder(
+            params, cfg, tok,
+            {"kernel": np.asarray(score_sd["score.weight"], np.float32).T},
+        )
+        rerank_fn = lambda pairs: ce.score_pairs(pairs)  # noqa: E731
+    out = run_retrieval_task(
+        task,
+        lambda texts: be.encode_texts(texts, batch_size=args.batch_size),
+        rerank_fn=rerank_fn,
+        rerank_top_k=args.rerank_top_k,
+    )
+    print(json.dumps(out, indent=2))
+
+
 def cmd_ppl(args):
     """Token perplexity over a corpus (jsonl {"text"} or plain lines)."""
     import jax
@@ -194,6 +224,12 @@ def main(argv=None):
     s.add_argument("--data", required=True)
     s.add_argument("--score-head", default=None)
     s.set_defaults(fn=cmd_rerank)
+    s = sub.add_parser("retrieval-task"); common(s)
+    s.add_argument("--task-dir", required=True)
+    s.add_argument("--split", default="test")
+    s.add_argument("--score-head", default=None)
+    s.add_argument("--rerank-top-k", type=int, default=10)
+    s.set_defaults(fn=cmd_retrieval_task)
     s = sub.add_parser("ppl"); common(s)
     s.add_argument("--data", required=True)
     s.add_argument("--ctx-len", type=int, default=512)

@@ -48,7 +48,17 @@ def retrieval_metrics(
     c = corpus_emb / np.clip(
         np.linalg.norm(corpus_emb, axis=1, keepdims=True), 1e-12, None
     )
-    sims = q @ c.T
+    return metrics_from_sims(q @ c.T, qrels, ks=ks)
+
+
+def metrics_from_sims(
+    sims: np.ndarray,
+    qrels: Sequence[Sequence[int]],
+    *,
+    ks: Sequence[int] = (1, 5, 10),
+) -> Dict[str, float]:
+    """Same metrics from a precomputed (n_queries, n_docs) score matrix
+    (used by the task driver's cross-encoder reranking stage)."""
     kmax = max(max(ks), 10)
     top = np.argsort(-sims, axis=1)[:, :kmax]
     out: Dict[str, float] = {}

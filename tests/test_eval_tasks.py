@@ -1,0 +1,134 @@
+"""C-MTEB-style retrieval task driver (eval.tasks) on the checked-in
+mini task dump (tests/data/mini_task — BEIR layout: corpus.jsonl,
+queries.jsonl, qrels/test.tsv).
+
+Reference protocol: tests/test_cmteb.py:92-94 hands a bi-encoder to
+mteb's MMarcoRetrieval; here the task driver is ours, the file format is
+the same, and the acceptance number (BASELINE.md <=1e-3 cosine drift vs
+the reference torch CPU path) is wired to the same mini corpus in
+tests/test_reference_parity.py::test_retrieval_task_embedding_drift.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+TASK_DIR = os.path.join(os.path.dirname(__file__), "data", "mini_task")
+
+RELEVANT = {"q1": "d1", "q2": "d6", "q3": "d3", "q4": "d5",
+            "q5": "d2", "q6": "d7"}
+
+
+def _load_task():
+    from rwkv_lm_ext_tpu.eval.tasks import RetrievalTask
+
+    return RetrievalTask.load(TASK_DIR, split="test")
+
+
+def _oracle_encoder(task):
+    """Deterministic encoder that maps each query and its qrels-relevant
+    document to the same one-hot axis (and everything else elsewhere)."""
+    doc_ids = list(task.corpus.keys())
+    axis = {}
+    for i, (q, d) in enumerate(sorted(RELEVANT.items())):
+        axis[task.queries[q]] = i
+        axis[task.corpus[d]] = i
+    next_axis = len(RELEVANT)
+    for d in doc_ids:
+        if task.corpus[d] not in axis:
+            axis[task.corpus[d]] = next_axis
+            next_axis += 1
+
+    def encode(texts):
+        out = np.zeros((len(texts), next_axis), np.float32)
+        for r, t in enumerate(texts):
+            out[r, axis[t]] = 1.0
+        return out
+
+    return encode
+
+
+def test_load_task_beir_layout():
+    task = _load_task()
+    assert len(task.corpus) == 12
+    assert len(task.queries) == 6
+    assert task.qrels["q1"] == {"d1": 1}
+    # title is folded into the text
+    assert task.corpus["d1"].startswith("TPU ")
+
+
+def test_oracle_encoder_perfect_scores():
+    from rwkv_lm_ext_tpu.eval.tasks import run_retrieval_task
+
+    task = _load_task()
+    out = run_retrieval_task(task, _oracle_encoder(task))
+    assert out["recall@1"] == 1.0
+    assert out["MRR@10"] == 1.0
+    assert out["nDCG@10"] == 1.0
+
+
+def test_rerank_stage_fixes_bad_dense():
+    """A useless dense encoder + an oracle cross-encoder over the full
+    corpus must recover perfect metrics through the rerank stage."""
+    from rwkv_lm_ext_tpu.eval.tasks import run_retrieval_task
+
+    task = _load_task()
+    rng = np.random.RandomState(0)
+
+    def bad_dense(texts):
+        return rng.randn(len(texts), 8).astype(np.float32)
+
+    text_rel = {task.queries[q]: task.corpus[d] for q, d in RELEVANT.items()}
+
+    def oracle_rerank(pairs):
+        return [1.0 if text_rel.get(q) == d else 0.0 for q, d in pairs]
+
+    out = run_retrieval_task(
+        task, bad_dense, rerank_fn=oracle_rerank,
+        rerank_top_k=len(task.corpus),
+    )
+    assert out["recall@1"] == 1.0
+    assert out["nDCG@10"] == 1.0
+
+
+def test_qrels_unknown_query_raises(tmp_path):
+    from rwkv_lm_ext_tpu.eval.tasks import RetrievalTask
+
+    d = tmp_path / "task"
+    os.makedirs(d)
+    (d / "corpus.jsonl").write_text('{"_id": "d1", "text": "x"}\n')
+    (d / "queries.jsonl").write_text('{"_id": "q1", "text": "y"}\n')
+    (d / "qrels.tsv").write_text("q9\td1\t1\n")
+    with pytest.raises(ValueError, match="unknown query"):
+        RetrievalTask.load(str(d))
+
+
+@pytest.mark.slow
+def test_retrieval_task_cli(tmp_path, capsys):
+    """End-to-end: tiny random checkpoint -> eval.cli retrieval-task on
+    the mini dump produces the full metric dict."""
+    import jax
+
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.eval.cli import main
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=65536, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(3), cfg, fast_init=True)
+    path = str(tmp_path / "tiny.pth")
+    save_torch_pth(path, params_to_state_dict(params, cfg))
+
+    main([
+        "retrieval-task", "--model", path, "--task-dir", TASK_DIR,
+        "--batch-size", "4",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    for key in ("recall@1", "recall@5", "recall@10", "MRR@10", "nDCG@10"):
+        assert key in out
+        assert 0.0 <= out[key] <= 1.0

@@ -134,3 +134,78 @@ def test_encode_sentence_parity(ref_module):
     np.testing.assert_allclose(
         np.asarray(ours), ref_emb.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def test_retrieval_task_embedding_drift(ref_module):
+    """BASELINE.md acceptance: <=1e-3 cosine drift vs the reference torch
+    CPU path, wired to the checked-in C-MTEB-style mini task corpus
+    (tests/data/mini_task) — every corpus+query text is embedded by both
+    implementations and per-text cosine similarity must be >= 1 - 1e-3."""
+    import argparse
+    import os
+
+    import jax
+    import torch
+
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.eval.tasks import RetrievalTask, run_retrieval_task
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.bidirectional import encode_sentence
+
+    task = RetrievalTask.load(
+        os.path.join(os.path.dirname(__file__), "data", "mini_task")
+    )
+    texts = list(task.corpus.values()) + list(task.queries.values())
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=128, head_size=16, dim_ffn=256,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(11), cfg)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.2 * jax.random.normal(
+            jax.random.PRNGKey(110 + i), b["att"]["output"].shape
+        )
+    sd = params_to_state_dict(params, cfg)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    args = argparse.Namespace(
+        n_layer=2, n_embd=64, vocab_size=128, dim_att=64, dim_ffn=256,
+        head_size_a=16, head_size_divisor=8, ctx_len=64, dropout=0.0,
+        my_pos_emb=0, pre_ffn=0, head_qk=0, tiny_att_dim=-1,
+        tiny_att_layer=-1, grad_cp=0, emb_id=1, pad_id=0, share_emb=True,
+    )
+    ref = ref_module.RwkvEncoder(args)
+    ref.load_state_dict(tsd, strict=False)
+
+    # byte-level toy tokenization into the tiny vocab (ids 2..121), with
+    # the emb_id=1 terminator and pad_id=0 — same ids for both sides.
+    L = 48
+
+    def toks(text):
+        ids = [2 + (b % 120) for b in text.encode("utf-8")][: L - 1] + [1]
+        return ids + [0] * (L - len(ids))
+
+    idx = np.asarray([toks(t) for t in texts], np.int64)
+    with torch.no_grad():
+        ref_emb = ref.encode_sentence(torch.from_numpy(idx)).numpy()
+    ours = np.asarray(
+        encode_sentence(params, cfg, idx.astype(np.int32),
+                        wkv_backend="reference")
+    )
+    cos = np.sum(ref_emb * ours, axis=1) / (
+        np.linalg.norm(ref_emb, axis=1) * np.linalg.norm(ours, axis=1)
+    )
+    assert float(cos.min()) >= 1.0 - 1e-3, cos
+
+    # and the task metrics computed from both embedding sets agree
+    n_docs = len(task.corpus)
+
+    def metrics(emb):
+        lut = {t: emb[i] for i, t in enumerate(texts)}
+        return run_retrieval_task(
+            task, lambda ts: np.stack([lut[t] for t in ts])
+        )
+
+    m_ref, m_ours = metrics(ref_emb), metrics(ours)
+    assert m_ref == m_ours, (m_ref, m_ours)
