@@ -114,6 +114,11 @@ def main():
         cfg = rwkv6_1b6(param_dtype="bfloat16")
 
     params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+    quant = os.environ.get("BENCH_QUANT")  # int8c: native int8 MXU GEMMs
+    if quant:
+        from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+        params = quantize_tree(params, quant, include_head=False)
     params = jax.device_put(params)
 
     tokens0 = jax.random.randint(
