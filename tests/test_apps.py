@@ -1,4 +1,5 @@
 """RAG chat over a local corpus (the GUI demo equivalent) + profiling utils."""
+import pytest
 import jax
 import numpy as np
 
@@ -8,6 +9,9 @@ from rwkv_lm_ext_tpu.infer import GenerationEngine, SamplingParams
 from rwkv_lm_ext_tpu.infer.encoders import BiEncoder
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 from rwkv_lm_ext_tpu.utils import Throughput, record_time
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=65530, head_size=16,

@@ -8,6 +8,9 @@ from rwkv_lm_ext_tpu.infer import GenerationEngine, SamplingParams
 from rwkv_lm_ext_tpu.infer.beam import BeamParams, generate_beamsearch
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=50, head_size=16,
     dtype="float32", param_dtype="float32",

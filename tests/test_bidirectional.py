@@ -7,6 +7,7 @@ import pytest
 from rwkv_lm_ext_tpu import ModelConfig
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 from rwkv_lm_ext_tpu.models.bidirectional import (
+
     dupmae_bow_loss,
     encode_sentence,
     encoder_forward,
@@ -14,6 +15,9 @@ from rwkv_lm_ext_tpu.models.bidirectional import (
     mae_forward,
     sequence_lengths,
 )
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=100, head_size=16,

@@ -12,6 +12,9 @@ from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth, save_torch_pth
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 from rwkv_lm_ext_tpu.train.cli import main
 
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
     dtype="float32", param_dtype="float32",

@@ -17,11 +17,15 @@ from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
 from rwkv_lm_ext_tpu.infer.states_registry import StatesRegistry
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 from rwkv_lm_ext_tpu.models.heads import (
+
     embed_sequences,
     embed_sequences_chunked,
     init_classification_head,
     instructor_embed,
 )
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=65530, head_size=16,

@@ -13,6 +13,9 @@ from rwkv_lm_ext_tpu.eval import rerank_metrics, retrieval_metrics
 from rwkv_lm_ext_tpu.eval.sts import SimilarityEvaluator, _spearman
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
     dtype="float32", param_dtype="float32",

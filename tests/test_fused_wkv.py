@@ -1,10 +1,14 @@
 """Fused WKV+GroupNorm+gate kernel vs the unfused composition."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, wkv6_fused_output
 from rwkv_lm_ext_tpu.ops import wkv_reference
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _inputs(B=2, T=24, H=2, N=8, key=0):

@@ -11,6 +11,9 @@ import pytest
 from rwkv_lm_ext_tpu import ModelConfig
 from rwkv_lm_ext_tpu.models import init_model_state, init_rwkv_params, rwkv_forward
 
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG6 = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=100, head_size=16,
     dtype="float32", param_dtype="float32",

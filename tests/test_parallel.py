@@ -9,10 +9,14 @@ from rwkv_lm_ext_tpu.config import TrainConfig
 from rwkv_lm_ext_tpu.models import init_rwkv_params, rwkv_forward
 from rwkv_lm_ext_tpu.parallel import make_mesh, param_shardings
 from rwkv_lm_ext_tpu.train.loop import (
+
     make_train_step,
     place_batch,
     place_train_state,
 )
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(
     n_layer=2, n_embd=64, vocab_size=128, head_size=16,

@@ -1,4 +1,5 @@
 """Scan-over-layers forward == python-loop forward."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,10 +7,14 @@ import numpy as np
 from rwkv_lm_ext_tpu import ModelConfig
 from rwkv_lm_ext_tpu.models import init_model_state, init_rwkv_params, rwkv_forward
 from rwkv_lm_ext_tpu.models.stacked import (
+
     rwkv_forward_stacked,
     stack_params,
     unstack_params,
 )
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(
     n_layer=3, n_embd=64, vocab_size=100, head_size=16,

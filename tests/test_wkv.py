@@ -84,6 +84,7 @@ def test_chunked_initial_state_chaining():
     np.testing.assert_allclose(S2, S_full, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_chunked_grads_match_reference():
     r, k, v, w, u = _rand(jax.random.PRNGKey(4), B=1, T=21, H=1, N=8)
     s0 = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (1, 1, 8, 8))
@@ -103,6 +104,7 @@ def test_chunked_grads_match_reference():
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_state_param_grad():
     """State-tuning: grad w.r.t. a broadcast (H,N,N) init-state parameter
     (the reference sums gs over batch, src/model.py:178-181)."""
@@ -121,6 +123,7 @@ def test_state_param_grad():
     np.testing.assert_allclose(g, g_ref, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_wkv5_constant_decay():
     r, k, v, w, u = _rand(jax.random.PRNGKey(8), T=20)
     w5 = w[0, 0]  # (H,N)
@@ -172,6 +175,7 @@ def test_bidirectional(with_lengths):
         np.testing.assert_allclose(y, y_np, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dispatcher_backends_agree():
     r, k, v, w, u = _rand(jax.random.PRNGKey(11), T=33)
     y_a, S_a = wkv(r, k, v, w, u, backend="reference")
@@ -180,6 +184,7 @@ def test_dispatcher_backends_agree():
     np.testing.assert_allclose(S_a, S_b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_chunked_exact_extreme_decay():
     """The chunked formulation must match the sequential reference for ANY
     decay — including w up to +3, where round 1's midpoint rescale (and the
@@ -193,6 +198,7 @@ def test_chunked_exact_extreme_decay():
         np.testing.assert_allclose(S_ex, S_ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_extreme_decay_chunk_128():
     """VERDICT r1 item 4 acceptance: the Pallas kernel (interpret) matches
     wkv_reference at w_max=+3 with chunk 128 — the exact tiled A makes the
@@ -206,6 +212,7 @@ def test_pallas_extreme_decay_chunk_128():
     np.testing.assert_allclose(S_pl, S_ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_chunked_exact_grads_and_dispatch():
     r, k, v, w, u = _rand(jax.random.PRNGKey(22), T=48, w_lo=-4.0, w_hi=2.5)
 
