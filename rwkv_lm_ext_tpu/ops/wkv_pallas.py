@@ -69,27 +69,46 @@ def _dot(a, b, dims, precision=None):
     )
 
 
-def _cumsum_rows(x, L: int, *, reverse: bool = False):
-    """Exact fp32 inclusive prefix (or suffix) sum over the sublane axis,
-    by log-depth doubling with pltpu.roll.
+def _split3(x):
+    """3-limb bf16 decomposition of fp32: x == hi + mid + lo exactly.
 
-    Cumulant sums MUST be exact fp32, unlike the value matmuls:
-    log-decays reach -20/step and accumulate to O(-10^3) over a chunk,
-    and cumulant error amplifies EXPONENTIALLY through e^{Winc} — as a
-    1-pass tril matmul the cumsum loses ~1% of the exponent, measured as
-    a 2e0 y error at w_max=+3 on a real chip. log2(L) masked VPU adds
-    are both exact and ~100x cheaper than the 6-pass HIGHEST matmul."""
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    k = 1
-    while k < L:
-        if reverse:
-            sh = pltpu.roll(x, L - k, 0)  # roll is non-negative: -k mod L
-            x = x + jnp.where(row < L - k, sh, 0.0)
-        else:
-            sh = pltpu.roll(x, k, 0)
-            x = x + jnp.where(row >= k, sh, 0.0)
-        k *= 2
-    return x
+    One-hot/0-1 constant matmuls against bf16 limbs are EXACT products,
+    so cumulant-precision sums ride the MXU with only fp32-accumulation
+    error (~2^-24 x magnitude): log-decays reach -20/step, accumulate to
+    O(-10^3) over a chunk, and cumulant error amplifies EXPONENTIALLY
+    through e^{Winc} — 2 limbs (2^-16) measure ~1% exponent error at
+    w_max=+3, 3 limbs ~1e-4. pltpu.roll-based doubling (the round-1
+    formulation) is exact too but a sublane roll costs ~8x the whole
+    rescale A-pipeline on a real chip — every cumulant movement here is
+    a matmul instead."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _mm3(M, x):
+    """M (A, L) 0/1 bf16 constant @ fp32 x (L, N) at cumulant precision
+    (3-limb exact products, fp32 accumulation)."""
+    hi, mid, lo = _split3(x)
+
+    def f(a):
+        return jax.lax.dot_general(
+            M, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return f(hi) + f(mid) + f(lo)
+
+
+def _cumsum_rows(x, L: int, *, reverse: bool = False):
+    """Cumulant-exact inclusive prefix (or suffix) sum over the sublane
+    axis as a 3-limb tril/triu matmul (see _split3 — roll-free)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    M = (row <= col if reverse else row >= col).astype(jnp.bfloat16)
+    return _mm3(M, x)
 
 
 def _flatten_rows(X, Ls):
@@ -141,37 +160,7 @@ def _pair_A_tile(r_t, k_t, winc_t, wexc_t, Ls: int, N: int, precision=None):
     return _dot(Pm, MfoldT, ((1,), (1,)), precision)          # (Ls, Ls)
 
 
-_BAND = 16  # leaf size: pairs closer than this ride banded VPU ops
-
-
-def _broadcast_block_base(x, L: int, bs: int):
-    """(L, N) -> (L, N) where EVERY row t holds x[(t//bs)*bs + bs//2 - 1]
-    (the block's base row). The dense level needs the base at row rows
-    (second half, q factor) AND at col rows (first half, k factor) — both
-    exponents are then <= 0 by cumulant monotonicity, so the safety clips
-    never fire inside selected pairs. Doubling broadcasts with pltpu.roll
-    — no gathers, no one-hot matmuls (a one-hot matmul would round the
-    cumulant to bf16)."""
-    h = bs // 2
-    rN = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    seed = jnp.where(rN % bs == h - 1, x, 0.0)
-    # downward: rows h..bs-1 sit at distance 1..h below the base row, so
-    # the doubling runs through s == h (after step s, distances < 2s are
-    # covered exactly once; the final step reaches the block's last row).
-    down = seed
-    s = 1
-    while s <= h:
-        sh = pltpu.roll(down, s, 0)
-        down = down + jnp.where((rN % bs) >= h - 1 + s, sh, 0.0)
-        s *= 2
-    # upward: rows 0..h-2 sit at distance 1..h-1 above the base row.
-    up = seed
-    s = 1
-    while s < h:
-        sh = pltpu.roll(up, L - s, 0)
-        up = up + jnp.where((rN % bs) <= h - 1 - s, sh, 0.0)
-        s *= 2
-    return down + up - seed
+_LEAF = 4  # finest dyadic level computed with direct (full-size) exps
 
 
 def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
@@ -180,45 +169,141 @@ def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
     replacement for round 1's midpoint rescale and its per-checkpoint
     chunk guard (suggest_fused_chunk, deleted).
 
-    Decomposition tuned for the MXU (the first exact version — per-tile
-    narrow matmuls + one-hot folds — measured 13 seq/s off the embed
-    bench on utilization alone):
-    - pairs within a 16-row leaf: banded — for each offset d<16 one
-      rolled elementwise product + lane reduction, with the pairwise
-      logit wexc[t]-winc[t-d] <= 0 formed directly (difference of
-      cumulants; fp32-exact to ~1e-4 in the exponent).
-    - pairs crossing a leaf: one FULL-WIDTH (L,N)x(N,L) matmul per
-      dyadic level bs in {32, 64, ..., L}; row/col factors carry the
-      block base m = winc[block_mid-1] spread by doubling rolls, so
-      both exponents are <= 0 inside the selected lower-left blocks
-      (each pair is selected exactly once — at its LCA level).
+    Every pair (t, s) is factored around the cumulant at the midpoint of
+    its dyadic LCA block, so both exponents are <= 0 — no clipping, no
+    overflow, at any decay. Engineered for the TPU's cost model (two
+    earlier formulations lost: per-s-tile narrow matmuls at ~13 seq/s
+    off the embed headline on MXU utilization; banded pltpu.roll sweeps
+    at 2.2x total — a cross-sublane roll costs more than this whole
+    function):
+    - d == 1 sub-diagonal: the pairwise logit is identically zero
+      (wexc[t] == winc[t-1]), so it's one shifted elementwise product —
+      the shift is a constant one-hot matmul.
+    - leaf level (bs = 4): direct factors around each 4-block's midpoint
+      cumulant (selected by a one-hot matmul at 3-limb cumulant
+      precision, _mm3); the only two full-(L, N) exps beyond the
+      rescale pipeline's own.
+    - levels bs = 8..L: factors are the leaf factors times a per-4-block
+      GAP e^{m4 - m_bs} (<= 1, exact) — the gap cumulant differences are
+      0/±1 matmuls against the raw log-decays, the exp runs at (L/4, N),
+      and the broadcast back to rows is a 2-limb one-hot matmul. Each
+      level contributes one full-width (L,N)x(N,L) MXU matmul masked to
+      its LCA blocks.
     """
-    if not (L <= _BAND or L % _BAND == 0):
+    if L < 8 or (L & (L - 1)) != 0:
         return _pair_A_tile(r_h, k_h, winc_h, wexc_h, L, N, precision)
+    f32 = jnp.float32
+    bf = jnp.bfloat16
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    rN = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    A = jnp.zeros((L, L), jnp.float32)
-    for d in range(1, min(_BAND, L)):
-        ks = pltpu.roll(k_h, d, 0)
-        wis = pltpu.roll(winc_h, d, 0)
-        val = jnp.sum(
-            r_h * ks * jnp.exp(jnp.minimum(wexc_h - wis, 0.0)),
-            axis=1, keepdims=True,
-        )                                                     # (L, 1)
-        valid = (rN >= d) & ((rN // _BAND) == ((rN - d) // _BAND))
-        val = jnp.where(valid, val, 0.0)
-        A = A + jnp.where(row - col == d, val, 0.0)
-    bs = 2 * _BAND
+    d = row - col
+    lw = winc_h - wexc_h                         # per-step log-decay
+    L4 = L // 4
+    nlev = 0
+    bs = 8
+    while bs <= L:
+        nlev += 1
+        bs *= 2
+
+    # --- ONE stacked 0/±1 selector matmul over lw computes every ------
+    # per-4-block cumulant this function needs (3-limb exact, _mm3):
+    # [m4c | b4c | e4c | (gq, gk) per level]. Index -1 reads winc[-1]=0.
+    blkc = jax.lax.broadcasted_iota(jnp.int32, (L4, L), 0)
+    posc = jax.lax.broadcasted_iota(jnp.int32, (L4, L), 1)
+
+    def cumsel(aidx):
+        """Selector rows for winc[aidx] per 4-block (sum of lw[0..aidx])."""
+        return jnp.where(posc <= aidx, 1.0, 0.0)
+
+    def diffsel(aidx, bidx):
+        """Selector rows for winc[aidx] - winc[bidx] per 4-block."""
+        lo = jnp.minimum(aidx, bidx)
+        hi = jnp.maximum(aidx, bidx)
+        sgn = jnp.where(aidx >= bidx, 1.0, -1.0)
+        return jnp.where((posc > lo) & (posc <= hi), sgn, 0.0)
+
+    a4 = 4 * blkc - 1                            # block start-1 index
+    z4 = 4 * blkc + 3                            # block end index
+    pieces = [cumsel(4 * blkc + 1), cumsel(a4), cumsel(z4)]
+    bs = 8
+    while bs <= L:
+        midbs = bs * (4 * blkc // bs) + bs // 2 - 1
+        pieces.append(diffsel(a4, midbs))        # gq = b4 - m_bs
+        pieces.append(diffsel(midbs, z4))        # gk = m_bs - e4
+        bs *= 2
+    Sel = jnp.concatenate(pieces, axis=0).astype(bf)
+    G = _mm3(Sel, lw)                            # ((3+2nlev) L/4, N) fp32
+    m4c = G[0:L4]
+    b4c = G[L4 : 2 * L4]
+    e4c = G[2 * L4 : 3 * L4]
+    # all gap exponents are <= 0 on the rows their level's mask keeps;
+    # the min-clip sanitizes masked junk. ONE stacked exp.
+    Egap = jnp.exp(jnp.minimum(G[3 * L4 :], 0.0))  # (2nlev L/4, N)
+
+    # --- ONE stacked broadcast matmul lifts 4-block rows to L rows -----
+    # cumulants (m4c/b4c/e4c) ride 3 limbs (they feed exps: 2^-24 needed)
+    # and gap FACTORS ride hi/lo (they multiply values: 2^-16 suffices).
+    row4 = jax.lax.broadcasted_iota(jnp.int32, (L, L4), 0) // 4
+    col4 = jax.lax.broadcasted_iota(jnp.int32, (L, L4), 1)
+    B = (row4 == col4).astype(bf)                # (L, L/4) block one-hot
+
+    def limbs2(x):
+        xh = x.astype(bf)
+        return [xh, (x - xh.astype(f32)).astype(bf)]
+
+    cols = list(_split3(m4c)) + list(_split3(b4c)) + list(_split3(e4c))
+    for lv in range(2 * nlev):
+        cols.extend(limbs2(Egap[lv * L4 : (lv + 1) * L4]))
+    W = jnp.concatenate(cols, axis=1)            # (L/4, (9 + 4nlev) N)
+    Bc = _dot(B, W, ((1,), (0,)), precision)     # (L, (9 + 4nlev) N)
+
+    def pick3(i):
+        return Bc[:, i * N : (i + 1) * N] + Bc[:, (i + 1) * N : (i + 2) * N] \
+            + Bc[:, (i + 2) * N : (i + 3) * N]
+
+    def pick2(i):
+        return Bc[:, i * N : (i + 1) * N] + Bc[:, (i + 1) * N : (i + 2) * N]
+
+    m4 = pick3(0)
+    b4 = pick3(3)
+    e4 = pick3(6)
+
+    # --- d == 1 sub-diagonal: the pairwise logit is identically zero ---
+    A = jnp.where(d == 1, _dot(r_h, k_h, ((1,), (1,)), precision), 0.0)
+
+    # --- level bs = 4: direct midpoint factors -------------------------
+    # (the cascade bases b4/e4 sit on the wrong side of the midpoint
+    # within a block, so this one level gets its own two full exps; the
+    # min-clips only sanitize masked junk rows)
+    q4 = r_h * jnp.exp(jnp.minimum(wexc_h - m4, 0.0))
+    kk4 = k_h * jnp.exp(jnp.minimum(m4 - winc_h, 0.0))
+    C4 = _dot(q4, kk4, ((1,), (1,)), precision)
+    mask4 = (row // 4 == col // 4) & (row % 4 >= 2) & (col % 4 < 2) & (d >= 2)
+    A = A + jnp.where(mask4, C4, 0.0)
+
+    # --- levels bs = 8..L: cascade off the 4-block START (q) / END (kk)
+    # bases: qL = r e^{wexc - b4} and kkL = k e^{e4 - winc} (exponents in
+    # [-4|lw|, 0], exact, no clip), times the per-4-block level gaps
+    # e^{b4 - m_bs} / e^{m_bs - e4} — <= 0 by cumulant monotonicity on
+    # every row/col the level's LCA mask keeps.
+    qL = r_h * jnp.exp(wexc_h - b4)
+    kkL = k_h * jnp.exp(e4 - winc_h)
+    bs = 8
+    lv = 0
     while bs <= L:
         h = bs // 2
-        m = _broadcast_block_base(winc_h, L, bs)
-        q = r_h * jnp.exp(jnp.minimum(wexc_h - m, 0.0))
-        kk = k_h * jnp.exp(jnp.minimum(m - winc_h, 0.0))
-        C = _dot(q, kk, ((1,), (1,)), precision)
-        mask = (row // bs == col // bs) & (row % bs >= h) & (col % bs < h)
+        q_bs = qL * pick2(9 + 4 * lv)
+        kk_bs = kkL * pick2(9 + 4 * lv + 2)
+        C = _dot(q_bs, kk_bs, ((1,), (1,)), precision)
+        mask = (
+            (row // bs == col // bs)
+            & (row % bs >= h)
+            & (col % bs < h)
+            & (d >= 2)
+        )
         A = A + jnp.where(mask, C, 0.0)
         bs *= 2
+        lv += 1
     return A
 
 
