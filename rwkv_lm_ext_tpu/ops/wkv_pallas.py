@@ -163,6 +163,124 @@ def _pair_A_tile(r_t, k_t, winc_t, wexc_t, Ls: int, N: int, precision=None):
 _LEAF = 4  # finest dyadic level computed with direct (full-size) exps
 
 
+def _exact_A_factors(r_w, k_w, winc_w, wexc_w, L: int, precision=None):
+    """Per-level (q, kk) factor pairs for the exact-A decomposition, at
+    ANY lane width W (all math is per-channel, so the fused kernels call
+    this ONCE per chunk for all P heads side-by-side and slice per-head
+    lanes only for the (L,N)x(N,L) contractions — the selector/broadcast
+    machinery and exps are the expensive part and this halves their
+    instruction count at P=2).
+
+    Returns [(q_lvl4, kk_lvl4), (q_8, kk_8), ..., (q_L, kk_L)], each
+    (L, W) fp32. See _exact_A_head for the math.
+    """
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    W = r_w.shape[1]
+    L4 = L // 4
+    lw = winc_w - wexc_w                         # per-step log-decay
+    nlev = 0
+    bs = 8
+    while bs <= L:
+        nlev += 1
+        bs *= 2
+
+    blkc = jax.lax.broadcasted_iota(jnp.int32, (L4, L), 0)
+    posc = jax.lax.broadcasted_iota(jnp.int32, (L4, L), 1)
+
+    def cumsel(aidx):
+        return jnp.where(posc <= aidx, 1.0, 0.0)
+
+    def diffsel(aidx, bidx):
+        lo = jnp.minimum(aidx, bidx)
+        hi = jnp.maximum(aidx, bidx)
+        sgn = jnp.where(aidx >= bidx, 1.0, -1.0)
+        return jnp.where((posc > lo) & (posc <= hi), sgn, 0.0)
+
+    a4 = 4 * blkc - 1                            # block start-1 index
+    z4 = 4 * blkc + 3                            # block end index
+    pieces = [cumsel(4 * blkc + 1), cumsel(a4), cumsel(z4)]
+    bs = 8
+    while bs <= L:
+        midbs = bs * (4 * blkc // bs) + bs // 2 - 1
+        pieces.append(diffsel(a4, midbs))        # gq = b4 - m_bs
+        pieces.append(diffsel(midbs, z4))        # gk = m_bs - e4
+        bs *= 2
+    Sel = jnp.concatenate(pieces, axis=0).astype(bf)
+    G = _mm3(Sel, lw)                            # ((3+2nlev) L/4, W) fp32
+    m4c = G[0:L4]
+    b4c = G[L4 : 2 * L4]
+    e4c = G[2 * L4 : 3 * L4]
+    Egap = jnp.exp(jnp.minimum(G[3 * L4 :], 0.0))  # (2nlev L/4, W)
+
+    row4 = jax.lax.broadcasted_iota(jnp.int32, (L, L4), 0) // 4
+    col4 = jax.lax.broadcasted_iota(jnp.int32, (L, L4), 1)
+    Bm = (row4 == col4).astype(bf)               # (L, L/4) block one-hot
+
+    def limbs2(x):
+        xh = x.astype(bf)
+        return [xh, (x - xh.astype(f32)).astype(bf)]
+
+    cols = list(_split3(m4c)) + list(_split3(b4c)) + list(_split3(e4c))
+    for lv in range(2 * nlev):
+        cols.extend(limbs2(Egap[lv * L4 : (lv + 1) * L4]))
+    Wm = jnp.concatenate(cols, axis=1)           # (L/4, (9 + 4nlev) W)
+    Bc = _dot(Bm, Wm, ((1,), (0,)), precision)   # (L, (9 + 4nlev) W)
+
+    def pick3(i):
+        return Bc[:, i * W : (i + 1) * W] + Bc[:, (i + 1) * W : (i + 2) * W] \
+            + Bc[:, (i + 2) * W : (i + 3) * W]
+
+    def pick2(i):
+        return Bc[:, i * W : (i + 1) * W] + Bc[:, (i + 1) * W : (i + 2) * W]
+
+    m4 = pick3(0)
+    b4 = pick3(3)
+    e4 = pick3(6)
+
+    out = []
+    q4 = r_w * jnp.exp(jnp.minimum(wexc_w - m4, 0.0))
+    kk4 = k_w * jnp.exp(jnp.minimum(m4 - winc_w, 0.0))
+    out.append((q4, kk4))
+    qL = r_w * jnp.exp(wexc_w - b4)
+    kkL = k_w * jnp.exp(e4 - winc_w)
+    for lv in range(nlev):
+        out.append((
+            qL * pick2(9 + 4 * lv),
+            kkL * pick2(9 + 4 * lv + 2),
+        ))
+    return out
+
+
+def _exact_A_combine(r_h, k_h, factors, lane, L: int, precision=None):
+    """Per-head finish: one (L,N)x(N,L) contraction per level of the
+    wide factor list (lane-sliced), masked to each pair's LCA level."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    d = row - col
+    # d == 1 sub-diagonal: the pairwise logit is identically zero
+    A = jnp.where(d == 1, _dot(r_h, k_h, ((1,), (1,)), precision), 0.0)
+    # level bs = 4
+    q4, kk4 = factors[0]
+    C4 = _dot(q4[:, lane], kk4[:, lane], ((1,), (1,)), precision)
+    mask4 = (row // 4 == col // 4) & (row % 4 >= 2) & (col % 4 < 2) & (d >= 2)
+    A = A + jnp.where(mask4, C4, 0.0)
+    # levels bs = 8..L
+    bs = 8
+    for q_bs, kk_bs in factors[1:]:
+        h = bs // 2
+        C = _dot(q_bs[:, lane], kk_bs[:, lane], ((1,), (1,)), precision)
+        mask = (
+            (row // bs == col // bs)
+            & (row % bs >= h)
+            & (col % bs < h)
+            & (d >= 2)
+        )
+        A = A + jnp.where(mask, C, 0.0)
+        bs *= 2
+    return A
+
+
 def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
     """Exact intra-chunk A (L, L) for one head; entries s >= t are junk
     (caller applies the strict causal mask). Exact for ANY decay — the
@@ -192,119 +310,8 @@ def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
     """
     if L < 8 or (L & (L - 1)) != 0:
         return _pair_A_tile(r_h, k_h, winc_h, wexc_h, L, N, precision)
-    f32 = jnp.float32
-    bf = jnp.bfloat16
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    d = row - col
-    lw = winc_h - wexc_h                         # per-step log-decay
-    L4 = L // 4
-    nlev = 0
-    bs = 8
-    while bs <= L:
-        nlev += 1
-        bs *= 2
-
-    # --- ONE stacked 0/±1 selector matmul over lw computes every ------
-    # per-4-block cumulant this function needs (3-limb exact, _mm3):
-    # [m4c | b4c | e4c | (gq, gk) per level]. Index -1 reads winc[-1]=0.
-    blkc = jax.lax.broadcasted_iota(jnp.int32, (L4, L), 0)
-    posc = jax.lax.broadcasted_iota(jnp.int32, (L4, L), 1)
-
-    def cumsel(aidx):
-        """Selector rows for winc[aidx] per 4-block (sum of lw[0..aidx])."""
-        return jnp.where(posc <= aidx, 1.0, 0.0)
-
-    def diffsel(aidx, bidx):
-        """Selector rows for winc[aidx] - winc[bidx] per 4-block."""
-        lo = jnp.minimum(aidx, bidx)
-        hi = jnp.maximum(aidx, bidx)
-        sgn = jnp.where(aidx >= bidx, 1.0, -1.0)
-        return jnp.where((posc > lo) & (posc <= hi), sgn, 0.0)
-
-    a4 = 4 * blkc - 1                            # block start-1 index
-    z4 = 4 * blkc + 3                            # block end index
-    pieces = [cumsel(4 * blkc + 1), cumsel(a4), cumsel(z4)]
-    bs = 8
-    while bs <= L:
-        midbs = bs * (4 * blkc // bs) + bs // 2 - 1
-        pieces.append(diffsel(a4, midbs))        # gq = b4 - m_bs
-        pieces.append(diffsel(midbs, z4))        # gk = m_bs - e4
-        bs *= 2
-    Sel = jnp.concatenate(pieces, axis=0).astype(bf)
-    G = _mm3(Sel, lw)                            # ((3+2nlev) L/4, N) fp32
-    m4c = G[0:L4]
-    b4c = G[L4 : 2 * L4]
-    e4c = G[2 * L4 : 3 * L4]
-    # all gap exponents are <= 0 on the rows their level's mask keeps;
-    # the min-clip sanitizes masked junk. ONE stacked exp.
-    Egap = jnp.exp(jnp.minimum(G[3 * L4 :], 0.0))  # (2nlev L/4, N)
-
-    # --- ONE stacked broadcast matmul lifts 4-block rows to L rows -----
-    # cumulants (m4c/b4c/e4c) ride 3 limbs (they feed exps: 2^-24 needed)
-    # and gap FACTORS ride hi/lo (they multiply values: 2^-16 suffices).
-    row4 = jax.lax.broadcasted_iota(jnp.int32, (L, L4), 0) // 4
-    col4 = jax.lax.broadcasted_iota(jnp.int32, (L, L4), 1)
-    B = (row4 == col4).astype(bf)                # (L, L/4) block one-hot
-
-    def limbs2(x):
-        xh = x.astype(bf)
-        return [xh, (x - xh.astype(f32)).astype(bf)]
-
-    cols = list(_split3(m4c)) + list(_split3(b4c)) + list(_split3(e4c))
-    for lv in range(2 * nlev):
-        cols.extend(limbs2(Egap[lv * L4 : (lv + 1) * L4]))
-    W = jnp.concatenate(cols, axis=1)            # (L/4, (9 + 4nlev) N)
-    Bc = _dot(B, W, ((1,), (0,)), precision)     # (L, (9 + 4nlev) N)
-
-    def pick3(i):
-        return Bc[:, i * N : (i + 1) * N] + Bc[:, (i + 1) * N : (i + 2) * N] \
-            + Bc[:, (i + 2) * N : (i + 3) * N]
-
-    def pick2(i):
-        return Bc[:, i * N : (i + 1) * N] + Bc[:, (i + 1) * N : (i + 2) * N]
-
-    m4 = pick3(0)
-    b4 = pick3(3)
-    e4 = pick3(6)
-
-    # --- d == 1 sub-diagonal: the pairwise logit is identically zero ---
-    A = jnp.where(d == 1, _dot(r_h, k_h, ((1,), (1,)), precision), 0.0)
-
-    # --- level bs = 4: direct midpoint factors -------------------------
-    # (the cascade bases b4/e4 sit on the wrong side of the midpoint
-    # within a block, so this one level gets its own two full exps; the
-    # min-clips only sanitize masked junk rows)
-    q4 = r_h * jnp.exp(jnp.minimum(wexc_h - m4, 0.0))
-    kk4 = k_h * jnp.exp(jnp.minimum(m4 - winc_h, 0.0))
-    C4 = _dot(q4, kk4, ((1,), (1,)), precision)
-    mask4 = (row // 4 == col // 4) & (row % 4 >= 2) & (col % 4 < 2) & (d >= 2)
-    A = A + jnp.where(mask4, C4, 0.0)
-
-    # --- levels bs = 8..L: cascade off the 4-block START (q) / END (kk)
-    # bases: qL = r e^{wexc - b4} and kkL = k e^{e4 - winc} (exponents in
-    # [-4|lw|, 0], exact, no clip), times the per-4-block level gaps
-    # e^{b4 - m_bs} / e^{m_bs - e4} — <= 0 by cumulant monotonicity on
-    # every row/col the level's LCA mask keeps.
-    qL = r_h * jnp.exp(wexc_h - b4)
-    kkL = k_h * jnp.exp(e4 - winc_h)
-    bs = 8
-    lv = 0
-    while bs <= L:
-        h = bs // 2
-        q_bs = qL * pick2(9 + 4 * lv)
-        kk_bs = kkL * pick2(9 + 4 * lv + 2)
-        C = _dot(q_bs, kk_bs, ((1,), (1,)), precision)
-        mask = (
-            (row // bs == col // bs)
-            & (row % bs >= h)
-            & (col % bs < h)
-            & (d >= 2)
-        )
-        A = A + jnp.where(mask, C, 0.0)
-        bs *= 2
-        lv += 1
-    return A
+    factors = _exact_A_factors(r_h, k_h, winc_h, wexc_h, L, precision)
+    return _exact_A_combine(r_h, k_h, factors, slice(0, N), L, precision)
 
 
 def _pair_A_tile_bwd(dAt, r_t_in, k_t_in, winc_t, wexc_t, Ls: int, N: int):
@@ -620,17 +627,18 @@ def _wkv_gn_kernel(
         q_inter_all = r_all * jnp.exp(wexc)
         k_state_all = k_all * jnp.exp(wlast - winc)
         diag_all = r_all * u_row * k_all
+        # wide exact-A factors shared by all P heads (combine output is
+        # zero outside the LCA masks, so no extra causal mask needed)
+        factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
 
         outs = []
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             srows = slice(p * N, (p + 1) * N)
             v_h = v_all[:, lane]
-            A = _exact_A_head(
-                r_all[:, lane], k_all[:, lane],
-                winc[:, lane], wexc[:, lane], L, N,
+            A = _exact_A_combine(
+                r_all[:, lane], k_all[:, lane], factors, lane, L
             )
-            A = jnp.where(causal, A, 0.0)
             y = _dot(A, v_h, ((1,), (0,)))
             y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
             y += _dot(q_inter_all[:, lane], state[srows, :], ((1,), (0,)))
@@ -966,15 +974,14 @@ def _wkv_gn_fwd_save_kernel(
         q_inter_all = r_all * jnp.exp(wexc)
         k_state_all = k_all * jnp.exp(wlast - winc)
         diag_all = r_all * u_row * k_all
+        factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
         outs = []
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             v_h = v_all[:, lane]
-            A = _exact_A_head(
-                r_all[:, lane], k_all[:, lane],
-                winc[:, lane], wexc[:, lane], L, N,
+            A = _exact_A_combine(
+                r_all[:, lane], k_all[:, lane], factors, lane, L
             )
-            A = jnp.where(causal, A, 0.0)
             y = _dot(A, v_h, ((1,), (0,)))
             y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
             y += _dot(q_inter_all[:, lane], state[lane, :], ((1,), (0,)))
@@ -1050,6 +1057,7 @@ def _wkv_gn_bwd_kernel(
         dwinc_parts, dwexc_parts, dwlast_parts = [], [], []
         dg_parts, du_parts, dsc_parts, dbi_parts = [], [], [], []
 
+        factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             r_h = r_all[:, lane]
@@ -1063,8 +1071,7 @@ def _wkv_gn_bwd_kernel(
             dSh = dstate[lane, :]
 
             # ---- recompute forward y (pre-GN) for this chunk/head ----
-            A = _exact_A_head(r_h, k_h, winc_h, wexc_h, L, N)
-            A = jnp.where(causal, A, 0.0)
+            A = _exact_A_combine(r_h, k_h, factors, lane, L)
             cdiag = jnp.sum(diag_all[:, lane], axis=1, keepdims=True)
             y = _dot(A, v_h, ((1,), (0,)))
             y += cdiag * v_h

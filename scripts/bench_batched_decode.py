@@ -18,10 +18,14 @@ B = 64
 N_TOK = 64
 cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
-if os.environ.get("INT8") == "1":
+_q = os.environ.get("INT8")
+if _q:
     from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
 
-    params = quantize_tree(params, "int8", include_head=True)
+    # INT8=1 -> dequantize-to-bf16 weights; INT8=int8c -> native int8 MXU
+    params = quantize_tree(
+        params, "int8" if _q == "1" else _q, include_head=True
+    )
 params = jax.device_put(params)
 state = init_model_state(cfg, B)
 tok0 = jnp.full((B,), 5, jnp.int32)
