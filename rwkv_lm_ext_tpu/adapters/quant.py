@@ -1,10 +1,11 @@
-"""Weight-only quantization (int8 / nf4) for serving memory.
+"""Weight-only quantization (int8 / nf4 / fp4) for serving memory.
 
 The reference quantizes LoRA base weights with bitsandbytes
 (rwkv_quantize/rwkv_dequantize, src/rwkvLinear.py:8-29, LORA_CONFIG
-quant). TPU-native version: pure-jnp codecs over the parameter tree —
-int8 per-output-channel absmax, or NF4 (NormalFloat4) block-64 absmax
-with the QLoRA codebook. Quantized leaves are dicts
+quant — its bnb modes: int8, nf4, fp4). TPU-native version: pure-jnp
+codecs over the parameter tree — int8 per-output-channel absmax, or
+4-bit block-64 absmax with either the QLoRA NF4 codebook or the bnb
+FP4 (e2m1) codebook. Quantized leaves are dicts
 {"qformat", "q", "scale"}; the model's weight accessor (models.rwkv
 as_weight) dequantizes on use, so int8/uint8 stays in HBM and the convert
 fuses into the consuming matmul.
@@ -54,6 +55,20 @@ NF4_CODE = jnp.asarray(
     jnp.float32,
 )
 
+# bitsandbytes FP4 (e2m1) codebook, sign in bit 3 — the dequant table of
+# bnb's dDequantizeFP4 (csrc/kernels.cu), normalized to [-1, 1]
+FP4_CODE = jnp.asarray(
+    [
+        0.0, 0.0052083335, 0.6666667, 1.0,
+        0.33333334, 0.5, 0.16666667, 0.25,
+        -0.0, -0.0052083335, -0.6666667, -1.0,
+        -0.33333334, -0.5, -0.16666667, -0.25,
+    ],
+    jnp.float32,
+)
+
+_CODE4 = {"nf4": NF4_CODE, "fp4": FP4_CODE}
+
 
 def quantize_int8(w: jax.Array, *, compute: bool = False) -> Dict:
     """Per-output-channel (last axis) absmax int8; the absmax runs over
@@ -98,8 +113,10 @@ def int8_matmul(x: jax.Array, d: QuantizedTensor, dtype=jnp.float32) -> jax.Arra
     return (y.astype(jnp.float32) * sx * d.scale).astype(dtype)
 
 
-def quantize_nf4(w: jax.Array, block: int = 64, *, stacked: bool = False) -> Dict:
-    """Blockwise NF4: each `block` consecutive values share an absmax.
+def quantize_nf4(w: jax.Array, block: int = 64, *, stacked: bool = False,
+                 fmt: str = "nf4") -> Dict:
+    """Blockwise 4-bit (NF4 or bnb FP4 via ``fmt``): each `block`
+    consecutive values share an absmax.
 
     ``stacked=True`` treats the leading axis as a layer axis (scan-over-
     layers trees) and quantizes each layer independently, so q keeps shape
@@ -119,8 +136,9 @@ def quantize_nf4(w: jax.Array, block: int = 64, *, stacked: bool = False) -> Dic
     blocks = flat.reshape(flat.shape[0], -1, block)
     absmax = jnp.maximum(jnp.max(jnp.abs(blocks), axis=-1, keepdims=True), 1e-12)
     normed = blocks / absmax
+    code = _CODE4[fmt]
     idx = jnp.argmin(
-        jnp.abs(normed[..., None] - NF4_CODE[None, None, None, :]), axis=-1
+        jnp.abs(normed[..., None] - code[None, None, None, :]), axis=-1
     ).astype(jnp.uint8)
     # pack two 4-bit codes per byte
     lo = idx[..., 0::2]
@@ -129,7 +147,7 @@ def quantize_nf4(w: jax.Array, block: int = 64, *, stacked: bool = False) -> Dic
     scale = absmax[..., 0]
     if not stacked:
         packed, scale = packed[0], scale[0]
-    return QuantizedTensor("nf4", packed, scale, tuple(shape), block, int(pad))
+    return QuantizedTensor(fmt, packed, scale, tuple(shape), block, int(pad))
 
 
 def dequantize_nf4(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
@@ -142,7 +160,7 @@ def dequantize_nf4(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     lo = (packed & 0xF).astype(jnp.int32)
     hi = (packed >> 4).astype(jnp.int32)
     idx = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
-    vals = NF4_CODE[idx] * d.scale[..., None]
+    vals = _CODE4[d.qformat][idx] * d.scale[..., None]
     flat = vals.reshape(*lead, -1)
     if d.pad:
         flat = flat[..., : -d.pad]
@@ -156,7 +174,7 @@ def is_quantized(leaf) -> bool:
 def dequantize(leaf, dtype=jnp.float32) -> jax.Array:
     if leaf.qformat in ("int8", "int8c"):
         return dequantize_int8(leaf, dtype)
-    if leaf.qformat == "nf4":
+    if leaf.qformat in ("nf4", "fp4"):
         return dequantize_nf4(leaf, dtype)
     raise ValueError(leaf.qformat)
 
@@ -172,9 +190,9 @@ def quantize_tree(
     the same Linears make_linear_att/ffn wraps). emb/ln stay full;
     include_head also quantizes the LM head (another ~8%% of 1B6 decode
     weight traffic)."""
-    if mode not in ("int8", "int8c", "nf4"):
+    if mode not in ("int8", "int8c", "nf4", "fp4"):
         raise ValueError(
-            f"unknown quant mode {mode!r} (expected int8|int8c|nf4)"
+            f"unknown quant mode {mode!r} (expected int8|int8c|nf4|fp4)"
         )
     out = dict(params)
 
@@ -185,8 +203,8 @@ def quantize_tree(
             # scale per (layer, out-channel) with no special casing.
             return lambda w: quantize_int8(w, compute=(mode == "int8c"))
         if stacked:
-            return lambda w: quantize_nf4(w, stacked=True)
-        return quantize_nf4
+            return lambda w: quantize_nf4(w, stacked=True, fmt=mode)
+        return lambda w: quantize_nf4(w, fmt=mode)
 
     if include_head and "head" in out and not is_quantized(out["head"]):
         out["head"] = make_enc(False)(params["head"])

@@ -34,10 +34,15 @@ def pool_hidden(
 ) -> jax.Array:
     """Pool (B,T,C) hidden states to (B,C).
 
-    `actual_len` is the first-emb_id position (as in the reference's
-    training-side pooling, model_ext.py:1708-1738; the streaming runtime's
-    off-by-one variant is intentionally not replicated — documented in
-    SURVEY §7 hard-parts #2).
+    `actual_len` is the first-emb_id position. "weightedmean" uses the
+    reference's TRAINING-side semantics (model_ext.py:1708-1738) — the
+    default everywhere. "weightedmean_runtime" replicates the streaming
+    runtime's off-by-one variant (model_run.py:779-791, actual_len+1 in
+    the mask, the weight denominator AND the final divisor) for
+    checkpoint compatibility with models tuned or served under the
+    reference's serving stack; the two pools differ measurably (see
+    tests/test_model.py::test_runtime_weightedmean_parity), so pick the
+    one the checkpoint was trained against.
     """
     B, T, C = x.shape
     xf = x.astype(jnp.float32)
@@ -47,6 +52,11 @@ def pool_hidden(
         mask = (pos <= actual_len[:, None]).astype(jnp.float32)
         weights = (jnp.arange(1, T + 1)[None, :].astype(jnp.float32) / L) * mask
         pooled = jnp.sum(xf * weights[..., None], axis=1) / L
+    elif pooling_type == "weightedmean_runtime":
+        L1 = L + 1.0
+        mask = (pos <= (actual_len[:, None] + 1)).astype(jnp.float32)
+        weights = (jnp.arange(1, T + 1)[None, :].astype(jnp.float32) / L1) * mask
+        pooled = jnp.sum(xf * weights[..., None], axis=1) / L1
     elif pooling_type == "lasttoken":
         pooled = jnp.take_along_axis(
             xf, actual_len[:, None, None].astype(jnp.int32), axis=1

@@ -933,7 +933,7 @@ def main(argv=None):
                    choices=["full", "lora", "pissa", "state", "states"])
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
-    p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4"],
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4", "fp4"],
                    help="QLoRA: quantize the frozen base (reference "
                         "LORA_CONFIG['quant']); the base stays quantized "
                         "in HBM and LoRA rides as a lazy delta")
@@ -948,7 +948,7 @@ def main(argv=None):
     _common_args(p)
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
-    p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4"],
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4", "fp4"],
                    help="QLoRA: quantize the frozen base (reference "
                         "LORA_CONFIG['quant']); the base stays quantized "
                         "in HBM and LoRA rides as a lazy delta")
@@ -960,7 +960,7 @@ def main(argv=None):
     _common_args(p)
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
-    p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4"],
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4", "fp4"],
                    help="QLoRA: quantize the frozen base (reference "
                         "LORA_CONFIG['quant']); the base stays quantized "
                         "in HBM and LoRA rides as a lazy delta")

@@ -196,3 +196,37 @@ def test_specialized_decode_step_matches_forward(params6, tokens):
         )
     for k in s_a:
         np.testing.assert_allclose(s_b[k], s_a[k], rtol=2e-5, atol=2e-5)
+
+
+def test_runtime_weightedmean_parity():
+    """pooling_type="weightedmean_runtime" reproduces the reference
+    STREAMING runtime's pooling (src/model_run.py:779-791: actual_len+1
+    in mask, weights and divisor) exactly — and differs measurably from
+    the training-side pooling (model_ext.py:1708), so serving a
+    checkpoint tuned under the reference runtime needs this variant."""
+    import numpy as np
+
+    from rwkv_lm_ext_tpu.models.heads import pool_hidden
+
+    rng = np.random.RandomState(0)
+    B, T, C = 3, 10, 8
+    x = rng.randn(B, T, C).astype(np.float32)
+    actual_len = np.array([4, 9, 6], np.int32)
+
+    # literal port of the reference runtime math (torch -> numpy)
+    al = actual_len + 1
+    mask = (np.arange(T)[None, :] <= al[:, None]).astype(np.float32)
+    weights = (np.arange(1, T + 1)[None, :] / al[:, None]).astype(np.float32)
+    weights = weights * mask
+    ref = (x * weights[..., None]).sum(axis=1) / al[:, None]
+
+    ours = np.asarray(
+        pool_hidden(jnp.asarray(x), jnp.asarray(actual_len),
+                    "weightedmean_runtime")
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    train_side = np.asarray(
+        pool_hidden(jnp.asarray(x), jnp.asarray(actual_len), "weightedmean")
+    )
+    assert float(np.abs(train_side - ours).max()) > 1e-3

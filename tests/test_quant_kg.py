@@ -200,3 +200,44 @@ def test_graph_build_and_cluster():
     comps = cluster_graph(g)
     assert len(comps) == 2
     assert {"ACME", "Alice"} <= set(comps[0]) or {"ACME", "Alice"} <= set(comps[1])
+
+
+def test_fp4_roundtrip_and_tree():
+    """bnb FP4 (e2m1) codebook variant (reference src/rwkvLinear.py:8-29
+    supports 4bit/nf4/fp4/int8): roundtrip accuracy within the codebook's
+    resolution and full-tree quantization through the forward."""
+    import jax
+
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.adapters.quant import (
+        dequantize_nf4,
+        quantize_nf4,
+        quantize_tree,
+    )
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48)) * 0.3
+    d = quantize_nf4(w, fmt="fp4")
+    assert d.qformat == "fp4"
+    back = dequantize_nf4(d)
+    # fp4's e2m1 grid is coarser than nf4 near the center; block-absmax
+    # keeps the error within ~12% of each block's scale
+    err = float(jnp.max(jnp.abs(back - w)))
+    scale = float(jnp.max(jnp.abs(w)))
+    assert err < 0.2 * scale
+
+    cfg = ModelConfig(n_layer=2, n_embd=64, vocab_size=100, head_size=16,
+                      dtype="float32", param_dtype="float32")
+    params = init_rwkv_params(jax.random.PRNGKey(1), cfg)
+    qp = quantize_tree(params, "fp4", include_head=True)
+    assert qp["blocks"][0]["att"]["key"].qformat == "fp4"
+    tokens = jnp.array([[5, 9, 23, 1]], jnp.int32)
+    logits_q, _ = rwkv_forward(qp, cfg, tokens, wkv_backend="reference")
+    logits_f, _ = rwkv_forward(params, cfg, tokens, wkv_backend="reference")
+    # 4-bit weights: logits agree loosely, and are finite
+    assert bool(jnp.all(jnp.isfinite(logits_q)))
+    cos = jnp.sum(logits_q[0, -1] * logits_f[0, -1]) / (
+        jnp.linalg.norm(logits_q[0, -1]) * jnp.linalg.norm(logits_f[0, -1])
+    )
+    assert float(cos) > 0.98
