@@ -48,6 +48,13 @@ _EXACT_LB = 16
 # every kernel generous headroom.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
+# T-block per grid step. The sequential grid carries the WKV state in VMEM
+# scratch ACROSS grid steps, so a small T-block costs no extra state
+# traffic — it only shrinks the unrolled kernel body (TB/L chunk bodies),
+# which sets Mosaic compile time. The exact-A body is ~4x the rescale
+# body, so keep ONE chunk per grid step by default.
+_T_BLOCK = 128
+
 
 def pallas_available() -> bool:
     try:
@@ -439,7 +446,7 @@ def _wkv_kernel(
 
 def _wkv_pallas_fwd_impl(
     r, k, v, w, u, s0, *, chunk_size: int, interpret: bool = False,
-    t_block: int = 512,
+    t_block: int = _T_BLOCK,
 ):
     """r,k,v,w: (B,T,H,N); u (H,N); s0 (B,H,N,N) fp32.
 
@@ -687,7 +694,7 @@ def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
     H2 = H // P
     W = P * N
     L = chunk_size
-    TB = min(512, max(L, ((T + L - 1) // L) * L))
+    TB = min(max(_T_BLOCK, L), max(L, ((T + L - 1) // L) * L))
     pad = (-T) % TB
     if pad:
         cfg4 = [(0, 0), (0, pad), (0, 0), (0, 0)]
@@ -793,7 +800,7 @@ def _fused_bwd_pallas(
     H2 = H // P
     W = P * N
     L = chunk_size
-    TB = min(512, max(L, ((T + L - 1) // L) * L))
+    TB = min(max(_T_BLOCK, L), max(L, ((T + L - 1) // L) * L))
     pad = (-T) % TB
     if pad:
         cfg4 = [(0, 0), (0, pad), (0, 0), (0, 0)]
