@@ -13,3 +13,8 @@ from rwkv_lm_ext_tpu.parallel.mesh import (  # noqa: F401
     batch_shardings,
     state_shardings,
 )
+from rwkv_lm_ext_tpu.parallel.pipeline import (  # noqa: F401
+    make_pp_mesh,
+    pipeline_loss,
+    pp_param_specs,
+)

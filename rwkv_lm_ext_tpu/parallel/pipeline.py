@@ -1,0 +1,167 @@
+"""Pipeline parallelism (GPipe) over a ``pp`` mesh axis.
+
+The reference has no pipeline parallelism at all (SURVEY §2.4 — DP-only
+via DeepSpeed ZeRO-2); this is a TPU-native extension alongside the
+head-parallel TP (parallel.mesh) and sequence parallelism
+(parallel.sequence): layers are sharded across the ``pp`` axis (each
+device holds a contiguous stage of the scan-over-layers stacked tree),
+microbatches flow stage-to-stage over ICI via ``ppermute``, and the
+whole schedule lives inside one ``shard_map`` so ``jax.grad``
+differentiates straight through the collectives (backward microbatch
+pipelining falls out of the transposed ppermute).
+
+Schedule: plain GPipe — M microbatches over P stages in M + P - 1 ticks;
+stage p processes microbatch t - p at tick t. Bubble fraction
+(P-1)/(M+P-1); choose n_micro >= ~4*pp for production runs.
+
+Layout notes:
+- params are the scan-over-layers stacked form (models.stacked
+  stack_params): block0 + emb + ln_out + head replicate to every stage;
+  ``blocks_stacked`` (n_layer-1 leading axis) shards over ``pp``. Each
+  stage redundantly computes the embedding+block0 of its incoming
+  microbatch and keeps only its own stage's result (a where-select on
+  the stage index) — ~1/n_layer waste that keeps every stage's program
+  identical (SPMD requires one program).
+- the token/label batch reshapes to (n_micro, B/n_micro, T) and shards
+  its microbatch-row axis over ``dp``; the loss is a token-weighted CE
+  psum-reduced over pp (only the last stage contributes) and dp.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rwkv_lm_ext_tpu.models.rwkv import block_forward, layer_norm, proj
+
+
+def make_pp_mesh(dp: int, pp: int, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    devices = devices[: dp * pp]
+    return Mesh(np.array(devices).reshape(dp, pp), ("dp", "pp"))
+
+
+def pp_param_specs(sparams: Dict):
+    """PartitionSpecs: blocks_stacked layer axis over ``pp``, everything
+    else replicated (emb/head on every stage — see module notes)."""
+
+    def assign(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if "blocks_stacked" in keys:
+            return P("pp", *([None] * (leaf.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(assign, sparams)
+
+
+def _zero_layer_state(cfg, B: int):
+    H, N = cfg.n_head, cfg.head_size
+    C = cfg.n_embd
+    return (
+        jnp.zeros((B, C), jnp.float32),
+        jnp.zeros((B, H, N, N), jnp.float32),
+        jnp.zeros((B, C), jnp.float32),
+    )
+
+
+def pipeline_loss(
+    sparams: Dict,
+    cfg,
+    tokens: jax.Array,
+    labels: jax.Array,
+    mesh: Mesh,
+    *,
+    n_micro: int,
+    wkv_backend: str = "reference",
+    chunk_size: int = 32,
+) -> jax.Array:
+    """Token-mean causal-LM CE of a stacked-params model, computed with
+    the layer stack sharded over ``mesh``'s ``pp`` axis and the batch
+    over ``dp``. labels: same shape as tokens, -100 = ignored (the data
+    pipeline's padding convention). Differentiable wrt sparams."""
+    assert "blocks_stacked" in sparams, "pipeline needs stack_params form"
+    B, T = tokens.shape
+    PP = mesh.shape["pp"]
+    n_stacked = jax.tree_util.tree_leaves(sparams["blocks_stacked"])[0].shape[0]
+    assert n_stacked % PP == 0, (
+        f"{n_stacked} stacked layers not divisible by pp={PP}"
+    )
+    assert B % n_micro == 0, f"batch {B} not divisible by n_micro={n_micro}"
+    mb = B // n_micro
+    assert mb % mesh.shape["dp"] == 0, "microbatch not divisible by dp"
+    toks = tokens.reshape(n_micro, mb, T)
+    labs = labels.reshape(n_micro, mb, T)
+    dt = cfg.compute_dtype
+    C = cfg.n_embd
+
+    def stage_fn(sp, toks, labs):
+        p = jax.lax.axis_index("pp")
+        mb_l = toks.shape[1]  # local (dp-sharded) microbatch rows
+
+        def embed_block0(tok_mb):
+            x = jnp.take(sp["emb"], tok_mb, axis=0).astype(dt)
+            x, _ = block_forward(
+                sp["block0"], cfg, x, _zero_layer_state(cfg, mb_l),
+                layer_id=0, wkv_backend=wkv_backend, chunk_size=chunk_size,
+            )
+            return x
+
+        def stage_layers(x):
+            def body(x, bp):
+                x, _ = block_forward(
+                    bp, cfg, x, _zero_layer_state(cfg, mb_l),
+                    layer_id=1, wkv_backend=wkv_backend,
+                    chunk_size=chunk_size,
+                )
+                return x, None
+
+            x, _ = jax.lax.scan(body, x, sp["blocks_stacked"])
+            return x
+
+        def ce_sum(x, lab_mb):
+            h = layer_norm(x, sp["ln_out"])
+            logits = proj(h, sp["head"], dt)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            mask = (lab_mb >= 0).astype(jnp.float32)
+            gold = jnp.take_along_axis(
+                logp, jnp.maximum(lab_mb, 0)[..., None], axis=-1
+            )[..., 0]
+            return -jnp.sum(gold * mask), jnp.sum(mask)
+
+        perm = [(i, (i + 1) % PP) for i in range(PP)]
+        zero_act = jnp.zeros((mb_l, T, C), dt)
+
+        def tick(carry, t):
+            buf, loss_sum, cnt_sum = carry
+            m = t - p
+            valid = (m >= 0) & (m < n_micro)
+            mc = jnp.clip(m, 0, n_micro - 1)
+            x_in = jnp.where(p == 0, embed_block0(toks[mc]), buf)
+            x_out = stage_layers(x_in)
+            l, c = ce_sum(x_out, labs[mc])
+            take = (valid & (p == PP - 1)).astype(jnp.float32)
+            nxt = jax.lax.ppermute(x_out, "pp", perm)
+            return (nxt, loss_sum + take * l, cnt_sum + take * c), None
+
+        ticks = jnp.arange(n_micro + PP - 1)
+        (_, loss_sum, cnt_sum), _ = jax.lax.scan(
+            tick, (zero_act, jnp.float32(0), jnp.float32(0)), ticks
+        )
+        loss_sum = jax.lax.psum(jax.lax.psum(loss_sum, "pp"), "dp")
+        cnt_sum = jax.lax.psum(jax.lax.psum(cnt_sum, "pp"), "dp")
+        return loss_sum / jnp.maximum(cnt_sum, 1.0)
+
+    fn = shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(pp_param_specs(sparams), P(None, "dp", None),
+                  P(None, "dp", None)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(sparams, toks, labs)

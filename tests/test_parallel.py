@@ -248,3 +248,70 @@ def test_sequence_parallel_gradients():
         scale = max(float(jnp.abs(b).max()), 1e-3)
         worst = max(worst, float(jnp.abs(a - b).max()) / scale)
     assert worst < 5e-3, worst
+
+
+def test_pipeline_parallel_loss_and_grads_match_single_device():
+    """GPipe over pp=4 x dp=2: loss AND parameter gradients must match
+    the plain single-device forward exactly (the pipeline is a pure
+    re-scheduling of the same math; ppermute/where-selects are
+    differentiable). Beyond the reference: it has no PP at all."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_lm_ext_tpu import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+    from rwkv_lm_ext_tpu.models.stacked import stack_params
+    from rwkv_lm_ext_tpu.parallel.pipeline import (
+        make_pp_mesh,
+        pipeline_loss,
+    )
+
+    cfg = ModelConfig(
+        n_layer=5, n_embd=64, vocab_size=128, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.2 * jax.random.normal(
+            jax.random.PRNGKey(40 + i), b["att"]["output"].shape
+        )
+    sparams = stack_params(params)
+    mesh = make_pp_mesh(dp=2, pp=4)
+
+    B, T = 8, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 3, 120)
+    labels = jnp.concatenate(
+        [tokens[:, 1:], jnp.full((B, 1), -100, tokens.dtype)], axis=1
+    )
+
+    def ref_loss(sp):
+        logits, _ = rwkv_forward(sp, cfg, tokens, wkv_backend="reference")
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        mask = (labels >= 0).astype(jnp.float32)
+        gold = jnp.take_along_axis(
+            logp, jnp.maximum(labels, 0)[..., None], axis=-1
+        )[..., 0]
+        return -jnp.sum(gold * mask) / jnp.sum(mask)
+
+    def pp_loss(sp):
+        return pipeline_loss(
+            sp, cfg, tokens, labels, mesh, n_micro=4,
+            wkv_backend="reference",
+        )
+
+    l_ref = jax.jit(ref_loss)(sparams)
+    l_pp = jax.jit(pp_loss)(sparams)
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-5)
+
+    g_ref = jax.jit(jax.grad(ref_loss))(sparams)
+    g_pp = jax.jit(jax.grad(pp_loss))(sparams)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pp = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_pp)}
+    for k, v in flat_ref:
+        key = jax.tree_util.keystr(k)
+        scale = max(float(jnp.abs(v).max()), 1e-3)
+        err = float(jnp.abs(flat_pp[key] - v).max()) / scale
+        assert err < 2e-4, (key, err)
