@@ -216,3 +216,90 @@ def place_batch(batch, mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def make_pp_train_step(
+    cfg,
+    tc: TrainConfig,
+    mesh,
+    *,
+    n_micro: int,
+    wkv_backend: str = "auto",
+    chunk_size: int = 32,
+    train_type: str = "full",
+    donate: bool = True,
+):
+    """(init_fn, step_fn) training through the GPipe pipeline schedule
+    (parallel.pipeline.pipeline_loss): layers staged over the mesh's
+    ``pp`` axis, batch over ``dp``, grads differentiated through the
+    ppermute schedule. Params must be the stacked (scan-over-layers)
+    form; batch = {"input_ids", "labels"} with -100-masked labels.
+
+    Beyond the reference (DP-only): stage-sharded training fits models
+    whose full parameter+optimizer state exceeds one chip.
+    """
+    from rwkv_lm_ext_tpu.parallel.pipeline import pipeline_loss
+
+    def build_tx(params):
+        tx = make_optimizer(tc, params)
+        if train_type != "full":
+            tx = apply_trainable_mask(tx, trainable_mask(params, train_type))
+        return tx
+
+    def init_fn(sparams):
+        return TrainState.create(sparams, build_tx(sparams))
+
+    def step_fn(ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+        tx = build_tx(ts.params)
+
+        def loss(p):
+            return pipeline_loss(
+                p, cfg, batch["input_ids"], batch["labels"], mesh,
+                n_micro=n_micro, wkv_backend=wkv_backend,
+                chunk_size=chunk_size,
+            )
+
+        loss_val, grads = jax.value_and_grad(loss)(ts.params)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_ts = TrainState(
+            params=params, opt_state=opt_state, step=ts.step + 1
+        )
+        return new_ts, {"loss": loss_val, "grad_norm": gnorm}
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return init_fn, step_jit
+
+
+def place_pp_train_state(ts: TrainState, mesh) -> TrainState:
+    """Device-place a stacked-params TrainState for pipeline training:
+    params per pp_param_specs; optimizer moments follow their parameter
+    (any array whose leading axis equals the stacked layer count shards
+    over ``pp`` — adamw's mu/nu mirror the param tree), scalars
+    replicate."""
+    from rwkv_lm_ext_tpu.parallel.pipeline import pp_param_specs
+
+    specs = pp_param_specs(ts.params)
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        ts.params, specs,
+    )
+    n_stacked = jax.tree_util.tree_leaves(
+        ts.params["blocks_stacked"]
+    )[0].shape[0]
+
+    def place_opt(leaf):
+        if (
+            hasattr(leaf, "ndim") and leaf.ndim >= 1
+            and leaf.shape[0] == n_stacked
+        ):
+            return jax.device_put(
+                leaf,
+                NamedSharding(mesh, P("pp", *([None] * (leaf.ndim - 1)))),
+            )
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    opt_state = jax.tree_util.tree_map(place_opt, ts.opt_state)
+    step = jax.device_put(ts.step, NamedSharding(mesh, P()))
+    return TrainState(params=params, opt_state=opt_state, step=step)

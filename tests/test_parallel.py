@@ -315,3 +315,46 @@ def test_pipeline_parallel_loss_and_grads_match_single_device():
         scale = max(float(jnp.abs(v).max()), 1e-3)
         err = float(jnp.abs(flat_pp[key] - v).max()) / scale
         assert err < 2e-4, (key, err)
+
+
+def test_pipeline_train_step_decreases_loss():
+    """End-to-end PP TRAINING: adamw over the pipeline loss on a
+    dp=2 x pp=4 mesh, stage-sharded params + moments; loss decreases."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_lm_ext_tpu import ModelConfig, TrainConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.stacked import stack_params
+    from rwkv_lm_ext_tpu.parallel.pipeline import make_pp_mesh
+    from rwkv_lm_ext_tpu.train.loop import (
+        make_pp_train_step,
+        place_pp_train_state,
+    )
+
+    cfg = ModelConfig(
+        n_layer=5, n_embd=64, vocab_size=128, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    tc = TrainConfig(lr_init=1e-2, warmup_steps=0, total_steps=4)
+    sparams = stack_params(init_rwkv_params(jax.random.PRNGKey(0), cfg))
+    mesh = make_pp_mesh(dp=2, pp=4)
+
+    init_fn, step_fn = make_pp_train_step(
+        cfg, tc, mesh, n_micro=4, wkv_backend="reference", donate=False
+    )
+    ts = place_pp_train_state(init_fn(sparams), mesh)
+
+    B, T = 8, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 3, 120)
+    labels = jnp.concatenate(
+        [tokens[:, 1:], jnp.full((B, 1), -100, tokens.dtype)], axis=1
+    )
+    batch = {"input_ids": tokens, "labels": labels}
+
+    losses = []
+    for _ in range(3):
+        ts, metrics = step_fn(ts, batch)
+        losses.append(float(metrics["loss"]))
+        assert losses[-1] == losses[-1], "NaN loss"
+    assert losses[-1] < losses[0], losses
