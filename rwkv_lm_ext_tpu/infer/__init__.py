@@ -8,3 +8,4 @@ from rwkv_lm_ext_tpu.infer.sampling import (  # noqa: F401
     apply_repetition_penalty,
 )
 from rwkv_lm_ext_tpu.infer.engine import GenerationEngine  # noqa: F401
+from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher  # noqa: F401

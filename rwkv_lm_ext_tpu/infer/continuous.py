@@ -1,0 +1,194 @@
+"""Continuous batching for streaming decode serving.
+
+Production serving beyond the reference (whose runtime decodes one
+request at a time, src/model_run.py generate): a fixed pool of decode
+SLOTS shares one compiled batched decode+sample step; requests join a
+queue, a free slot admits a request by running the chunked B=1 prefill
+and scattering the resulting recurrent state into its row of the batched
+state, and finished rows retire and re-open mid-flight — new work joins
+WITHOUT waiting for the longest running request.
+
+RWKV makes this unusually clean: the per-request "KV cache" is the O(1)
+recurrent state pytree, so a slot is a fixed memory budget (no paging /
+block tables needed — the analogue of vLLM's PagedAttention problem
+does not exist), and slot admission is a pure scatter on the batch axis.
+
+Decode is weight-read bound, so a step with any number of active slots
+costs ~the same wall clock; idle slots decode garbage that admission
+overwrites (standard padding practice).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Callable, Deque, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, sample_token
+from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    prompt_ids: List[int]
+    max_tokens: int
+    out_ids: List[int] = dataclasses.field(default_factory=list)
+    callback: Optional[Callable[[int], None]] = None
+
+
+class ContinuousBatcher:
+    """Slot-pool batcher over a GenerationEngine's (params, cfg).
+
+    One SamplingParams per batcher (it is baked into the compiled step);
+    per-request max_tokens and stop handling are host-side counters.
+    """
+
+    def __init__(
+        self,
+        engine,
+        *,
+        n_slots: int = 8,
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+    ):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.n_slots = n_slots
+        self.sampling = sampling
+        self._queue: Deque[_Request] = deque()
+        self._slots: List[Optional[_Request]] = [None] * n_slots
+        self._next_rid = 0
+        self._finished: Dict[int, List[int]] = {}
+        self._rng = jax.random.PRNGKey(seed)
+
+        cfg, be, params = engine.cfg, engine.wkv_backend, engine.params
+        V = cfg.vocab_size
+        self._tokens = jnp.zeros((n_slots,), jnp.int32)
+        self._occ = jnp.zeros((n_slots, V), jnp.float32)
+        self._state = engine.init_state(n_slots)
+
+        sp = sampling
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def step_fn(params, tokens, state, occ, rng):
+            logits, state = rwkv_forward(
+                params, cfg, tokens[:, None], state, wkv_backend=be
+            )
+            rng, sub = jax.random.split(rng)
+            nxt, occ = sample_token(sub, logits[:, -1], occ, sp)
+            return nxt, state, occ, rng
+
+        self._step_fn = step_fn
+
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def admit_fn(state, slot, single_state, tokens, tok0, occ, occ0):
+            state = jax.tree_util.tree_map(
+                lambda b, s: b.at[:, slot].set(s[:, 0]), state, single_state
+            )
+            tokens = tokens.at[slot].set(tok0)
+            occ = occ.at[slot].set(occ0)  # carries tok0's occurrence
+            return state, tokens, occ
+
+        self._admit_fn = admit_fn
+
+        @jax.jit
+        def first_sample(logits, rng):
+            occ0 = jnp.zeros((V,), jnp.float32)
+            rng, sub = jax.random.split(rng)
+            tok, occ0 = sample_token(sub, logits, occ0, sp)
+            return tok, occ0, rng
+
+        self._first_sample = first_sample
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, prompt, *, max_tokens: int = 128,
+               callback: Optional[Callable[[int], None]] = None) -> int:
+        """Queue a request; returns its id. Accepts text (needs the
+        engine's tokenizer) or token ids."""
+        if isinstance(prompt, str):
+            ids = self.engine.tokenizer.encode(prompt)
+        else:
+            ids = list(prompt)
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(rid, ids, max_tokens, callback=callback))
+        return rid
+
+    @property
+    def busy(self) -> bool:
+        return any(s is not None for s in self._slots) or bool(self._queue)
+
+    def step(self) -> Dict[int, List[int]]:
+        """Admit queued requests into free slots, run ONE batched decode
+        tick, retire finished rows. Returns {rid: token_ids} finished on
+        this tick."""
+        self._admit_pending()
+        if not any(s is not None for s in self._slots):
+            return {}
+        self._tokens, self._state, self._occ, self._rng = self._step_fn(
+            self.engine.params, self._tokens, self._state, self._occ,
+            self._rng,
+        )
+        toks = np.asarray(self._tokens)
+        done: Dict[int, List[int]] = {}
+        stops = set(self.sampling.token_stop)
+        for i, req in enumerate(self._slots):
+            if req is None:
+                continue
+            # the PREVIOUS token (already emitted) was fed; toks[i] is the
+            # newly sampled one
+            t = int(toks[i])
+            if t in stops:
+                done[req.rid] = req.out_ids
+                self._retire(i)
+                continue
+            req.out_ids.append(t)
+            if req.callback is not None:
+                req.callback(t)
+            if len(req.out_ids) >= req.max_tokens:
+                done[req.rid] = req.out_ids
+                self._retire(i)
+        self._finished.update(done)
+        return done
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain: step until queue and slots are empty; returns all
+        finished {rid: token_ids}."""
+        while self.busy:
+            self.step()
+        out, self._finished = self._finished, {}
+        return out
+
+    # -- internals -------------------------------------------------------
+
+    def _admit_pending(self):
+        for i in range(self.n_slots):
+            if self._slots[i] is not None or not self._queue:
+                continue
+            req = self._queue.popleft()
+            logits, single = self.engine.prefill(req.prompt_ids)
+            tok0, occ0, self._rng = self._first_sample(logits, self._rng)
+            t0 = int(tok0)
+            stops = set(self.sampling.token_stop)
+            if t0 in stops or req.max_tokens < 1:
+                self._finished[req.rid] = req.out_ids
+                continue
+            req.out_ids.append(t0)
+            if req.callback is not None:
+                req.callback(t0)
+            if req.max_tokens == 1:
+                self._finished[req.rid] = req.out_ids
+                continue
+            self._state, self._tokens, self._occ = self._admit_fn(
+                self._state, i, single, self._tokens, tok0, self._occ, occ0
+            )
+            self._slots[i] = req
+
+    def _retire(self, slot: int):
+        self._slots[slot] = None

@@ -1,0 +1,82 @@
+"""Continuous batching (infer.continuous): slot-pool decode with
+mid-flight admission must reproduce per-request standalone generation
+exactly under greedy sampling (rows of a batched RWKV decode are
+independent; admission is a pure state scatter)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher
+from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=200, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    params = init_rwkv_params(jax.random.PRNGKey(5), CFG)
+    # non-trivial residuals so different prompts diverge
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(50 + i), b["att"]["output"].shape
+        )
+    return GenerationEngine(params, CFG, wkv_backend="reference")
+
+
+def test_matches_standalone_greedy(engine):
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    prompts = [
+        [5, 9, 23], [77, 3], [14, 14, 14, 60], [99], [31, 8, 120, 44, 2],
+    ]
+    maxes = [6, 4, 8, 3, 5]
+
+    expected = {
+        i: engine.generate(p, max_tokens=m, sampling=sp)
+        for i, (p, m) in enumerate(zip(prompts, maxes))
+    }
+
+    batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp)
+    rids = [
+        batcher.submit(p, max_tokens=m) for p, m in zip(prompts, maxes)
+    ]
+    results = batcher.run()
+    assert set(results) == set(rids)
+    for i, rid in enumerate(rids):
+        assert results[rid] == expected[i], (i, results[rid], expected[i])
+
+
+def test_stop_token_retires_slot(engine):
+    # greedy decode of prompt [5,9,23] emits a deterministic sequence;
+    # use its second token as the stop to force early retirement
+    sp0 = SamplingParams(temperature=0.0, token_stop=())
+    full = engine.generate([5, 9, 23], max_tokens=6, sampling=sp0)
+    stop = full[2]
+    sp = SamplingParams(temperature=0.0, token_stop=(stop,))
+    expected = engine.generate([5, 9, 23], max_tokens=6, sampling=sp)
+
+    batcher = ContinuousBatcher(engine, n_slots=1, sampling=sp)
+    rid = batcher.submit([5, 9, 23], max_tokens=6)
+    rid2 = batcher.submit([99], max_tokens=2)  # queued behind slot 0
+    results = batcher.run()
+    assert results[rid] == expected
+    assert len(results[rid2]) == 2
+
+
+def test_streaming_callback(engine):
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    seen = []
+    batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp)
+    rid = batcher.submit([5, 9, 23], max_tokens=4,
+                         callback=lambda t: seen.append(t))
+    results = batcher.run()
+    assert seen == results[rid]
