@@ -124,19 +124,38 @@ class ContinuousBatcher:
     def busy(self) -> bool:
         return any(s is not None for s in self._slots) or bool(self._queue)
 
+    def warmup(self) -> None:
+        """Compile every jitted program from the CALLING thread (some TPU
+        runtimes crash on first compilation from a worker thread — the
+        serving driver runs step() in a background thread)."""
+        eng = self.engine
+        logits, single = eng.prefill([1])
+        tok0, occ0, rng = self._first_sample(logits, self._rng)
+        state, tokens, occ = self._admit_fn(
+            self._state, 0, single, self._tokens, tok0, self._occ, occ0
+        )
+        tokens, state, occ, rng = self._step_fn(
+            eng.params, tokens, state, occ, rng
+        )
+        # the warmup donated the live buffers; rebuild a clean pool
+        self._tokens = jnp.zeros((self.n_slots,), jnp.int32)
+        self._occ = jnp.zeros((self.n_slots, self.cfg.vocab_size),
+                              jnp.float32)
+        self._state = eng.init_state(self.n_slots)
+
     def step(self) -> Dict[int, List[int]]:
         """Admit queued requests into free slots, run ONE batched decode
         tick, retire finished rows. Returns {rid: token_ids} finished on
-        this tick."""
-        self._admit_pending()
+        this tick (including requests that finished at admission)."""
+        done: Dict[int, List[int]] = self._admit_pending()
         if not any(s is not None for s in self._slots):
-            return {}
+            self._finished.update(done)
+            return done
         self._tokens, self._state, self._occ, self._rng = self._step_fn(
             self.engine.params, self._tokens, self._state, self._occ,
             self._rng,
         )
         toks = np.asarray(self._tokens)
-        done: Dict[int, List[int]] = {}
         stops = set(self.sampling.token_stop)
         for i, req in enumerate(self._slots):
             if req is None:
@@ -167,7 +186,8 @@ class ContinuousBatcher:
 
     # -- internals -------------------------------------------------------
 
-    def _admit_pending(self):
+    def _admit_pending(self) -> Dict[int, List[int]]:
+        done: Dict[int, List[int]] = {}
         for i in range(self.n_slots):
             if self._slots[i] is not None or not self._queue:
                 continue
@@ -177,18 +197,74 @@ class ContinuousBatcher:
             t0 = int(tok0)
             stops = set(self.sampling.token_stop)
             if t0 in stops or req.max_tokens < 1:
-                self._finished[req.rid] = req.out_ids
+                done[req.rid] = req.out_ids
                 continue
             req.out_ids.append(t0)
             if req.callback is not None:
                 req.callback(t0)
             if req.max_tokens == 1:
-                self._finished[req.rid] = req.out_ids
+                done[req.rid] = req.out_ids
                 continue
             self._state, self._tokens, self._occ = self._admit_fn(
                 self._state, i, single, self._tokens, tok0, self._occ, occ0
             )
             self._slots[i] = req
+        return done
 
     def _retire(self, slot: int):
         self._slots[slot] = None
+
+
+class BatcherDriver:
+    """Background thread driving a ContinuousBatcher so concurrent
+    callers (e.g. HTTP handler threads) share the batched decode.
+
+    submit_and_wait blocks the calling thread until its request finishes;
+    the decode loop runs in one daemon thread (compile the programs first
+    via batcher.warmup() from the main thread — serve_http does)."""
+
+    def __init__(self, batcher: ContinuousBatcher):
+        import threading
+
+        self.batcher = batcher
+        self._cv = threading.Condition()
+        self._results: Dict[int, List[int]] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self.batcher.busy and not self._stop:
+                    self._cv.wait(timeout=0.05)
+                if self._stop:
+                    return
+            done = self.batcher.step()
+            if done:
+                with self._cv:
+                    self._results.update(done)
+                    self._cv.notify_all()
+
+    def submit_and_wait(
+        self, prompt, *, max_tokens: int = 128,
+        timeout: Optional[float] = None,
+        callback: Optional[Callable[[int], None]] = None,
+    ) -> List[int]:
+        with self._cv:
+            rid = self.batcher.submit(
+                prompt, max_tokens=max_tokens, callback=callback
+            )
+            self._cv.notify_all()
+            ok = self._cv.wait_for(
+                lambda: rid in self._results or self._stop, timeout=timeout
+            )
+            if not ok:
+                raise TimeoutError(f"request {rid} timed out")
+            return self._results.pop(rid, [])
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)

@@ -38,6 +38,7 @@ class ServingService:
         encoder_cfg=None,
         tokenizer=None,
         mask_id: int = MASK_ID,
+        batcher=None,                # ContinuousBatcher: concurrent /generate
     ):
         self.engine = engine
         self.states = states_registry
@@ -47,6 +48,8 @@ class ServingService:
         self.encoder_cfg = encoder_cfg
         self.tokenizer = tokenizer or (engine.tokenizer if engine else None)
         self.mask_id = mask_id
+        self.batcher = batcher
+        self._driver = None
         self._lock = threading.Lock()
         self._fill_mask_jit = {}
 
@@ -70,6 +73,11 @@ class ServingService:
                 self.fill_mask(f"warm {MASK_TOKEN} up")
             except Exception:
                 pass
+        if self.batcher is not None and self._driver is None:
+            from rwkv_lm_ext_tpu.infer.continuous import BatcherDriver
+
+            self.batcher.warmup()  # compile from this (main) thread
+            self._driver = BatcherDriver(self.batcher)
 
     # ---- endpoints -------------------------------------------------
     def process_text(self, text: str, action: str, **gen_kw) -> Dict:
@@ -81,6 +89,14 @@ class ServingService:
 
     def generate(self, prompt: str, **gen_kw) -> Dict:
         assert self.engine is not None
+        if self._driver is not None:
+            # continuous batching: concurrent requests share the batched
+            # decode step instead of serializing on the engine lock
+            ids = self._driver.submit_and_wait(
+                prompt, max_tokens=int(gen_kw.get("max_tokens", 128))
+            )
+            tok = self.batcher.engine.tokenizer
+            return {"output": tok.decode(ids) if tok else ids}
         with self._lock:
             out = self.engine.generate(prompt, **gen_kw)
         return {"output": out}

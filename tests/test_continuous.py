@@ -80,3 +80,35 @@ def test_streaming_callback(engine):
                          callback=lambda t: seen.append(t))
     results = batcher.run()
     assert seen == results[rid]
+
+
+def test_batcher_driver_concurrent(engine):
+    """BatcherDriver: concurrent submit_and_wait callers (HTTP-handler
+    style threads) get the same greedy outputs as standalone generate."""
+    import threading
+
+    from rwkv_lm_ext_tpu.infer.continuous import BatcherDriver
+
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    prompts = [[5, 9, 23], [77, 3], [14, 14, 60]]
+    expected = [engine.generate(p, max_tokens=5, sampling=sp)
+                for p in prompts]
+
+    batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp)
+    batcher.warmup()
+    driver = BatcherDriver(batcher)
+    results = [None] * len(prompts)
+
+    def worker(i):
+        results[i] = driver.submit_and_wait(
+            prompts[i], max_tokens=5, timeout=60
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=90)
+    driver.close()
+    assert results == expected, (results, expected)
