@@ -167,8 +167,6 @@ def _pair_A_tile(r_t, k_t, winc_t, wexc_t, Ls: int, N: int, precision=None):
     return _dot(Pm, MfoldT, ((1,), (1,)), precision)          # (Ls, Ls)
 
 
-_LEAF = 4  # finest dyadic level computed with direct (full-size) exps
-
 
 def _exact_A_factors(r_w, k_w, winc_w, wexc_w, L: int, precision=None):
     """Per-level (q, kk) factor pairs for the exact-A decomposition, at
