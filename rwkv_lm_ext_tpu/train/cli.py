@@ -50,6 +50,10 @@ def _common_args(p: argparse.ArgumentParser):
     )
     p.add_argument("--dp", type=int, default=0, help="0 = all devices")
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages (sft full fine-tune only)")
+    p.add_argument("--n-micro", type=int, default=4,
+                   help="GPipe microbatches per step when --pp > 1")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-every-steps", type=int, default=0)
     p.add_argument("--skip-steps", type=int, default=0, help="resume skip")
@@ -136,21 +140,24 @@ def _wrap_save(args, save_fn):
 
 
 def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
-              frozen=None, save_fn=None):
+              frozen=None, save_fn=None, mesh="auto", placer=None,
+              place_batches=True):
     from rwkv_lm_ext_tpu.train.callbacks import MetricsLogger
     from rwkv_lm_ext_tpu.train.loop import place_batch, place_train_state
     from rwkv_lm_ext_tpu.train.optim import make_schedule
 
     os.makedirs(args.output_dir, exist_ok=True)
     save_fn = _wrap_save(args, save_fn)
-    mesh = _mesh(args)
+    if mesh == "auto":
+        mesh = _mesh(args)
+    placer = placer or place_train_state
     ts = init_fn(init_params)
     if getattr(args, "resume_train_state", None):
         from rwkv_lm_ext_tpu.checkpoint.orbax_io import load_checkpoint
 
         ts = load_checkpoint(args.resume_train_state, target=ts)
     if mesh is not None:
-        ts = place_train_state(ts, mesh)
+        ts = placer(ts, mesh)
     schedule = make_schedule(tc)
     logger = MetricsLogger(
         args.output_dir,
@@ -168,7 +175,7 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
             if args.max_steps and step >= args.max_steps:
                 break
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
+            if mesh is not None and place_batches:
                 batch = place_batch(batch, mesh)
             if frozen is not None:
                 ts, metrics = step_fn(ts, batch, frozen)
@@ -373,6 +380,37 @@ def cmd_sft(args):
             os.path.join(args.output_dir, f"model-step{step}.pth"),
             params_to_state_dict(p, cfg),
         )
+
+    if getattr(args, "pp", 1) > 1:
+        # pipeline-parallel full fine-tune: layers staged over the pp
+        # axis, microbatched GPipe schedule (parallel.pipeline). Batch
+        # sizes must divide n_micro (and the microbatch must divide dp).
+        assert args.accumulate_grad_batches == 1, (
+            "--pp pipelines microbatches itself; use --n-micro, not "
+            "--accumulate-grad-batches"
+        )
+        assert not args.lisa_k, "--pp does not compose with LISA"
+        from rwkv_lm_ext_tpu.models.stacked import stack_params as _stack
+        from rwkv_lm_ext_tpu.parallel import make_pp_mesh
+        from rwkv_lm_ext_tpu.train.loop import (
+            make_pp_train_step,
+            place_pp_train_state,
+        )
+
+        if "blocks_stacked" not in params:
+            params = _stack(params)
+        n_dev = len(jax.devices())
+        dp = args.dp or max(1, n_dev // args.pp)
+        mesh = make_pp_mesh(dp=dp, pp=args.pp)
+        init_fn, step_fn = make_pp_train_step(
+            cfg, tc, mesh, n_micro=args.n_micro,
+        )
+        _run_loop(
+            args, cfg, tc, params, step_fn, init_fn, batches,
+            save_fn=save_fn, mesh=mesh, placer=place_pp_train_state,
+            place_batches=False,
+        )
+        return
 
     _run_loop(args, cfg, tc, params, step_fn, init_fn, batches, save_fn=save_fn)
 

@@ -254,3 +254,28 @@ def test_sft_qlora_int8_base(base_ckpt, sft_jsonl, tmp_path):
     ))
     bs = [v for k, v in lora.items() if k.endswith(".lora_B")]
     assert any(np.abs(b).max() > 0 for b in bs)
+
+
+def test_sft_pipeline_parallel(sft_jsonl, tmp_path, tmp_path_factory):
+    """--pp 4: full fine-tune with layers staged over the pp axis on the
+    8-device virtual mesh (dp=2 x pp=4), GPipe microbatches; saves a
+    full checkpoint and logs finite losses."""
+    cfg5 = ModelConfig(
+        n_layer=5, n_embd=64, vocab_size=65530, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt5") / "base5.pth")
+    params = init_rwkv_params(jax.random.PRNGKey(2), cfg5)
+    save_torch_pth(ckpt, params_to_state_dict(params, cfg5))
+
+    out = str(tmp_path / "out_pp")
+    main([
+        "sft", "--model", ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "full",
+        "--max-steps", "2", "--micro-bsz", "4", "--log-every", "1",
+        "--pp", "4", "--n-micro", "2", "--dp", "2",
+    ])
+    files = os.listdir(out)
+    assert any(f.startswith("model-step") for f in files), files
+    log = open(os.path.join(out, "train_log.txt")).read()
+    assert "nan" not in log.lower()
