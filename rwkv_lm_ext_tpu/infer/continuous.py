@@ -39,6 +39,7 @@ class _Request:
     max_tokens: int
     out_ids: List[int] = dataclasses.field(default_factory=list)
     callback: Optional[Callable[[int], None]] = None
+    initial_state: Optional[object] = None   # e.g. a named tuned state
 
 
 class ContinuousBatcher:
@@ -108,16 +109,21 @@ class ContinuousBatcher:
     # -- public API ------------------------------------------------------
 
     def submit(self, prompt, *, max_tokens: int = 128,
-               callback: Optional[Callable[[int], None]] = None) -> int:
+               callback: Optional[Callable[[int], None]] = None,
+               initial_state=None) -> int:
         """Queue a request; returns its id. Accepts text (needs the
-        engine's tokenizer) or token ids."""
+        engine's tokenizer) or token ids. initial_state conditions the
+        request on a B=1 recurrent state — e.g. a state-tuned task from
+        StatesRegistry.initial_state(name) (the reference's named-states
+        serving, demo/states_runner.py), per request, concurrently."""
         if isinstance(prompt, str):
             ids = self.engine.tokenizer.encode(prompt)
         else:
             ids = list(prompt)
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, ids, max_tokens, callback=callback))
+        self._queue.append(_Request(rid, ids, max_tokens, callback=callback,
+                                    initial_state=initial_state))
         return rid
 
     @property
@@ -192,7 +198,9 @@ class ContinuousBatcher:
             if self._slots[i] is not None or not self._queue:
                 continue
             req = self._queue.popleft()
-            logits, single = self.engine.prefill(req.prompt_ids)
+            logits, single = self.engine.prefill(
+                req.prompt_ids, state=req.initial_state
+            )
             tok0, occ0, self._rng = self._first_sample(logits, self._rng)
             t0 = int(tok0)
             stops = set(self.sampling.token_stop)

@@ -112,3 +112,34 @@ def test_batcher_driver_concurrent(engine):
         t.join(timeout=90)
     driver.close()
     assert results == expected, (results, expected)
+
+
+def test_per_request_initial_states(engine):
+    """States-conditioned requests (the reference's named-states serving,
+    demo/states_runner.py) batch concurrently: each slot's output matches
+    standalone generation from the same tuned initial state."""
+    import numpy as np
+
+    sp = SamplingParams(temperature=0.0, token_stop=())
+
+    def tuned_state():
+        st = engine.init_state(1)
+        st = dict(st)
+        st["wkv"] = st["wkv"] + 0.25 * jnp.asarray(
+            np.random.RandomState(3).randn(*st["wkv"].shape), jnp.float32
+        )
+        return st
+
+    exp_plain = engine.generate([5, 9, 23], max_tokens=5, sampling=sp)
+    exp_tuned = engine.generate(
+        [5, 9, 23], max_tokens=5, sampling=sp, state=tuned_state()
+    )
+    assert exp_plain != exp_tuned  # the state conditions the output
+
+    batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp)
+    r1 = batcher.submit([5, 9, 23], max_tokens=5)
+    r2 = batcher.submit([5, 9, 23], max_tokens=5,
+                        initial_state=tuned_state())
+    results = batcher.run()
+    assert results[r1] == exp_plain
+    assert results[r2] == exp_tuned
