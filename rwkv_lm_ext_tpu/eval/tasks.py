@@ -83,6 +83,15 @@ class RetrievalTask:
         missing = [q for q in qrels if q not in queries]
         if missing:
             raise ValueError(f"qrels reference unknown query ids: {missing[:5]}")
+        # a truncated corpus dump would otherwise silently deflate metrics
+        missing_docs = sorted(
+            {d for rel in qrels.values() for d in rel if d not in corpus}
+        )
+        if missing_docs:
+            raise ValueError(
+                f"qrels reference {len(missing_docs)} corpus ids missing "
+                f"from corpus.jsonl: {missing_docs[:5]}"
+            )
         return cls(corpus, queries, qrels)
 
 

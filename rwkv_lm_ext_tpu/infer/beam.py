@@ -269,8 +269,12 @@ def generate_beamsearch(
             jnp.asarray(parents, jnp.int32),
             jnp.asarray(next_tokens, jnp.int32),
         )
+        # dead/frozen beams carry -inf (fp32 supports it): their candidates'
+        # acc stays -inf and every isfinite filter drops them, matching the
+        # reference's isneginf host filtering — -1e30 would leak junk beams
+        # through the host-side np.isfinite checks in degenerate pools
         scores_d = jnp.asarray(
-            np.where(np.isfinite(scores_h), scores_h, -1e30), jnp.float32
+            np.where(np.isfinite(scores_h), scores_h, -np.inf), jnp.float32
         )
         if all(group_done):
             break

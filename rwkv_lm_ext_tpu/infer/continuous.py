@@ -238,6 +238,7 @@ class BatcherDriver:
         self._cv = threading.Condition()
         self._results: Dict[int, List[int]] = {}
         self._stop = False
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -248,7 +249,18 @@ class BatcherDriver:
                     self._cv.wait(timeout=0.05)
                 if self._stop:
                     return
-            done = self.batcher.step()
+            try:
+                done = self.batcher.step()
+            except BaseException as e:  # noqa: BLE001 — surfaced to waiters
+                # A failed step may have consumed donated device buffers, so
+                # the pool state is unrecoverable: record the error, stop,
+                # and wake every waiter (they raise instead of blocking
+                # forever on a dead daemon thread).
+                with self._cv:
+                    self._error = e
+                    self._stop = True
+                    self._cv.notify_all()
+                return
             if done:
                 with self._cv:
                     self._results.update(done)
@@ -260,6 +272,10 @@ class BatcherDriver:
         callback: Optional[Callable[[int], None]] = None,
     ) -> List[int]:
         with self._cv:
+            if self._error is not None:
+                raise RuntimeError(
+                    "batcher decode loop died"
+                ) from self._error
             rid = self.batcher.submit(
                 prompt, max_tokens=max_tokens, callback=callback
             )
@@ -269,6 +285,10 @@ class BatcherDriver:
             )
             if not ok:
                 raise TimeoutError(f"request {rid} timed out")
+            if rid not in self._results and self._error is not None:
+                raise RuntimeError(
+                    "batcher decode loop died"
+                ) from self._error
             return self._results.pop(rid, [])
 
     def close(self):

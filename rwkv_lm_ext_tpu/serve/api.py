@@ -89,7 +89,12 @@ class ServingService:
 
     def generate(self, prompt: str, **gen_kw) -> Dict:
         assert self.engine is not None
-        if self._driver is not None:
+        # the batcher bakes ONE SamplingParams into its compiled step, so it
+        # can only honor max_tokens; any other sampling kwarg must take the
+        # locked engine path or the same request would silently behave
+        # differently with batching on
+        batchable = set(gen_kw) <= {"max_tokens"}
+        if self._driver is not None and batchable:
             # continuous batching: concurrent requests share the batched
             # decode step instead of serializing on the engine lock
             ids = self._driver.submit_and_wait(
