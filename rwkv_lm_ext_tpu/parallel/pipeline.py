@@ -34,7 +34,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rwkv_lm_ext_tpu.models.rwkv import block_forward, layer_norm, proj
@@ -162,6 +162,6 @@ def pipeline_loss(
         in_specs=(pp_param_specs(sparams), P(None, "dp", None),
                   P(None, "dp", None)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(sparams, toks, labs)
