@@ -168,6 +168,11 @@ def main():
         cfg = rwkv6_1b6(param_dtype="bfloat16")
 
     params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+    # serving-style dispatch: bound these params' decay and pick the
+    # fastest exact kernel path, exactly as load_rwkv_checkpoint does
+    from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+
+    cfg = apply_wkv_dispatch(cfg, params, margin=0.0)
     quant = os.environ.get("BENCH_QUANT")  # int8c: native int8 MXU GEMMs
     if quant:
         from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
@@ -229,6 +234,8 @@ def main():
         "vs_baseline": round(seqs_per_sec / 5000.0, 4),
         "platform": platform or jax.devices()[0].platform,
         "wkv_backend": backend,
+        "wkv_exact": cfg.wkv_exact,
+        "fused_chunk": cfg.fused_chunk,
     }
     if not small and os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
         # the BASELINE.md target (5000/chip) is >40x bf16 matmul physics

@@ -167,12 +167,22 @@ def extract_encoder_from_mae(
     }
 
 
-def load_rwkv_checkpoint(path: str, **cfg_overrides):
+def load_rwkv_checkpoint(path: str, wkv_dispatch: str = "auto",
+                         **cfg_overrides):
     """One-call loader: .pth -> (params, ModelConfig). Replaces the
     reference's load_ckpt_and_parse_args + load_state_dict pattern.
     cfg_overrides are ModelConfig fields (e.g. dtype="float32"); params are
-    cast to the resulting cfg.param_dtype."""
+    cast to the resulting cfg.param_dtype.
+
+    wkv_dispatch="auto" bounds the checkpoint's decay and picks the
+    fastest exact WKV kernel path (models.rwkv.suggest_wkv_dispatch);
+    "exact" keeps the any-decay default, e.g. for training runs expected
+    to move the decay bound substantially."""
     sd = strip_prefix(load_torch_pth(path))
     cfg = sniff_model_config(sd, **cfg_overrides)
     params = state_dict_to_params(sd, cfg)
+    if wkv_dispatch == "auto" and "wkv_exact" not in cfg_overrides:
+        from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+
+        cfg = apply_wkv_dispatch(cfg, params)
     return params, cfg

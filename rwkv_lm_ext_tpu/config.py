@@ -58,6 +58,13 @@ class ModelConfig:
     fused_prologue: bool = True
     packed_decode: bool = True
     fused_decode: bool = False
+    # exact-at-any-decay intra-chunk A (default) vs the ~4x-cheaper
+    # midpoint-rescale factoring, which is exact only under a per-
+    # checkpoint decay bound. NOT a free knob: set through
+    # models.rwkv.suggest_wkv_dispatch / checkpoint.load_rwkv_checkpoint
+    # (wkv_dispatch="auto"), which verify the bound before flipping it.
+    # RWKV_WKV_EXACT=0|1 overrides for perf bisection.
+    wkv_exact: bool = True
 
     def __post_init__(self):
         if self.dim_att == 0:
@@ -72,6 +79,7 @@ class ModelConfig:
             ("fused_prologue", "RWKV_FUSED_PROLOGUE", lambda s: s == "1"),
             ("packed_decode", "RWKV_PACKED_DECODE", lambda s: s == "1"),
             ("fused_decode", "RWKV_FUSED_DECODE", lambda s: s == "1"),
+            ("wkv_exact", "RWKV_WKV_EXACT", lambda s: s == "1"),
         ):
             raw = os.environ.get(env)
             if raw is not None:

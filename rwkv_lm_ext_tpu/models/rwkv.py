@@ -39,6 +39,63 @@ def as_weight(leaf, dt):
     return leaf.astype(dt)
 
 
+def suggest_wkv_dispatch(params, *, margin: float = 1.0):
+    """Pick the fastest SAFE intra-chunk A construction for a checkpoint.
+
+    Bounds the data-dependent per-token log-decay `w` by max(time_decay) +
+    max column-L1 of time_decay_w2 (|tanh| <= 1, src/model.py:440-449 ddlerp),
+    then finds the largest fused chunk L for which the midpoint-rescale
+    factoring is exact: every factor exponent is at most (L/2)·e^{w_max},
+    which must stay under ops.wkv_pallas.MAX_EXP. Returns
+    ``(exact: bool, fused_chunk: int)`` — ``(False, L)`` selects the ~4x
+    cheaper rescale kernel, ``(True, 128)`` the exact-at-any-decay cascade.
+
+    ``margin`` (nats, subtracted from the budget as e^{w_max+margin}) is
+    headroom for training drift of time_decay/time_decay_w2; pass 0.0 for
+    frozen-base inference. Long-lived training runs that move the decay
+    bound beyond the margin should re-call this (or train with
+    cfg.wkv_exact=True).
+    """
+    import numpy as np
+
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import MAX_EXP
+
+    if "blocks_stacked" in params:           # scan-over-layers trees
+        blocks = [params["block0"], params["blocks_stacked"]]
+    else:
+        blocks = params.get("blocks", [])
+    w_max = -np.inf
+    for b in blocks:
+        att = b.get("att", {})
+        if "time_decay" not in att:
+            continue
+        td = np.asarray(att["time_decay"], np.float32)
+        bound = float(td.max())
+        if "time_decay_w2" in att:
+            # stacked leaves carry a leading layer axis; the column-L1
+            # bound sums the second-to-last axis either way
+            w2 = np.abs(np.asarray(att["time_decay_w2"], np.float32))
+            bound += float(w2.sum(axis=-2).max())
+        w_max = max(w_max, bound)
+    if not np.isfinite(w_max):
+        return True, 128                     # no v6 decay params found
+    budget = MAX_EXP / np.exp(min(w_max + margin, 20.0))
+    for L in (128, 64, 32):
+        if L // 2 <= budget:
+            return False, L
+    return True, 128
+
+
+def apply_wkv_dispatch(cfg, params, *, margin: float = 1.0):
+    """cfg with (wkv_exact, fused_chunk) set per suggest_wkv_dispatch.
+    RWKV_WKV_EXACT / RWKV_FUSED_CHUNK env overrides still win: replace()
+    re-runs ModelConfig.__post_init__, which re-applies them."""
+    import dataclasses
+
+    exact, chunk = suggest_wkv_dispatch(params, margin=margin)
+    return dataclasses.replace(cfg, wkv_exact=exact, fused_chunk=chunk)
+
+
 def proj(x, leaf, dt):
     """Projection matmul x @ W through a (possibly quantized) weight leaf.
 
@@ -239,6 +296,7 @@ def time_mix_v6(
             s0,
             eps=cfg.ln_x_eps,
             chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 128)),
+            exact=getattr(cfg, "wkv_exact", True),
         )
         out = proj(gated, p["output"], dt)
         return out, x[:, -1].astype(jnp.float32), new_wkv
@@ -322,6 +380,7 @@ def time_mix_v6_fused(
         eps=cfg.ln_x_eps,
         chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 128)),
         interpret=interpret,
+        exact=getattr(cfg, "wkv_exact", True),
     )
     out = proj(gated, p["output"], dt)
     return out, xln[:, -1].astype(jnp.float32), new_wkv
@@ -383,6 +442,7 @@ def time_mix_v5(
             wkv_state,
             eps=cfg.ln_x_eps,
             chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 128)),
+            exact=getattr(cfg, "wkv_exact", True),
         )
         out = proj(gated, p["output"], dt)
         return out, x[:, -1].astype(jnp.float32), new_wkv

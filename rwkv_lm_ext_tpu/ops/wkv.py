@@ -57,11 +57,16 @@ def wkv(
     chunk_size: int = 32,
     remat: bool = True,
     reverse: bool = False,
+    exact: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the WKV scan. Shapes: r/k/v/w (B,T,H,N), u (H,N) or None,
     initial_state (B,H,N,N) fp32 (K,V layout) or None.
 
     Returns (y fp32 (B,T,H,N), final_state fp32 (B,H,N,N)).
+
+    exact applies to the pallas backend only (midpoint-rescale fast path
+    when False — see models.rwkv.suggest_wkv_dispatch for the safety
+    bound); reference/chunked are exact at any decay regardless.
     """
     T = r.shape[1]
     be = _resolve_backend(backend, T)
@@ -80,7 +85,9 @@ def wkv(
     if be == "pallas":
         from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv_pallas
 
-        return wkv_pallas(r, k, v, w, u, initial_state, chunk_size=chunk_size)
+        return wkv_pallas(
+            r, k, v, w, u, initial_state, chunk_size=chunk_size, exact=exact
+        )
     raise AssertionError(be)
 
 

@@ -12,12 +12,16 @@ when a new (batch, head) program begins. Intra-chunk work is (L,N)x(N,L)
 and (L,L)x(L,N) matmuls on the MXU in fp32.
 
 Exactness: the intra-chunk matrix A[t,s] = sum_n r k e^{Wexc[t]-Winc[s]}
-is built by `_exact_A_head` — per-s-tile factoring around the tile-end
-cumulant (both factor exponents <= 0, so no overflow and no underflow
-beyond the true logit) plus raw pairwise logits for each diagonal tile.
-This replaces round 1's single midpoint rescale, which silently degraded
-once the in-chunk accumulated decay exceeded fp32 range and needed a
-per-checkpoint chunk-size guard (suggest_fused_chunk — now deleted).
+has TWO constructions, selected by the static ``exact`` flag:
+- exact=True (default): `_exact_A_head` — dyadic-LCA factoring where both
+  factor exponents are <= 0, so no overflow at ANY decay.
+- exact=False: round 1's single midpoint rescale (`_rescale_A_wide`), ~4x
+  cheaper, exact only while the in-chunk accumulated decay keeps every
+  factor exponent under MAX_EXP. NOT chosen blindly: the dispatcher
+  (models.rwkv.suggest_wkv_dispatch, applied by
+  checkpoint.load_rwkv_checkpoint) bounds the checkpoint's decay and
+  flips to rescale only when that bound guarantees exactness — the
+  fast path is automatic and safe, exact-A is the any-decay fallback.
 All index plumbing is 2D lane-concats and one-hot MXU matmuls; Mosaic
 rejects sublane<->lane reshapes, so none are used.
 
@@ -54,6 +58,14 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 # which sets Mosaic compile time. The exact-A body is ~4x the rescale
 # body, so keep ONE chunk per grid step by default.
 _T_BLOCK = 128
+
+# Clip for the midpoint-rescale factor exponents: fp32 exp overflows at
+# ~88.7. The dispatcher only selects the rescale path when the
+# checkpoint's decay bound keeps every exponent under MAX_EXP (see
+# models.rwkv.suggest_wkv_dispatch), where the clip is inactive and the
+# factoring is EXACT; past the bound the clip keeps the math finite but
+# inexact — which is why exact-A is the default for unknown decays.
+MAX_EXP = 80.0
 
 
 def pallas_available() -> bool:
@@ -319,6 +331,46 @@ def _exact_A_head(r_h, k_h, winc_h, wexc_h, L: int, N: int, precision=None):
     return _exact_A_combine(r_h, k_h, factors, slice(0, N), L, precision)
 
 
+def _rescale_A_wide(r_w, k_w, winc_w, wexc_w, L: int):
+    """Round-1 midpoint-rescale factor pair, reinstated as the
+    dispatcher-guarded FAST path (one (L,N)x(N,L) MXU matmul per head
+    instead of the exact-A level cascade; measured ~4x cheaper per op at
+    1B6 geometry). A[t,s] = q[t]·kk[s] with q = r e^{wexc - wmid},
+    kk = k e^{wmid - winc} — exact while every exponent stays under
+    MAX_EXP, which models.rwkv.suggest_wkv_dispatch guarantees from the
+    checkpoint's decay bound before selecting this path. Wide
+    (per-channel) like _exact_A_factors, so fused kernels compute it once
+    for all P heads. Returns (q, kk, Eq, Ek, okq, okk): factors, their
+    exponentials, and clip-inactive masks for the adjoint."""
+    wmid = winc_w[L // 2, :][None, :]
+    lq = wexc_w - wmid
+    lk = wmid - winc_w
+    Eq = jnp.exp(jnp.minimum(lq, MAX_EXP))
+    Ek = jnp.exp(jnp.minimum(lk, MAX_EXP))
+    return r_w * Eq, k_w * Ek, Eq, Ek, lq < MAX_EXP, lk < MAX_EXP
+
+
+def _rescale_A_bwd(dA, q_h, kk_h, Eq_h, Ek_h, okq_h, okk_h, L: int, N: int):
+    """Adjoint of the rescale A = q @ kk^T for one head. dA must already
+    be causal-masked. okq/okk zero the w-grads where the forward clip was
+    active (r/k grads flow through the clipped constant either way).
+    m = winc[L//2] appears as -m in q's exponent and +m in kk's, so its
+    adjoint lands on dwinc row L//2."""
+    P = jax.lax.Precision.HIGHEST
+    dq = _dot(dA, kk_h, ((1,), (0,)), P)
+    dkk = _dot(dA, q_h, ((0,), (0,)), P)
+    dr = dq * Eq_h
+    dk = dkk * Ek_h
+    dwexc = jnp.where(okq_h, dq * q_h, 0.0)
+    dwk = jnp.where(okk_h, dkk * kk_h, 0.0)
+    dm = jnp.sum(dwk, axis=0, keepdims=True) - jnp.sum(
+        dwexc, axis=0, keepdims=True
+    )
+    rowN = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)
+    dwinc = -dwk + jnp.where(rowN == L // 2, dm, 0.0)
+    return dr, dk, dwexc, dwinc
+
+
 def _pair_A_tile_bwd(dAt, r_t_in, k_t_in, winc_t, wexc_t, Ls: int, N: int):
     """Adjoint of _pair_A_tile. dAt must already be causal-masked (entries
     s >= t zero — exactly where the pairwise clip is active, so the clip
@@ -389,7 +441,7 @@ def _wkv_kernel(
     r_ref, k_ref, v_ref, w_ref, u_ref, s0_ref,  # inputs
     y_ref, sout_ref,                            # outputs
     state,                                      # VMEM scratch (N,N) f32
-    *, L: int, N: int, TB: int,
+    *, L: int, N: int, TB: int, exact: bool = True,
 ):
     c = pl.program_id(1)
 
@@ -423,7 +475,11 @@ def _wkv_kernel(
         k_state = k * jnp.exp(wlast - winc)
 
         # intra-chunk attention (strictly causal) + u-bonus diagonal
-        A = _exact_A_head(r, k, winc, wexc, L, N)
+        if exact:
+            A = _exact_A_head(r, k, winc, wexc, L, N)
+        else:
+            q, kk, _, _, _, _ = _rescale_A_wide(r, k, winc, wexc, L)
+            A = _dot(q, kk, ((1,), (1,)))
         A = jnp.where(causal, A, 0.0)
         diag = jnp.sum(r * u * k, axis=1, keepdims=True)  # (L,1)
 
@@ -444,7 +500,7 @@ def _wkv_kernel(
 
 def _wkv_pallas_fwd_impl(
     r, k, v, w, u, s0, *, chunk_size: int, interpret: bool = False,
-    t_block: int = _T_BLOCK,
+    t_block: int = _T_BLOCK, exact: bool = True,
 ):
     """r,k,v,w: (B,T,H,N); u (H,N); s0 (B,H,N,N) fp32.
 
@@ -488,7 +544,7 @@ def _wkv_pallas_fwd_impl(
         pl.BlockSpec((1, N, N), lambda i, c: (i, 0, 0)),
     ]
     y, sout = pl.pallas_call(
-        functools.partial(_wkv_kernel, L=L, N=N, TB=TB),
+        functools.partial(_wkv_kernel, L=L, N=N, TB=TB, exact=exact),
         grid=(B * H, NTB),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -510,21 +566,23 @@ def _wkv_pallas_fwd_impl(
     return y, sout.reshape(B, H, N, N)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _wkv_pallas(r, k, v, w, u, s0, chunk_size, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _wkv_pallas(r, k, v, w, u, s0, chunk_size, interpret, exact):
     return _wkv_pallas_fwd_impl(
-        r, k, v, w, u, s0, chunk_size=chunk_size, interpret=interpret
+        r, k, v, w, u, s0, chunk_size=chunk_size, interpret=interpret,
+        exact=exact,
     )
 
 
-def _fwd(r, k, v, w, u, s0, chunk_size, interpret):
+def _fwd(r, k, v, w, u, s0, chunk_size, interpret, exact):
     out = _wkv_pallas_fwd_impl(
-        r, k, v, w, u, s0, chunk_size=chunk_size, interpret=interpret
+        r, k, v, w, u, s0, chunk_size=chunk_size, interpret=interpret,
+        exact=exact,
     )
     return out, (r, k, v, w, u, s0)
 
 
-def _bwd(chunk_size, interpret, residuals, cts):
+def _bwd(chunk_size, interpret, exact, residuals, cts):
     r, k, v, w, u, s0 = residuals
     gy, gs = cts
     B, T, H, N = r.shape
@@ -538,6 +596,7 @@ def _bwd(chunk_size, interpret, residuals, cts):
             r, k, v, w, u, s0, ones, vec1, jnp.zeros_like(vec1),
             (gy.astype(jnp.float32).reshape(B, T, H * N), gs),
             eps=1e-5, chunk_size=chunk_size, interpret=interpret, gn=False,
+            exact=exact,
         )
         return dr, dk, dv, dw, du, ds0
 
@@ -564,9 +623,15 @@ def wkv_pallas(
     *,
     chunk_size: int = 64,
     interpret: Optional[bool] = None,
+    exact: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Same contract as wkv_reference/wkv_chunked (y is returned in fp32
-    for head-side GroupNorm precision; internals accumulate fp32)."""
+    for head-side GroupNorm precision; internals accumulate fp32).
+
+    exact=False selects the midpoint-rescale intra-chunk factoring (~4x
+    cheaper, exact only under the decay bound
+    models.rwkv.suggest_wkv_dispatch checks) — callers must hold that
+    bound; exact=True (default) is exact at ANY decay."""
     B, T, H, N = r.shape
     if u is None:
         u = jnp.zeros((H, N), jnp.float32)
@@ -577,7 +642,7 @@ def wkv_pallas(
     chunk_size = min(chunk_size, max(8, T))
     y, sout = _wkv_pallas(
         r, k, v, w.astype(jnp.float32), u.astype(jnp.float32),
-        initial_state.astype(jnp.float32), chunk_size, interpret,
+        initial_state.astype(jnp.float32), chunk_size, interpret, exact,
     )
     return y.astype(jnp.float32), sout
 
@@ -601,7 +666,7 @@ def _wkv_gn_kernel(
     r_ref, k_ref, v_ref, w_ref, g_ref, u_ref, sc_ref, bi_ref, s0_ref,
     out_ref, sout_ref,
     state,
-    *, L: int, N: int, P: int, TB: int, eps: float,
+    *, L: int, N: int, P: int, TB: int, eps: float, exact: bool = True,
 ):
     c = pl.program_id(1)
 
@@ -632,18 +697,30 @@ def _wkv_gn_kernel(
         q_inter_all = r_all * jnp.exp(wexc)
         k_state_all = k_all * jnp.exp(wlast - winc)
         diag_all = r_all * u_row * k_all
-        # wide exact-A factors shared by all P heads (combine output is
-        # zero outside the LCA masks, so no extra causal mask needed)
-        factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
+        # wide A factors shared by all P heads (exact combine output is
+        # zero outside the LCA masks; rescale needs the causal mask)
+        if exact:
+            factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
+        else:
+            q_all, kk_all, _, _, _, _ = _rescale_A_wide(
+                r_all, k_all, winc, wexc, L
+            )
 
         outs = []
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             srows = slice(p * N, (p + 1) * N)
             v_h = v_all[:, lane]
-            A = _exact_A_combine(
-                r_all[:, lane], k_all[:, lane], factors, lane, L
-            )
+            if exact:
+                A = _exact_A_combine(
+                    r_all[:, lane], k_all[:, lane], factors, lane, L
+                )
+            else:
+                A = jnp.where(
+                    causal,
+                    _dot(q_all[:, lane], kk_all[:, lane], ((1,), (1,))),
+                    0.0,
+                )
             y = _dot(A, v_h, ((1,), (0,)))
             y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
             y += _dot(q_inter_all[:, lane], state[srows, :], ((1,), (0,)))
@@ -681,7 +758,8 @@ def _fused_ref(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size):
     return out.astype(g.dtype), sT
 
 
-def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
+def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret,
+                exact=True):
     B, T, H, N = r.shape
     P = 128 // N if N <= 128 and 128 % N == 0 else 1
     if H % P != 0:
@@ -730,7 +808,7 @@ def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
     ]
     out, sout = pl.pallas_call(
         functools.partial(
-            _wkv_gn_kernel, L=L, N=N, P=P, TB=TB, eps=eps
+            _wkv_gn_kernel, L=L, N=N, P=P, TB=TB, eps=eps, exact=exact
         ),
         grid=(B * H2, NTB),
         in_specs=in_specs,
@@ -751,21 +829,23 @@ def _fused_impl(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
     return out[:, :T], sout.reshape(B, H, N, N)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _wkv_fused(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _wkv_fused(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret,
+               exact):
     return _fused_impl(
-        r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret
+        r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret, exact
     )
 
 
-def _fused_fwd(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret):
+def _fused_fwd(r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret,
+               exact):
     out = _fused_impl(
-        r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret
+        r, k, v, w, u, s0, g, scale, bias, eps, chunk_size, interpret, exact
     )
     return out, (r, k, v, w, u, s0, g, scale, bias)
 
 
-def _fused_bwd(eps, chunk_size, interpret, residuals, cts):
+def _fused_bwd(eps, chunk_size, interpret, exact, residuals, cts):
     r, k, v, w, u, s0, g, scale, bias = residuals
     B, T, H, N = r.shape
     P = 128 // N if N <= 128 and 128 % N == 0 else 1
@@ -774,7 +854,7 @@ def _fused_bwd(eps, chunk_size, interpret, residuals, cts):
     if P * N == 128:
         return _fused_bwd_pallas(
             r, k, v, w, u, s0, g, scale, bias, cts,
-            eps=eps, chunk_size=chunk_size, interpret=interpret,
+            eps=eps, chunk_size=chunk_size, interpret=interpret, exact=exact,
         )
 
     def f(r, k, v, w, u, s0, g, scale, bias):
@@ -786,7 +866,7 @@ def _fused_bwd(eps, chunk_size, interpret, residuals, cts):
 
 def _fused_bwd_pallas(
     r, k, v, w, u, s0, g, scale, bias, cts, *, eps, chunk_size, interpret,
-    gn=True,
+    gn=True, exact=True,
 ):
     """Two-pass Pallas backward (see header above): re-run forward saving
     chunk-entry states, then reverse-adjoint kernel. gn=False runs the
@@ -838,7 +918,8 @@ def _fused_bwd_pallas(
     # pass 1: forward with state checkpoints
     out, sout, states = pl.pallas_call(
         functools.partial(
-            _wkv_gn_fwd_save_kernel, L=L, N=N, P=P, TB=TB, eps=eps, gn=gn
+            _wkv_gn_fwd_save_kernel, L=L, N=N, P=P, TB=TB, eps=eps, gn=gn,
+            exact=exact,
         ),
         grid=(B * H2, NTB),
         in_specs=[lane, lane, lane, lane, lane, vec, vec, vec, smat],
@@ -858,7 +939,7 @@ def _fused_bwd_pallas(
     dr, dk, dv, dw, dg, du_p, dsc_p, dbi_p, ds0 = pl.pallas_call(
         functools.partial(
             _wkv_gn_bwd_kernel, L=L, N=N, P=P, TB=TB, eps=eps, NTB=NTB,
-            gn=gn,
+            gn=gn, exact=exact,
         ),
         grid=(B * H2, NTB),
         in_specs=[
@@ -909,13 +990,18 @@ _wkv_fused.defvjp(_fused_fwd, _fused_bwd)
 def wkv6_fused_output(
     r, k, v, w, u, g, ln_scale, ln_bias, initial_state=None,
     *, eps: float, chunk_size: int = 64, interpret: Optional[bool] = None,
+    exact: bool = True,
 ):
     """Fused WKV + GroupNorm(ln_x) + gate multiply.
 
     r,k,v,g: (B,T,H,N) compute dtype; w (B,T,H,N) fp32; u (H,N);
     ln_scale/ln_bias (H*N,); initial_state (B,H,N,N) fp32 or None.
     Returns (gated output (B,T,H*N) in g.dtype — feed straight into the
-    output projection — and the final WKV state)."""
+    output projection — and the final WKV state).
+
+    exact=False: midpoint-rescale intra-chunk factoring — exact only
+    under the checkpoint decay bound models.rwkv.suggest_wkv_dispatch
+    verifies; the model layer passes cfg.wkv_exact here."""
     B, T, H, N = r.shape
     if initial_state is None:
         initial_state = jnp.zeros((B, H, N, N), jnp.float32)
@@ -925,6 +1011,7 @@ def wkv6_fused_output(
         r, k, v, w.astype(jnp.float32), u.astype(jnp.float32),
         initial_state.astype(jnp.float32), g,
         ln_scale, ln_bias, eps, min(chunk_size, max(8, T)), interpret,
+        exact,
     )
 
 
@@ -950,6 +1037,7 @@ def _wkv_gn_fwd_save_kernel(
     out_ref, sout_ref, states_ref,
     state,
     *, L: int, N: int, P: int, TB: int, eps: float, gn: bool = True,
+    exact: bool = True,
 ):
     c = pl.program_id(1)
 
@@ -979,14 +1067,26 @@ def _wkv_gn_fwd_save_kernel(
         q_inter_all = r_all * jnp.exp(wexc)
         k_state_all = k_all * jnp.exp(wlast - winc)
         diag_all = r_all * u_row * k_all
-        factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
+        if exact:
+            factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
+        else:
+            q_all, kk_all, _, _, _, _ = _rescale_A_wide(
+                r_all, k_all, winc, wexc, L
+            )
         outs = []
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             v_h = v_all[:, lane]
-            A = _exact_A_combine(
-                r_all[:, lane], k_all[:, lane], factors, lane, L
-            )
+            if exact:
+                A = _exact_A_combine(
+                    r_all[:, lane], k_all[:, lane], factors, lane, L
+                )
+            else:
+                A = jnp.where(
+                    causal,
+                    _dot(q_all[:, lane], kk_all[:, lane], ((1,), (1,))),
+                    0.0,
+                )
             y = _dot(A, v_h, ((1,), (0,)))
             y += jnp.sum(diag_all[:, lane], axis=1, keepdims=True) * v_h
             y += _dot(q_inter_all[:, lane], state[lane, :], ((1,), (0,)))
@@ -1016,7 +1116,7 @@ def _wkv_gn_bwd_kernel(
     ds0_ref,
     dstate,
     *, L: int, N: int, P: int, TB: int, eps: float, NTB: int,
-    gn: bool = True,
+    gn: bool = True, exact: bool = True,
 ):
     # grid axis 1 indexes T-blocks in REVERSE (index maps flip it)
     c = pl.program_id(1)
@@ -1062,7 +1162,12 @@ def _wkv_gn_bwd_kernel(
         dwinc_parts, dwexc_parts, dwlast_parts = [], [], []
         dg_parts, du_parts, dsc_parts, dbi_parts = [], [], [], []
 
-        factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
+        if exact:
+            factors = _exact_A_factors(r_all, k_all, winc, wexc, L)
+        else:
+            q_all, kk_all, Eq_all, Ek_all, okq_all, okk_all = (
+                _rescale_A_wide(r_all, k_all, winc, wexc, L)
+            )
         for p in range(P):
             lane = slice(p * N, (p + 1) * N)
             r_h = r_all[:, lane]
@@ -1076,7 +1181,14 @@ def _wkv_gn_bwd_kernel(
             dSh = dstate[lane, :]
 
             # ---- recompute forward y (pre-GN) for this chunk/head ----
-            A = _exact_A_combine(r_h, k_h, factors, lane, L)
+            if exact:
+                A = _exact_A_combine(r_h, k_h, factors, lane, L)
+            else:
+                A = jnp.where(
+                    causal,
+                    _dot(q_all[:, lane], kk_all[:, lane], ((1,), (1,))),
+                    0.0,
+                )
             cdiag = jnp.sum(diag_all[:, lane], axis=1, keepdims=True)
             y = _dot(A, v_h, ((1,), (0,)))
             y += cdiag * v_h
@@ -1116,9 +1228,16 @@ def _wkv_gn_bwd_kernel(
             dA = _dot(dy, v_h, ((1,), (1,)))
             dA = jnp.where(causal, dA, 0.0)
             dv_h = _dot(A, dy, ((0,), (0,)))
-            dr_A, dk_A, dwexc_A, dwinc_A = _exact_A_head_bwd(
-                dA, r_h, k_h, winc_h, wexc_h, L, N
-            )
+            if exact:
+                dr_A, dk_A, dwexc_A, dwinc_A = _exact_A_head_bwd(
+                    dA, r_h, k_h, winc_h, wexc_h, L, N
+                )
+            else:
+                dr_A, dk_A, dwexc_A, dwinc_A = _rescale_A_bwd(
+                    dA, q_all[:, lane], kk_all[:, lane],
+                    Eq_all[:, lane], Ek_all[:, lane],
+                    okq_all[:, lane], okk_all[:, lane], L, N,
+                )
             # diag bonus: y += cdiag * v
             dcdiag = jnp.sum(dy * v_h, axis=1, keepdims=True)
             dv_h += cdiag * dy

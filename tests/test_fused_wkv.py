@@ -89,7 +89,7 @@ def test_pallas_backward_matches_autodiff():
     args = (r, k, v, w, u, s0, g, scale, bias)
 
     def loss_fused(a):
-        out, sT = _wkv_fused(*a, 64e-5, 16, True)
+        out, sT = _wkv_fused(*a, 64e-5, 16, True, True)
         return jnp.sum(out**2) + jnp.sum(sT**2)
 
     def loss_ref(a):
@@ -122,7 +122,7 @@ def test_pallas_fwd_bwd_extreme_decay():
     s0 = 0.1 * jax.random.normal(ks[8], (B, H, N, N))
     args = (r, k, v, w, u, s0, g, scale, bias)
 
-    out_f, s_f = _wkv_fused(*args, 64e-5, 64, True)
+    out_f, s_f = _wkv_fused(*args, 64e-5, 64, True, True)
     out_u, s_u = _fused_ref(*args, 64e-5, 64)
     # tolerances are wider than the mild-decay test: with per-step decay
     # e^-20 the pre-GN y is near-degenerate, so GroupNorm's rsqrt(var)
@@ -131,7 +131,7 @@ def test_pallas_fwd_bwd_extreme_decay():
     np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
 
     def loss_fused(a):
-        out, sT = _wkv_fused(*a, 64e-5, 64, True)
+        out, sT = _wkv_fused(*a, 64e-5, 64, True, True)
         return jnp.sum(out**2) + jnp.sum(sT**2)
 
     def loss_ref(a):
@@ -546,3 +546,82 @@ def test_decode_step_packed_bf16_inputs_fp32_products():
     np.testing.assert_allclose(
         unpack_wkv(s_p, N), s_r, rtol=2e-5, atol=2e-5  # fp32 state math
     )
+
+
+def test_rescale_fast_path_matches_reference_bounded_decay():
+    """The dispatcher-selected midpoint-rescale path (exact=False) must be
+    numerically indistinguishable from the exact path whenever the decay
+    bound suggest_wkv_dispatch checks holds (here w <= -0.5 at L=8:
+    (L/2)e^{w_max} ~ 2.4 << MAX_EXP)."""
+    r, k, v, w, u, g, scale, bias, s0 = _inputs()
+    w = jnp.minimum(w, -0.5)
+    eps = 64e-5
+    out_f, s_f = wkv6_fused_output(
+        r, k, v, w, u, g, scale, bias, s0, eps=eps, chunk_size=8,
+        interpret=True, exact=False,
+    )
+    out_u, s_u = _unfused(r, k, v, w, u, g, scale, bias, s0, eps)
+    np.testing.assert_allclose(out_f, out_u, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(s_f, s_u, rtol=2e-4, atol=2e-4)
+
+
+def test_rescale_backward_matches_autodiff():
+    """Hand-written adjoint of the rescale A (head-packed geometry)."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, _wkv_fused
+
+    B, T, H, N = 2, 32, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=-0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    scale = 1.0 + 0.1 * jax.random.normal(ks[6], (H * N,))
+    bias = 0.1 * jax.random.normal(ks[7], (H * N,))
+    s0 = 0.1 * jax.random.normal(ks[8], (B, H, N, N))
+    args = (r, k, v, w, u, s0, g, scale, bias)
+
+    def loss_fused(a):
+        out, sT = _wkv_fused(*a, 64e-5, 16, True, False)
+        return jnp.sum(out**2) + jnp.sum(sT**2)
+
+    def loss_ref(a):
+        out, sT = _fused_ref(*a, 64e-5, 16)
+        return jnp.sum(out**2) + jnp.sum(sT**2)
+
+    gp = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(gp, gr):
+        scale_ref = max(float(jnp.abs(b).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / scale_ref < 1e-5
+
+
+def test_suggest_wkv_dispatch_bounds():
+    """Small decay bound -> rescale at the largest chunk; pathological
+    checkpoint decay -> exact-A fallback."""
+    import jax as _jax
+    from rwkv_lm_ext_tpu.config import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import (
+        apply_wkv_dispatch,
+        suggest_wkv_dispatch,
+    )
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=128, vocab_size=256, head_size=32,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(_jax.random.PRNGKey(0), cfg)
+    exact, chunk = suggest_wkv_dispatch(params, margin=0.0)
+    assert exact is False and chunk == 128
+
+    # push one layer's decay bound into the unsafe regime
+    params["blocks"][1]["att"]["time_decay"] = (
+        params["blocks"][1]["att"]["time_decay"] + 6.0
+    )
+    exact, chunk = suggest_wkv_dispatch(params, margin=0.0)
+    assert exact is True
+
+    cfg2 = apply_wkv_dispatch(cfg, params)
+    assert cfg2.wkv_exact is True
