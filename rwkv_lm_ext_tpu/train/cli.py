@@ -141,7 +141,7 @@ def _wrap_save(args, save_fn):
 
 def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
               frozen=None, save_fn=None, mesh="auto", placer=None,
-              place_batches=True):
+              place_batches=True, eval_fn=None):
     from rwkv_lm_ext_tpu.train.callbacks import MetricsLogger
     from rwkv_lm_ext_tpu.train.loop import place_batch, place_train_state
     from rwkv_lm_ext_tpu.train.optim import make_schedule
@@ -193,12 +193,20 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
                 and step % args.save_every_steps == 0
             ):
                 save_fn(ts, step)
+            if (
+                eval_fn is not None
+                and getattr(args, "eval_every_steps", 0)
+                and step % args.eval_every_steps == 0
+            ):
+                eval_fn(ts, step, epoch)
         logger.on_epoch_end(
             epoch, float(np.mean(epoch_losses or [0.0])), float(schedule(step))
         )
         epoch_losses = []
         if save_fn is not None:
             save_fn(ts, step)
+        if eval_fn is not None:
+            eval_fn(ts, step, epoch)
     return ts
 
 
@@ -496,6 +504,115 @@ def cmd_bi_encoder(args):
     _run_loop(
         args, cfg, tc, adapter, step_fn, init_fn, batches,
         frozen=params, save_fn=save_fn,
+    )
+
+
+def cmd_nli(args):
+    """AllNLI contrastive trainer with STS-b validation
+    (train_scripts/train_nli.py:1-379): full-parameter fine-tune of the
+    causal LM as a sequence embedder on entailment/contradiction
+    triplets, CoSENT by default or in-batch InfoNCE
+    (--in-batch-negative, the reference's is_in_batch_negative), with a
+    per-eval EmbeddingSimilarityEvaluator CSV (eval.sts)."""
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.config import EMB_ID
+    from rwkv_lm_ext_tpu.data.buckets import (
+        BucketBatchSampler,
+        LengthBucketedDataset,
+    )
+    from rwkv_lm_ext_tpu.data.collators import triplet_collate
+    from rwkv_lm_ext_tpu.data.nli import load_allnli_triplets, load_stsb_pairs
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.eval.sts import SimilarityEvaluator
+    from rwkv_lm_ext_tpu.models.heads import embed_sequences
+    from rwkv_lm_ext_tpu.train.loop import make_train_step
+    from rwkv_lm_ext_tpu.train.losses import cosent_loss, in_batch_infonce
+
+    params, cfg = _load_base(args)
+    tokenizer = WorldTokenizer(args.vocab)
+    L = args.max_seq_len  # reference pads every field to max_seq_length
+    rows = load_allnli_triplets(args.train_data, seed=args.seed)
+    if not rows:
+        raise SystemExit("no usable AllNLI triplets in --train-data")
+    ds = LengthBucketedDataset()
+    for r in rows:
+        ds.add({k: tokenizer.encode(v)[: L - 1] for k, v in r.items()}, L)
+    sizes = {L: args.micro_bsz}
+
+    def batches(epoch):
+        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        for fixed_len, examples in sampler.batches():
+            yield triplet_collate(examples, fixed_len)
+
+    n_batches = sum(1 for _ in batches(0))
+    tc = _train_config(args, args.max_steps or n_batches * args.epochs)
+    use_infonce = args.in_batch_negative
+
+    def loss_fn(p, cfg_, batch):
+        embs = {
+            k: embed_sequences(
+                p, cfg_, batch[k], pooling_type=args.pooling,
+                remat=tc.grad_checkpoint,
+            )
+            for k in ("query", "positive", "negative")
+            if k in batch
+        }
+        fn = in_batch_infonce if use_infonce else cosent_loss
+        return fn(embs["query"], embs["positive"], embs.get("negative"))
+
+    init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+    evaluator = None
+    if args.sts_file:
+        s1, s2, gold = load_stsb_pairs(args.sts_file, split=args.sts_split)
+        evaluator = SimilarityEvaluator(
+            s1, s2, gold, csv_dir=args.output_dir, name="sts-" + args.sts_split
+        )
+
+    embed_jit = jax.jit(
+        lambda p, toks: embed_sequences(p, cfg, toks, pooling_type=args.pooling)
+    )
+
+    def eval_fn(ts, step, epoch):
+        if evaluator is None:
+            return
+        Bv = max(1, args.micro_bsz * 4)
+
+        def encode(sentences):
+            toks = np.zeros((len(sentences), L), np.int32)
+            for i, s in enumerate(sentences):
+                ids = tokenizer.encode(s)[: L - 1] + [EMB_ID]
+                toks[i, : len(ids)] = ids
+            chunks = []
+            for i in range(0, len(sentences), Bv):
+                chunk = toks[i : i + Bv]
+                pad_rows = Bv - chunk.shape[0]
+                if pad_rows:  # keep ONE compiled shape; drop pads after
+                    filler = np.zeros((pad_rows, L), np.int32)
+                    filler[:, 0] = EMB_ID
+                    chunk = np.concatenate([chunk, filler])
+                emb = np.asarray(embed_jit(ts.params, jnp.asarray(chunk)))
+                chunks.append(emb[: Bv - pad_rows] if pad_rows else emb)
+            return np.concatenate(chunks)
+
+        out = evaluator(encode, epoch=epoch, steps=step)
+        print(
+            f"nli eval step {step}: "
+            f"cosine_spearman={out['cosine_spearman']:.4f} "
+            f"cosine_pearson={out['cosine_pearson']:.4f}",
+            flush=True,
+        )
+
+    def save_fn(ts, step):
+        save_torch_pth(
+            os.path.join(args.output_dir, f"nli-step{step}.pth"),
+            params_to_state_dict(ts.params, cfg),
+        )
+
+    _run_loop(
+        args, cfg, tc, params, step_fn, init_fn, batches,
+        save_fn=save_fn, eval_fn=eval_fn,
     )
 
 
@@ -1003,6 +1120,21 @@ def main(argv=None):
                         "LORA_CONFIG['quant']); the base stays quantized "
                         "in HBM and LoRA rides as a lazy delta")
     p.set_defaults(fn=cmd_cross_encoder)
+
+    p = sub.add_parser("nli")
+    _common_args(p)
+    p.add_argument("--sts-file", default=None,
+                   help="stsbenchmark.tsv for per-eval STS validation")
+    p.add_argument("--sts-split", default="dev")
+    p.add_argument("--max-seq-len", type=int, default=33,
+                   help="fixed pad length incl. the emb token "
+                        "(reference --max_seq_length)")
+    p.add_argument("--pooling", default="lasttoken")
+    p.add_argument("--in-batch-negative", action="store_true",
+                   help="in-batch InfoNCE instead of CoSENT (the "
+                        "reference's --is_in_batch_negative)")
+    p.add_argument("--eval-every-steps", type=int, default=0)
+    p.set_defaults(fn=cmd_nli)
 
     p = sub.add_parser("encoder-biencoder")
     _common_args(p)

@@ -279,3 +279,45 @@ def test_sft_pipeline_parallel(sft_jsonl, tmp_path, tmp_path_factory):
     assert any(f.startswith("model-step") for f in files), files
     log = open(os.path.join(out, "train_log.txt")).read()
     assert "nan" not in log.lower()
+
+
+def test_nli(base_ckpt, tmp_path):
+    """AllNLI contrastive trainer + per-eval STS-b validation CSV
+    (train_scripts/train_nli.py:1-379): label->triplet conversion, CoSENT
+    loss, SimilarityEvaluator CSV in the sentence-transformers format."""
+    allnli = str(tmp_path / "allnli.tsv")
+    with open(allnli, "w") as f:
+        f.write("split\tsentence1\tsentence2\tlabel\n")
+        for i in range(6):
+            f.write(f"train\tthe cat sat {i}\ta cat was sitting {i}\tentailment\n")
+            f.write(f"train\tthe cat sat {i}\tthe dog ran {i}\tcontradiction\n")
+            f.write(f"train\tthe cat sat {i}\tit is a day {i}\tneutral\n")
+    stsb = str(tmp_path / "stsb.tsv")
+    with open(stsb, "w") as f:
+        f.write("split\tscore\tsentence1\tsentence2\n")
+        for i in range(4):
+            f.write(f"dev\t{i + 1}.0\ta man is walking {i}\ta person walks {i}\n")
+    out = str(tmp_path / "out_nli")
+    main([
+        "nli", "--model", base_ckpt, "--train-data", allnli,
+        "--output-dir", out, "--sts-file", stsb, "--max-seq-len", "16",
+        "--max-steps", "2", "--micro-bsz", "2", "--log-every", "1",
+        "--warmup-steps", "1", "--dp", "1",
+    ])
+    files = os.listdir(out)
+    assert any(f.startswith("nli-step") for f in files), files
+    csvs = [f for f in files if f.endswith(".csv")]
+    assert csvs, files
+    rows = open(os.path.join(out, csvs[0])).read().strip().splitlines()
+    assert rows[0].startswith("epoch,steps,cosine_pearson,cosine_spearman")
+    assert len(rows) >= 2  # at least one eval row
+
+    # in-batch InfoNCE variant (the reference's --is_in_batch_negative)
+    out2 = str(tmp_path / "out_nli_ibn")
+    main([
+        "nli", "--model", base_ckpt, "--train-data", allnli,
+        "--output-dir", out2, "--in-batch-negative", "--max-seq-len", "16",
+        "--max-steps", "2", "--micro-bsz", "2", "--warmup-steps", "1",
+        "--dp", "1",
+    ])
+    assert any(f.startswith("nli-step") for f in os.listdir(out2))
