@@ -142,3 +142,105 @@ def test_bi_streaming_forward(params):
     # long-doc streaming embedding
     emb = embed_mae_streaming(params, CFG, t, chunk_ctx=4)
     assert emb.shape == (2, 64) and np.isfinite(np.asarray(emb)).all()
+
+
+def test_bi_streaming_matches_reference_chunk_loop(params):
+    """Strict parity of bi_streaming_forward with an independent golden
+    that mirrors the reference's chunked bidirectional prefill
+    (src/model_run.py:649-689 bi_att_forward + bi_block_forward) chunk by
+    chunk on T = 3 x chunk: forward WKV state chains across chunks, the
+    reverse pass runs r UNREVERSED against per-chunk-flipped k/v/w with
+    its own chained state, and on the last chunk the final (emb) position
+    stays in place through both flips.
+
+    Documented divergence (STATUS.md): the reference's last-chunk output
+    flip-back (model_run.py:684-686) re-appends the last row of the
+    ALREADY-FLIPPED tensor — duplicating the reverse output of position 0
+    and dropping the emb position's — which reads as a slicing bug. Both
+    this golden and bi_streaming_forward keep the true final-row output,
+    matching the reference's own k/v/w last-chunk construction
+    (model_run.py:665-671)."""
+    from rwkv_lm_ext_tpu.models.bidirectional import (
+        bi_streaming_forward,
+        init_bi_streaming_state,
+    )
+    from rwkv_lm_ext_tpu.models.rwkv import (
+        channel_mix,
+        layer_norm,
+        tmix_v6_output,
+        tmix_v6_projections,
+    )
+    from rwkv_lm_ext_tpu.ops.wkv_reference import wkv_reference
+
+    B, T, CH = 2, 12, 4
+    H, N, C = CFG.n_head, CFG.head_size, CFG.n_embd
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (B, T), 4, 100)
+
+    def flip_last(x, is_last):  # time-axis flip, emb slot pinned on last
+        if not is_last:
+            return jnp.flip(x, axis=1)
+        return jnp.concatenate(
+            [jnp.flip(x[:, :-1], axis=1), x[:, -1:]], axis=1
+        )
+
+    # ---- golden: explicit python state threading over 3 chunks ----
+    n_layer = CFG.n_layer
+    att_shift = [jnp.zeros((B, C), jnp.float32) for _ in range(n_layer)]
+    ffn_shift = [jnp.zeros((B, C), jnp.float32) for _ in range(n_layer)]
+    s_fwd = [jnp.zeros((B, H, N, N), jnp.float32) for _ in range(n_layer)]
+    s_rev = [jnp.zeros((B, H, N, N), jnp.float32) for _ in range(n_layer)]
+    golden_chunks = []
+    for ci in range(3):
+        is_last = ci == 2
+        x = jnp.take(
+            params["emb"], tokens[:, ci * CH : (ci + 1) * CH], axis=0
+        ).astype(CFG.compute_dtype)
+        for i, bp in enumerate(params["blocks"]):
+            if i == 0 and "ln0" in bp:
+                x = layer_norm(x, bp["ln0"])
+            xln = layer_norm(x, bp["ln1"])
+            r, k, v, g, w = tmix_v6_projections(
+                bp["att"], CFG, xln, att_shift[i]
+            )
+            att_shift[i] = xln[:, -1].astype(jnp.float32)
+            sh = lambda a: a.reshape(B, CH, H, N)
+            y_f, s_fwd[i] = wkv_reference(
+                sh(r), sh(k), sh(v), sh(w), bp["att"]["time_faaaa"], s_fwd[i]
+            )
+            y_r, s_rev[i] = wkv_reference(
+                sh(r),
+                sh(flip_last(k, is_last)),
+                sh(flip_last(v, is_last)),
+                sh(flip_last(w, is_last)),
+                bp["att"]["time_faaaa"],
+                s_rev[i],
+            )
+            out = tmix_v6_output(
+                bp["att"], CFG, y_f.reshape(B, CH, C).astype(x.dtype), g
+            )
+            out_r = tmix_v6_output(
+                bp["att"], CFG, y_r.reshape(B, CH, C).astype(x.dtype), g
+            )
+            x = x + out + flip_last(out_r, is_last)
+            x2 = layer_norm(x, bp["ln2"])
+            f_out, ffn_shift[i] = channel_mix(
+                bp["ffn"], CFG, x2, ffn_shift[i], v6=CFG.version >= 6
+            )
+            x = x + f_out
+        golden_chunks.append(layer_norm(x, params["ln_out"]))
+    golden = jnp.concatenate(golden_chunks, axis=1)
+
+    # ---- implementation under test, chained over the same chunks ----
+    state = init_bi_streaming_state(CFG, B)
+    pieces = []
+    for ci in range(3):
+        h, state = bi_streaming_forward(
+            params, CFG, tokens[:, ci * CH : (ci + 1) * CH], state,
+            is_last_chunk=(ci == 2), wkv_backend="reference",
+        )
+        pieces.append(h)
+    got = jnp.concatenate(pieces, axis=1)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(golden), rtol=2e-5, atol=2e-5
+    )
