@@ -132,3 +132,43 @@ def test_retrieval_task_cli(tmp_path, capsys):
     for key in ("recall@1", "recall@5", "recall@10", "MRR@10", "nDCG@10"):
         assert key in out
         assert 0.0 <= out[key] <= 1.0
+
+
+def test_mteb_adapter_protocol():
+    """MtebBiEncoder exposes the mteb model protocol
+    (tests/test_cmteb.py:71-94) over any encode_texts-shaped encoder;
+    corpus dict rows get title+text joined; instructions prefix queries."""
+    from rwkv_lm_ext_tpu.eval.mteb_adapter import MtebBiEncoder
+
+    seen = []
+
+    class FakeBi:
+        def encode_texts(self, texts, *, batch_size=32):
+            seen.append((tuple(texts), batch_size))
+            return np.stack([np.full(4, float(len(t))) for t in texts])
+
+    m = MtebBiEncoder(FakeBi(), batch_size=7, query_instruction="Q: ")
+    out = m.encode(["ab", "cdef"])
+    assert out.shape == (2, 4) and seen[-1][1] == 7
+    m.encode_queries(["x"])
+    assert seen[-1][0] == ("Q: x",)
+    m.encode_corpus([{"title": "T", "text": "body"}, "plain"])
+    assert seen[-1][0] == ("T body", "plain")
+    m.encode_corpus([{"title": None, "text": "only"}])
+    assert seen[-1][0] == ("only",)
+
+
+def test_run_mteb_gated_on_dep():
+    """Without the mteb package installed, run_mteb raises one actionable
+    ImportError; with it installed this test is skipped (the real harness
+    is exercised manually)."""
+    try:
+        import mteb  # noqa: F401
+
+        pytest.skip("mteb installed: the gate cannot be asserted")
+    except ImportError:
+        pass
+    from rwkv_lm_ext_tpu.eval.mteb_adapter import MtebBiEncoder, run_mteb
+
+    with pytest.raises(ImportError, match="mteb"):
+        run_mteb(MtebBiEncoder(object()), ["MMarcoRetrieval"])
