@@ -62,6 +62,70 @@ def _ln(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def _att_step_fused(
+    p: Dict, lnp: Dict, cfg, x: jax.Array, shift: jax.Array,
+    wkv_packed: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused-prologue variant of _att_step: ln1 + shift + ddlerp + decay
+    run as ONE Pallas program (ops/decode_fused.py), leaving only the four
+    projections, the packed WKV step and the output projection to XLA.
+    Takes the RAW residual stream x (the kernel owns the ln1)."""
+    from rwkv_lm_ext_tpu.ops.decode_fused import att_prep_fused
+    from rwkv_lm_ext_tpu.ops.wkv_decode import wkv6_decode_step_packed
+
+    dt = x.dtype
+    f = jnp.float32
+    maas = jnp.stack([
+        as_weight(p[k], f) for k in (
+            "time_maa_x", "time_maa_w", "time_maa_k",
+            "time_maa_v", "time_maa_r", "time_maa_g",
+        )
+    ])
+    xr, xk, xv, xg, w, xn = att_prep_fused(
+        x,
+        shift,
+        lnp["scale"], lnp["bias"],
+        maas,
+        as_weight(p["time_maa_w1"], dt),
+        as_weight(p["time_maa_w2"], dt),
+        as_weight(p["time_decay_w1"], f),
+        as_weight(p["time_decay_w2"], f),
+        as_weight(p["time_decay"], f),
+        1e-5,
+    )
+    r = proj(xr, p["receptance"], dt)
+    k = proj(xk, p["key"], dt)
+    v = proj(xv, p["value"], dt)
+    g = jax.nn.silu(proj(xg, p["gate"], dt))
+    gated, new_wkv = wkv6_decode_step_packed(
+        r, k, v, w, g,
+        p["time_faaaa"],
+        p["ln_x"]["scale"], p["ln_x"]["bias"],
+        wkv_packed,
+        eps=cfg.ln_x_eps,
+    )
+    return proj(gated, p["output"], dt), xn, new_wkv
+
+
+def _ffn_step_fused(
+    p: Dict, lnp: Dict, cfg, x: jax.Array, shift: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-prologue channel mix: ln2 + shift + k/r mix in one program."""
+    from rwkv_lm_ext_tpu.ops.decode_fused import ffn_prep_fused
+
+    dt = x.dtype
+    xk, xr, xn = ffn_prep_fused(
+        x, shift, lnp["scale"], lnp["bias"],
+        as_weight(p["time_maa_k"], jnp.float32),
+        as_weight(p["time_maa_r"], jnp.float32),
+        1e-5,
+    )
+    k = jnp.square(jax.nn.relu(proj(xk, p["key"], dt)))
+    kv = proj(k, p["value"], dt)
+    out = jax.nn.sigmoid(proj(xr, p["receptance"], dt)) * kv
+    return out, xn
+
+
 def _att_step(
     p: Dict, cfg, xa: jax.Array, shift: jax.Array, wkv_packed: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -122,22 +186,38 @@ def _ffn_step(
     return out, xf.astype(jnp.float32)
 
 
+def _fused_prep_ok(B: int) -> bool:
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
+
+    return B % 8 == 0 and pallas_available()
+
+
 def rwkv_decode_step(
     params: Dict,
     cfg,
     tokens: jax.Array,
     state: Optional[ModelState] = None,
+    *,
+    fused_prep: Optional[bool] = None,
 ) -> Tuple[jax.Array, ModelState]:
     """One decode step for a batch of streams.
 
     tokens: (B,) int32 — the current token per stream.
     state: ModelState (canonical packed WKV) or None for zeros.
+    fused_prep: run the per-layer glue (ln + shift + ddlerp + decay /
+    ln2 + mix) as single Pallas programs (ops/decode_fused.py); None =
+    off for now (pending the on-chip measurement — flip the default
+    here once scripts/ablate_decode.py shows it winning; pass True to
+    opt in, auto-guarded by _fused_prep_ok).
     Returns (logits (B, V), new_state). Equivalent to
     ``rwkv_forward(params, cfg, tokens[:, None], state)`` with the T axis
     removed from every intermediate (use decode_supported to gate)."""
     B = tokens.shape[0]
     if state is None:
         state = init_model_state(cfg, B)
+    if fused_prep is None:
+        fused_prep = False  # pending on-chip measurement (_fused_prep_ok
+        #                     is the auto-gate once the default flips)
     dt = cfg.compute_dtype
     x = jnp.take(params["emb"], tokens, axis=0).astype(dt)  # (B, C)
 
@@ -145,14 +225,25 @@ def rwkv_decode_step(
     for i, bp in enumerate(params["blocks"]):
         if i == 0 and "ln0" in bp:
             x = _ln(x, bp["ln0"])
-        att_out, a_shift, wkv_p = _att_step(
-            bp["att"], cfg, _ln(x, bp["ln1"]),
-            state["att_shift"][i], state["wkv"][i],
-        )
+        if fused_prep:
+            att_out, a_shift, wkv_p = _att_step_fused(
+                bp["att"], bp["ln1"], cfg, x,
+                state["att_shift"][i], state["wkv"][i],
+            )
+        else:
+            att_out, a_shift, wkv_p = _att_step(
+                bp["att"], cfg, _ln(x, bp["ln1"]),
+                state["att_shift"][i], state["wkv"][i],
+            )
         x = x + att_out
-        ffn_out, f_shift = _ffn_step(
-            bp["ffn"], cfg, _ln(x, bp["ln2"]), state["ffn_shift"][i]
-        )
+        if fused_prep:
+            ffn_out, f_shift = _ffn_step_fused(
+                bp["ffn"], bp["ln2"], cfg, x, state["ffn_shift"][i]
+            )
+        else:
+            ffn_out, f_shift = _ffn_step(
+                bp["ffn"], cfg, _ln(x, bp["ln2"]), state["ffn_shift"][i]
+            )
         x = x + ffn_out
         new_att.append(a_shift)
         new_wkv.append(wkv_p)

@@ -30,6 +30,10 @@ cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = jax.device_put(
     init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
 )
+# the same automatic kernel dispatch every load_rwkv_checkpoint user gets
+from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+
+cfg = apply_wkv_dispatch(cfg, params)
 toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
 
 

@@ -30,6 +30,11 @@ REMAT = os.environ.get("REMAT", "1") == "1"
 
 cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
+# the same automatic kernel dispatch every load_rwkv_checkpoint user gets
+# (training default margin: decay params move during training)
+from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+
+cfg = apply_wkv_dispatch(cfg, params)
 tc = TrainConfig(lr_init=1e-4, warmup_steps=1, total_steps=100)
 
 tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
