@@ -62,7 +62,15 @@ def main():
                     help="per-stage wall clock (remote compiles are slow)")
     args = ap.parse_args()
 
+    # partial reruns merge into the existing artifact instead of
+    # clobbering stages they didn't run
     results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            results = {}
     for name in args.stages.split(","):
         name = name.strip()
         if name not in STAGES:
