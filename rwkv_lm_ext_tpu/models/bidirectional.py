@@ -79,7 +79,8 @@ def bi_time_mix(
                 p["time_faaaa"],
                 None,
                 backend=wkv_backend,
-                chunk_size=chunk_size,
+                chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 0)),
+                exact=getattr(cfg, "wkv_exact", True),
             )
             return y.reshape(B, T, C), g
 
@@ -105,7 +106,8 @@ def bi_time_mix(
             p["time_faaaa"],
             lengths,
             backend=wkv_backend,
-            chunk_size=chunk_size,
+            chunk_size=max(chunk_size, getattr(cfg, "fused_chunk", 0)),
+            exact=getattr(cfg, "wkv_exact", True),
         )
         return tmix_v6_output(p, cfg, y.reshape(B, T, C), g)
     raise ValueError(f"unknown bi mode {mode!r}")

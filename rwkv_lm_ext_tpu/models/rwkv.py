@@ -310,6 +310,7 @@ def time_mix_v6(
         s0,
         backend=be,
         chunk_size=chunk_size,
+        exact=getattr(cfg, "wkv_exact", True),
     )
     y = y.reshape(B, T, C)
     out = tmix_v6_output(p, cfg, y, g)

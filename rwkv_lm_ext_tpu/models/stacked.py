@@ -51,6 +51,51 @@ def unstack_params(sparams: Dict) -> Dict:
     return out
 
 
+def stack_params_uniform(params: Dict) -> Dict:
+    """All n_layer blocks stacked with ONE uniform leaf structure:
+    block 0's ``ln0`` (the embedding LayerNorm) is lifted to the top
+    level so every block stacks leaf-for-leaf.
+
+    This is the pipeline-parallel form: staging needs the stacked axis
+    divisible by ``pp``, and ``n_layer % pp`` (24-layer 1B6: pp in
+    {2,3,4,6,8,12,24}) is satisfiable where the block0-separate form's
+    ``(n_layer-1) % pp`` (23: prime) is not."""
+    blocks = params["blocks"]
+    b0 = {k: v for k, v in blocks[0].items() if k != "ln0"}
+    uniform = [b0] + list(blocks[1:])
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *uniform
+    )
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    if "ln0" in blocks[0]:
+        out["ln0"] = blocks[0]["ln0"]
+    out["blocks_stacked"] = stacked
+    return out
+
+
+def unstack_params_uniform(sparams: Dict) -> Dict:
+    """Inverse of stack_params_uniform (``ln0`` folds back into block 0)."""
+    stacked = sparams["blocks_stacked"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    blocks = [
+        jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(n)
+    ]
+    if "ln0" in sparams:
+        blocks[0] = dict(blocks[0])
+        blocks[0]["ln0"] = sparams["ln0"]
+    out = {k: v for k, v in sparams.items()
+           if k not in ("ln0", "blocks_stacked")}
+    out["blocks"] = blocks
+    return out
+
+
+def unstack_any(sparams: Dict) -> Dict:
+    """Unstack either stacked form (block0-separate or uniform)."""
+    if "block0" in sparams:
+        return unstack_params(sparams)
+    return unstack_params_uniform(sparams)
+
+
 def is_stacked(params: Dict) -> bool:
     return "blocks_stacked" in params
 

@@ -147,6 +147,7 @@ def wkv6_bi(
     backend: str = "auto",
     chunk_size: int = 32,
     remat: bool = True,
+    exact: bool = True,
 ) -> jax.Array:
     """Bidirectional WKV (cuda/wkv6_bi_cuda.cu:23-111 semantics).
 
@@ -159,7 +160,7 @@ def wkv6_bi(
     B, T, H, N = r.shape
     y_fwd, _ = wkv(
         r, k, v, w, u, None,
-        backend=backend, chunk_size=chunk_size, remat=remat,
+        backend=backend, chunk_size=chunk_size, remat=remat, exact=exact,
     )
     if lengths is None:
         rr = jnp.flip(r, axis=1)
@@ -169,6 +170,7 @@ def wkv6_bi(
         y_rev, _ = wkv(
             rr, kk, vv, ww, None, None,
             backend=backend, chunk_size=chunk_size, remat=remat,
+            exact=exact,
         )
         y_rev = jnp.flip(y_rev, axis=1)
         return y_fwd + y_rev
@@ -183,7 +185,7 @@ def wkv6_bi(
     ww = _flip_valid_prefix(w, lengths)
     y_rev, _ = wkv(
         rr, kk, vv, ww, None, None,
-        backend=backend, chunk_size=chunk_size, remat=remat,
+        backend=backend, chunk_size=chunk_size, remat=remat, exact=exact,
     )
     y_rev = _flip_valid_prefix(y_rev, lengths)
     return y_fwd + y_rev * valid[..., None, None]

@@ -15,13 +15,17 @@ stage p processes microbatch t - p at tick t. Bubble fraction
 (P-1)/(M+P-1); choose n_micro >= ~4*pp for production runs.
 
 Layout notes:
-- params are the scan-over-layers stacked form (models.stacked
-  stack_params): block0 + emb + ln_out + head replicate to every stage;
-  ``blocks_stacked`` (n_layer-1 leading axis) shards over ``pp``. Each
-  stage redundantly computes the embedding+block0 of its incoming
-  microbatch and keeps only its own stage's result (a where-select on
-  the stage index) — ~1/n_layer waste that keeps every stage's program
-  identical (SPMD requires one program).
+- params are the UNIFORM stacked form (models.stacked
+  stack_params_uniform): emb + ln0 + ln_out + head replicate to every
+  stage; ``blocks_stacked`` (n_layer leading axis — ln0 lifted out of
+  block 0 so every block stacks leaf-for-leaf) shards over ``pp``.
+  Uniform stacking makes the stage split ``n_layer % pp`` (satisfiable
+  for 24-layer 1B6) instead of the block0-separate form's
+  ``(n_layer-1) % pp`` (23: prime — no usable pp at all).
+- the embedding (+ln0) runs only on stage 0 and the LM head + CE only
+  on the last stage, under ``lax.cond`` — one SPMD program, but the
+  untaken branches cost nothing at runtime (a where-select would pay
+  the 65536-vocab head matmul on every stage every tick).
 - the token/label batch reshapes to (n_micro, B/n_micro, T) and shards
   its microbatch-row axis over ``dp``; the loss is a token-weighted CE
   psum-reduced over pp (only the last stage contributes) and dp.
@@ -80,11 +84,15 @@ def pipeline_loss(
     wkv_backend: str = "reference",
     chunk_size: int = 32,
 ) -> jax.Array:
-    """Token-mean causal-LM CE of a stacked-params model, computed with
-    the layer stack sharded over ``mesh``'s ``pp`` axis and the batch
-    over ``dp``. labels: same shape as tokens, -100 = ignored (the data
-    pipeline's padding convention). Differentiable wrt sparams."""
-    assert "blocks_stacked" in sparams, "pipeline needs stack_params form"
+    """Token-mean causal-LM CE of a uniform-stacked model
+    (models.stacked.stack_params_uniform), computed with the layer stack
+    sharded over ``mesh``'s ``pp`` axis and the batch over ``dp``.
+    labels: same shape as tokens, -100 = ignored (the data pipeline's
+    padding convention). Differentiable wrt sparams."""
+    assert "blocks_stacked" in sparams and "block0" not in sparams, (
+        "pipeline needs the UNIFORM stacked form "
+        "(models.stacked.stack_params_uniform)"
+    )
     B, T = tokens.shape
     PP = mesh.shape["pp"]
     n_stacked = jax.tree_util.tree_leaves(sparams["blocks_stacked"])[0].shape[0]
@@ -103,12 +111,10 @@ def pipeline_loss(
         p = jax.lax.axis_index("pp")
         mb_l = toks.shape[1]  # local (dp-sharded) microbatch rows
 
-        def embed_block0(tok_mb):
+        def embed(tok_mb):
             x = jnp.take(sp["emb"], tok_mb, axis=0).astype(dt)
-            x, _ = block_forward(
-                sp["block0"], cfg, x, _zero_layer_state(cfg, mb_l),
-                layer_id=0, wkv_backend=wkv_backend, chunk_size=chunk_size,
-            )
+            if "ln0" in sp:
+                x = layer_norm(x, sp["ln0"])
             return x
 
         def stage_layers(x):
@@ -141,12 +147,19 @@ def pipeline_loss(
             m = t - p
             valid = (m >= 0) & (m < n_micro)
             mc = jnp.clip(m, 0, n_micro - 1)
-            x_in = jnp.where(p == 0, embed_block0(toks[mc]), buf)
+            # lax.cond (not where): only stage 0 pays the embedding and
+            # only the last stage pays the V-sized head matmul + CE
+            x_in = jax.lax.cond(
+                p == 0, lambda: embed(toks[mc]), lambda: buf
+            )
             x_out = stage_layers(x_in)
-            l, c = ce_sum(x_out, labs[mc])
-            take = (valid & (p == PP - 1)).astype(jnp.float32)
+            l, c = jax.lax.cond(
+                valid & (p == PP - 1),
+                lambda: ce_sum(x_out, labs[mc]),
+                lambda: (jnp.float32(0), jnp.float32(0)),
+            )
             nxt = jax.lax.ppermute(x_out, "pp", perm)
-            return (nxt, loss_sum + take * l, cnt_sum + take * c), None
+            return (nxt, loss_sum + l, cnt_sum + c), None
 
         ticks = jnp.arange(n_micro + PP - 1)
         (_, loss_sum, cnt_sum), _ = jax.lax.scan(

@@ -381,9 +381,9 @@ def cmd_sft(args):
     def save_fn(ts, step):
         p = ts.params
         if "blocks_stacked" in p:
-            from rwkv_lm_ext_tpu.models.stacked import unstack_params
+            from rwkv_lm_ext_tpu.models.stacked import unstack_any
 
-            p = unstack_params(p)
+            p = unstack_any(p)
         save_torch_pth(
             os.path.join(args.output_dir, f"model-step{step}.pth"),
             params_to_state_dict(p, cfg),
@@ -398,15 +398,23 @@ def cmd_sft(args):
             "--accumulate-grad-batches"
         )
         assert not args.lisa_k, "--pp does not compose with LISA"
-        from rwkv_lm_ext_tpu.models.stacked import stack_params as _stack
+        from rwkv_lm_ext_tpu.models.stacked import stack_params_uniform
         from rwkv_lm_ext_tpu.parallel import make_pp_mesh
         from rwkv_lm_ext_tpu.train.loop import (
             make_pp_train_step,
             place_pp_train_state,
         )
 
+        # pipeline staging uses the UNIFORM stack (n_layer % pp, not
+        # (n_layer-1) % pp — 24-layer models have no usable pp under the
+        # block0-separate form); --stack-layers may have produced the
+        # block0-separate form above, so restack through the flat tree
+        if "block0" in params:
+            from rwkv_lm_ext_tpu.models.stacked import unstack_params
+
+            params = unstack_params(params)
         if "blocks_stacked" not in params:
-            params = _stack(params)
+            params = stack_params_uniform(params)
         n_dev = len(jax.devices())
         dp = args.dp or max(1, n_dev // args.pp)
         mesh = make_pp_mesh(dp=dp, pp=args.pp)

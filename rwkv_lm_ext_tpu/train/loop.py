@@ -232,8 +232,9 @@ def make_pp_train_step(
     """(init_fn, step_fn) training through the GPipe pipeline schedule
     (parallel.pipeline.pipeline_loss): layers staged over the mesh's
     ``pp`` axis, batch over ``dp``, grads differentiated through the
-    ppermute schedule. Params must be the stacked (scan-over-layers)
-    form; batch = {"input_ids", "labels"} with -100-masked labels.
+    ppermute schedule. Params must be the UNIFORM stacked form
+    (models.stacked.stack_params_uniform — n_layer % pp == 0);
+    batch = {"input_ids", "labels"} with -100-masked labels.
 
     Beyond the reference (DP-only): stage-sharded training fits models
     whose full parameter+optimizer state exceeds one chip.

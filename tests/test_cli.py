@@ -260,13 +260,13 @@ def test_sft_pipeline_parallel(sft_jsonl, tmp_path, tmp_path_factory):
     """--pp 4: full fine-tune with layers staged over the pp axis on the
     8-device virtual mesh (dp=2 x pp=4), GPipe microbatches; saves a
     full checkpoint and logs finite losses."""
-    cfg5 = ModelConfig(
-        n_layer=5, n_embd=64, vocab_size=65530, head_size=16,
+    cfg4 = ModelConfig(
+        n_layer=4, n_embd=64, vocab_size=65530, head_size=16,
         dtype="float32", param_dtype="float32",
     )
-    ckpt = str(tmp_path_factory.mktemp("ckpt5") / "base5.pth")
-    params = init_rwkv_params(jax.random.PRNGKey(2), cfg5)
-    save_torch_pth(ckpt, params_to_state_dict(params, cfg5))
+    ckpt = str(tmp_path_factory.mktemp("ckpt4") / "base4.pth")
+    params = init_rwkv_params(jax.random.PRNGKey(2), cfg4)
+    save_torch_pth(ckpt, params_to_state_dict(params, cfg4))
 
     out = str(tmp_path / "out_pp")
     main([

@@ -262,14 +262,17 @@ def test_pipeline_parallel_loss_and_grads_match_single_device():
     from rwkv_lm_ext_tpu import ModelConfig
     from rwkv_lm_ext_tpu.models import init_rwkv_params
     from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
-    from rwkv_lm_ext_tpu.models.stacked import stack_params
+    from rwkv_lm_ext_tpu.models.stacked import (
+        stack_params_uniform,
+        unstack_params_uniform,
+    )
     from rwkv_lm_ext_tpu.parallel.pipeline import (
         make_pp_mesh,
         pipeline_loss,
     )
 
     cfg = ModelConfig(
-        n_layer=5, n_embd=64, vocab_size=128, head_size=16,
+        n_layer=4, n_embd=64, vocab_size=128, head_size=16,
         dtype="float32", param_dtype="float32",
     )
     params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
@@ -277,7 +280,7 @@ def test_pipeline_parallel_loss_and_grads_match_single_device():
         b["att"]["output"] = 0.2 * jax.random.normal(
             jax.random.PRNGKey(40 + i), b["att"]["output"].shape
         )
-    sparams = stack_params(params)
+    sparams = stack_params_uniform(params)
     mesh = make_pp_mesh(dp=2, pp=4)
 
     B, T = 8, 16
@@ -288,6 +291,7 @@ def test_pipeline_parallel_loss_and_grads_match_single_device():
 
     def ref_loss(sp):
         logits, _ = rwkv_forward(sp, cfg, tokens, wkv_backend="reference")
+        # sp is the flat (unstacked) tree here
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         mask = (labels >= 0).astype(jnp.float32)
         gold = jnp.take_along_axis(
@@ -301,12 +305,13 @@ def test_pipeline_parallel_loss_and_grads_match_single_device():
             wkv_backend="reference",
         )
 
-    l_ref = jax.jit(ref_loss)(sparams)
+    l_ref = jax.jit(ref_loss)(params)
     l_pp = jax.jit(pp_loss)(sparams)
     np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-5)
 
-    g_ref = jax.jit(jax.grad(ref_loss))(sparams)
-    g_pp = jax.jit(jax.grad(pp_loss))(sparams)
+    g_ref = jax.jit(jax.grad(ref_loss))(params)
+    # pp grads mirror the uniform stacked tree; unstack to compare
+    g_pp = unstack_params_uniform(jax.jit(jax.grad(pp_loss))(sparams))
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_pp = {jax.tree_util.keystr(k): v
                for k, v in jax.tree_util.tree_leaves_with_path(g_pp)}
@@ -325,7 +330,7 @@ def test_pipeline_train_step_decreases_loss():
 
     from rwkv_lm_ext_tpu import ModelConfig, TrainConfig
     from rwkv_lm_ext_tpu.models import init_rwkv_params
-    from rwkv_lm_ext_tpu.models.stacked import stack_params
+    from rwkv_lm_ext_tpu.models.stacked import stack_params_uniform
     from rwkv_lm_ext_tpu.parallel.pipeline import make_pp_mesh
     from rwkv_lm_ext_tpu.train.loop import (
         make_pp_train_step,
@@ -333,11 +338,13 @@ def test_pipeline_train_step_decreases_loss():
     )
 
     cfg = ModelConfig(
-        n_layer=5, n_embd=64, vocab_size=128, head_size=16,
+        n_layer=4, n_embd=64, vocab_size=128, head_size=16,
         dtype="float32", param_dtype="float32",
     )
     tc = TrainConfig(lr_init=1e-2, warmup_steps=0, total_steps=4)
-    sparams = stack_params(init_rwkv_params(jax.random.PRNGKey(0), cfg))
+    sparams = stack_params_uniform(
+        init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    )
     mesh = make_pp_mesh(dp=2, pp=4)
 
     init_fn, step_fn = make_pp_train_step(

@@ -148,3 +148,31 @@ def test_stacked_lora_merge_matches_unstacked():
     assert set(rt) == set(adapter)
     for k in adapter:
         np.testing.assert_array_equal(rt[k]["A"], adapter[k]["A"])
+
+
+def test_uniform_stack_round_trip():
+    """stack_params_uniform lifts ln0 out of block 0, stacks ALL layers
+    leaf-for-leaf, and unstack_params_uniform restores the exact tree
+    (the pipeline-parallel form: n_layer % pp instead of
+    (n_layer-1) % pp)."""
+    import jax
+    import numpy as np
+    from rwkv_lm_ext_tpu.models.stacked import (
+        stack_params_uniform,
+        unstack_any,
+        unstack_params_uniform,
+    )
+
+    params = _params()
+    sp = stack_params_uniform(params)
+    assert "block0" not in sp and "ln0" in sp
+    n = jax.tree_util.tree_leaves(sp["blocks_stacked"])[0].shape[0]
+    assert n == len(params["blocks"])
+
+    for rt in (unstack_params_uniform(sp), unstack_any(sp)):
+        for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(rt),
+        ):
+            assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
