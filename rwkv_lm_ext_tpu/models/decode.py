@@ -110,10 +110,29 @@ def _att_step_fused(
 def _ffn_step_fused(
     p: Dict, lnp: Dict, cfg, x: jax.Array, shift: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused-prologue channel mix: ln2 + shift + k/r mix in one program."""
-    from rwkv_lm_ext_tpu.ops.decode_fused import ffn_prep_fused
+    """Whole-block fused channel mix: ln2 + shift + mix + all three
+    GEMMs + gated residual in ONE Pallas program (ffn_block_fused),
+    weights streamed through VMEM. Quantized weight leaves fall back to
+    the fused-prologue + XLA-proj path (proj owns dequantization).
+    Returns (x + ffn_out, new shift) — the residual is folded in."""
+    from rwkv_lm_ext_tpu.ops.decode_fused import (
+        ffn_block_fused,
+        ffn_prep_fused,
+    )
 
     dt = x.dtype
+    plain = all(
+        isinstance(p[nm], jax.Array) for nm in ("key", "value", "receptance")
+    )
+    if plain:
+        return ffn_block_fused(
+            x, shift, lnp["scale"], lnp["bias"],
+            as_weight(p["time_maa_k"], jnp.float32),
+            as_weight(p["time_maa_r"], jnp.float32),
+            p["key"].astype(dt), p["value"].astype(dt),
+            p["receptance"].astype(dt),
+            1e-5,
+        )
     xk, xr, xn = ffn_prep_fused(
         x, shift, lnp["scale"], lnp["bias"],
         as_weight(p["time_maa_k"], jnp.float32),
@@ -123,7 +142,7 @@ def _ffn_step_fused(
     k = jnp.square(jax.nn.relu(proj(xk, p["key"], dt)))
     kv = proj(k, p["value"], dt)
     out = jax.nn.sigmoid(proj(xr, p["receptance"], dt)) * kv
-    return out, xn
+    return x + out.astype(dt), xn
 
 
 def _att_step(
@@ -237,14 +256,15 @@ def rwkv_decode_step(
             )
         x = x + att_out
         if fused_prep:
-            ffn_out, f_shift = _ffn_step_fused(
+            # _ffn_step_fused folds the residual in (whole-block kernel)
+            x, f_shift = _ffn_step_fused(
                 bp["ffn"], bp["ln2"], cfg, x, state["ffn_shift"][i]
             )
         else:
             ffn_out, f_shift = _ffn_step(
                 bp["ffn"], cfg, _ln(x, bp["ln2"]), state["ffn_shift"][i]
             )
-        x = x + ffn_out
+            x = x + ffn_out
         new_att.append(a_shift)
         new_wkv.append(wkv_p)
         new_ffn.append(f_shift)

@@ -34,6 +34,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_bb(B: int, C: int) -> int | None:
@@ -315,3 +316,196 @@ def _ffn_prep_bwd(eps, interpret, res, cts):
 
 
 ffn_prep_fused.defvjp(_ffn_prep_fwd, _ffn_prep_bwd)
+
+
+# ------------------------------------------------------------ ffn block
+
+
+def _ffn_block_ref(x, shift, ln_scale, ln_bias, maa_k, maa_r,
+                   wk, wv, wr, eps):
+    """jnp composition of the whole channel-mix block at T=1 (backward +
+    fallback): ln2 + shift + mix + key/relu^2/value/receptance + gated
+    residual. Returns (x + ffn_out, xn)."""
+    f = jnp.float32
+    od = x.dtype
+    xk, xr, xn = _ffn_prep_ref(x, shift, ln_scale, ln_bias, maa_k, maa_r,
+                               eps)
+    k = jnp.square(jnp.maximum(
+        jax.lax.dot_general(
+            xk, wk.astype(od),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f,
+        ).astype(od), 0,
+    ))
+    kv = jax.lax.dot_general(
+        k, wv.astype(od),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f,
+    )
+    r = jax.lax.dot_general(
+        xr, wr.astype(od),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f,
+    )
+    out = jax.nn.sigmoid(r) * kv
+    return (x.astype(f) + out).astype(od), xn
+
+
+def _ffn_block_kernel(
+    x_ref, shift_ref, lnsc_ref, lnbi_ref, mk_ref, mr_ref,
+    wk_ref, wv_ref, wr_ref,
+    out_ref, xn_ref,
+    xk_s, xr_s, k_s, kv_s,
+    *, eps: float, NK: int, NV: int, FT: int,
+):
+    """Phase-gridded channel-mix block: t=0 prep; t in [1, NK] key
+    col-tiles; (NK, NK+NV] value contraction-tiles (kv accumulates in
+    scratch); t > NK+NV receptance col-tiles + gated residual write.
+    Scratch persists across the sequential TPU grid."""
+    f = jnp.float32
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _prep():
+        xf = x_ref[:, :].astype(f)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        m2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+        var = jnp.maximum(m2 - mu * mu, 0.0)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * lnsc_ref[0, :].astype(f) + lnbi_ref[0, :].astype(f)
+        xx = shift_ref[:, :].astype(f) - xn
+        od = xk_s.dtype
+        xk_s[:, :] = (xn + xx * mk_ref[0, :].astype(f)).astype(od)
+        xr_s[:, :] = (xn + xx * mr_ref[0, :].astype(f)).astype(od)
+        xn_ref[:, :] = xn
+        kv_s[:, :] = jnp.zeros_like(kv_s)
+
+    @pl.when((t >= 1) & (t <= NK))
+    def _key():
+        blk = jax.lax.dot_general(
+            xk_s[:, :], wk_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f,
+        ).astype(k_s.dtype)
+        blk = jnp.square(jnp.maximum(blk, 0))
+        k_s[:, pl.ds((t - 1) * FT, FT)] = blk
+
+    @pl.when((t > NK) & (t <= NK + NV))
+    def _value():
+        fb = (t - NK - 1) * FT
+        kv_s[:, :] = kv_s[:, :] + jax.lax.dot_general(
+            k_s[:, pl.ds(fb, FT)], wv_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f,
+        )
+
+    @pl.when(t > NK + NV)
+    def _receptance():
+        CB = wr_ref.shape[1]
+        cb = (t - NK - NV - 1) * CB
+        r = jax.lax.dot_general(
+            xr_s[:, :], wr_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f,
+        )
+        kv = kv_s[:, pl.ds(cb, CB)]
+        xres = x_ref[:, pl.ds(cb, CB)].astype(f)
+        out_ref[:, :] = (
+            xres + jax.nn.sigmoid(r) * kv
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def ffn_block_fused(x, shift, ln_scale, ln_bias, maa_k, maa_r,
+                    wk, wv, wr, eps, interpret=None):
+    """Whole channel-mix block for one decode step as ONE Pallas program:
+    ln2 + token shift + k/r mix + key (C,F) + relu^2 + value (F,C) +
+    receptance (C,C) + sigmoid-gated residual, with the three weight
+    matrices streamed through VMEM in 512-wide tiles (~64 MB/layer at
+    1B6 — the full FFN weight traffic rides one kernel's DMA pipeline
+    instead of ~8 XLA ops with scheduling gaps between them).
+
+    x (B, C) compute dtype; shift (B, C) fp32; wk (C, F); wv (F, C);
+    wr (C, C). Returns (x + ffn_out (B, C) x.dtype, xn (B, C) fp32 —
+    the next ffn shift). Reference: src/model.py:616-644 at T=1."""
+    B, C = x.shape
+    F = wk.shape[1]
+    FT = 512
+    CB = 512
+    if (
+        B % 8 != 0 or C % CB != 0 or F % FT != 0
+        or _pick_bb(B, C) != B
+    ):
+        return _ffn_block_ref(x, shift, ln_scale, ln_bias, maa_k, maa_r,
+                              wk, wv, wr, eps)
+    if interpret is None:
+        from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
+
+        interpret = not pallas_available()
+    f = jnp.float32
+    NK, NV, NR = F // FT, F // FT, C // CB
+    G = 1 + NK + NV + NR
+
+    def wk_idx(t):
+        return (0, jnp.clip(t - 1, 0, NK - 1))
+
+    def wv_idx(t):
+        return (jnp.clip(t - NK - 1, 0, NV - 1), 0)
+
+    def wr_idx(t):
+        return (0, jnp.clip(t - NK - NV - 1, 0, NR - 1))
+
+    full = lambda: pl.BlockSpec((B, C), lambda t: (0, 0))
+    cvec = lambda: pl.BlockSpec((1, C), lambda t: (0, 0))
+    out, xn = pl.pallas_call(
+        functools.partial(
+            _ffn_block_kernel, eps=eps, NK=NK, NV=NV, FT=FT
+        ),
+        grid=(G,),
+        in_specs=[
+            full(), full(),
+            cvec(), cvec(), cvec(), cvec(),
+            pl.BlockSpec((C, FT), wk_idx),
+            pl.BlockSpec((FT, C), wv_idx),
+            pl.BlockSpec((C, CB), wr_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, CB), wr_idx),
+            pl.BlockSpec((B, C), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), x.dtype),
+            jax.ShapeDtypeStruct((B, C), f),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, F), x.dtype),
+            pltpu.VMEM((B, C), f),
+        ],
+        interpret=interpret,
+    )(
+        x, shift.astype(f),
+        ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+        maa_k.reshape(1, C), maa_r.reshape(1, C),
+        wk, wv, wr,
+    )
+    return out, xn
+
+
+def _ffn_block_fwd(x, shift, ln_scale, ln_bias, maa_k, maa_r, wk, wv, wr,
+                   eps, interpret):
+    out = ffn_block_fused(x, shift, ln_scale, ln_bias, maa_k, maa_r,
+                          wk, wv, wr, eps, interpret)
+    return out, (x, shift, ln_scale, ln_bias, maa_k, maa_r, wk, wv, wr)
+
+
+def _ffn_block_bwd(eps, interpret, res, cts):
+    def fn(*args):
+        return _ffn_block_ref(*args, eps)
+
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(cts)
+
+
+ffn_block_fused.defvjp(_ffn_block_fwd, _ffn_block_bwd)

@@ -143,3 +143,61 @@ def test_decode_step_fused_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(st_f[k]), np.asarray(st_u[k]), atol=3e-4, rtol=3e-4
         )
+
+
+def test_ffn_block_kernel_matches_ref():
+    """Whole-block channel mix (ln2+mix+3 GEMMs+gated residual) in one
+    phase-gridded program == the jnp composition; exercises the
+    weight-tile streaming grid (F, C multiples of 512)."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    B, C, F = 16, 1024, 3584
+    from rwkv_lm_ext_tpu.ops.decode_fused import (
+        _ffn_block_ref,
+        ffn_block_fused,
+    )
+
+    x = jax.random.normal(ks[0], (B, C), jnp.float32)
+    shift = jax.random.normal(ks[1], (B, C), jnp.float32)
+    sc = 1.0 + 0.1 * jax.random.normal(ks[2], (C,))
+    bi = 0.1 * jax.random.normal(ks[3], (C,))
+    mk = jax.random.uniform(ks[4], (C,))
+    mr = jax.random.uniform(ks[5], (C,))
+    wk = jax.random.normal(ks[6], (C, F)) * 0.03
+    wv = jax.random.normal(ks[7], (F, C)) * 0.03
+    wr = jax.random.normal(ks[8], (C, C)) * 0.03
+    ref = _ffn_block_ref(x, shift, sc, bi, mk, mr, wk, wv, wr, 1e-5)
+    got = ffn_block_fused(x, shift, sc, bi, mk, mr, wk, wv, wr, 1e-5,
+                          interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(g, np.float32),
+            atol=3e-5, rtol=3e-5,
+        )
+
+
+def test_ffn_block_grad_flows():
+    from rwkv_lm_ext_tpu.ops.decode_fused import ffn_block_fused
+
+    ks = jax.random.split(jax.random.PRNGKey(8), 9)
+    B, C, F = 8, 512, 1024
+    args = [
+        jax.random.normal(ks[0], (B, C), jnp.float32),
+        jax.random.normal(ks[1], (B, C), jnp.float32),
+        1.0 + 0.1 * jax.random.normal(ks[2], (C,)),
+        0.1 * jax.random.normal(ks[3], (C,)),
+        jax.random.uniform(ks[4], (C,)),
+        jax.random.uniform(ks[5], (C,)),
+        jax.random.normal(ks[6], (C, F)) * 0.05,
+        jax.random.normal(ks[7], (F, C)) * 0.05,
+        jax.random.normal(ks[8], (C, C)) * 0.05,
+    ]
+
+    def loss(x, wk):
+        a = list(args)
+        a[0], a[6] = x, wk
+        out, xn = ffn_block_fused(*a, 1e-5, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx, gwk = jax.grad(loss, argnums=(0, 1))(args[0], args[6])
+    assert np.isfinite(np.asarray(gx)).all()
+    assert float(jnp.abs(gwk).sum()) > 0
