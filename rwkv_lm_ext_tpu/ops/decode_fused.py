@@ -355,13 +355,15 @@ def _ffn_block_kernel(
     x_ref, shift_ref, lnsc_ref, lnbi_ref, mk_ref, mr_ref,
     wk_ref, wv_ref, wr_ref,
     out_ref, xn_ref,
-    xk_s, xr_s, k_s, kv_s,
-    *, eps: float, NK: int, NV: int, FT: int,
+    xk_s, xr_s, kv_s,
+    *, eps: float, NK: int, FT: int,
 ):
-    """Phase-gridded channel-mix block: t=0 prep; t in [1, NK] key
-    col-tiles; (NK, NK+NV] value contraction-tiles (kv accumulates in
-    scratch); t > NK+NV receptance col-tiles + gated residual write.
-    Scratch persists across the sequential TPU grid."""
+    """Phase-gridded channel-mix block: t=0 prep; t in [1, NK] fused
+    key+value tiles — each step computes one F-block of
+    k = relu^2(xk @ Wk[:, blk]) and immediately contracts it into
+    kv += k_blk @ Wv[blk, :] (no (B, F) scratch round trip; both weight
+    tiles stream in the same step); t > NK receptance col-tiles + gated
+    residual write. Scratch persists across the sequential TPU grid."""
     f = jnp.float32
     t = pl.program_id(0)
 
@@ -381,28 +383,23 @@ def _ffn_block_kernel(
         kv_s[:, :] = jnp.zeros_like(kv_s)
 
     @pl.when((t >= 1) & (t <= NK))
-    def _key():
+    def _key_value():
         blk = jax.lax.dot_general(
             xk_s[:, :], wk_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f,
-        ).astype(k_s.dtype)
+        ).astype(xk_s.dtype)
         blk = jnp.square(jnp.maximum(blk, 0))
-        k_s[:, pl.ds((t - 1) * FT, FT)] = blk
-
-    @pl.when((t > NK) & (t <= NK + NV))
-    def _value():
-        fb = (t - NK - 1) * FT
         kv_s[:, :] = kv_s[:, :] + jax.lax.dot_general(
-            k_s[:, pl.ds(fb, FT)], wv_ref[:, :],
+            blk, wv_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f,
         )
 
-    @pl.when(t > NK + NV)
+    @pl.when(t > NK)
     def _receptance():
         CB = wr_ref.shape[1]
-        cb = (t - NK - NV - 1) * CB
+        cb = (t - NK - 1) * CB
         r = jax.lax.dot_general(
             xr_s[:, :], wr_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -443,30 +440,30 @@ def ffn_block_fused(x, shift, ln_scale, ln_bias, maa_k, maa_r,
 
         interpret = not pallas_available()
     f = jnp.float32
-    NK, NV, NR = F // FT, F // FT, C // CB
-    G = 1 + NK + NV + NR
+    NK, NR = F // FT, C // CB
+    G = 1 + NK + NR
 
-    def wk_idx(t):
+    def wkv_idx_k(t):
         return (0, jnp.clip(t - 1, 0, NK - 1))
 
-    def wv_idx(t):
-        return (jnp.clip(t - NK - 1, 0, NV - 1), 0)
+    def wkv_idx_v(t):
+        return (jnp.clip(t - 1, 0, NK - 1), 0)
 
     def wr_idx(t):
-        return (0, jnp.clip(t - NK - NV - 1, 0, NR - 1))
+        return (0, jnp.clip(t - NK - 1, 0, NR - 1))
 
     full = lambda: pl.BlockSpec((B, C), lambda t: (0, 0))
     cvec = lambda: pl.BlockSpec((1, C), lambda t: (0, 0))
     out, xn = pl.pallas_call(
         functools.partial(
-            _ffn_block_kernel, eps=eps, NK=NK, NV=NV, FT=FT
+            _ffn_block_kernel, eps=eps, NK=NK, FT=FT
         ),
         grid=(G,),
         in_specs=[
             full(), full(),
             cvec(), cvec(), cvec(), cvec(),
-            pl.BlockSpec((C, FT), wk_idx),
-            pl.BlockSpec((FT, C), wv_idx),
+            pl.BlockSpec((C, FT), wkv_idx_k),
+            pl.BlockSpec((FT, C), wkv_idx_v),
             pl.BlockSpec((C, CB), wr_idx),
         ],
         out_specs=[
@@ -480,7 +477,6 @@ def ffn_block_fused(x, shift, ln_scale, ln_bias, maa_k, maa_r,
         scratch_shapes=[
             pltpu.VMEM((B, C), x.dtype),
             pltpu.VMEM((B, C), x.dtype),
-            pltpu.VMEM((B, F), x.dtype),
             pltpu.VMEM((B, C), f),
         ],
         interpret=interpret,

@@ -6,9 +6,11 @@ Variants (all greedy, no sampling, hidden-state decode + head):
   forward      rwkv_forward(tok[:, None]) — the current production path
   step         rwkv_decode_step(fused_prep=False) — T-axis-free, unfused
   step_fused   rwkv_decode_step(fused_prep=True)  — Pallas glue kernels
+  step_ffnblk  ffn whole-block kernel only (att side unfused)
+  step_attprep att prep kernel only (ffn side unfused)
 
 Differential methodology (long scan minus short scan, one host fetch).
-Env: B (64), N_LONG (48), N_SHORT (8).
+Env: B (64), N_LONG (48), N_SHORT (8), VARIANTS (comma list).
 """
 import json
 import os
@@ -40,6 +42,8 @@ tok0 = jnp.full((B,), 5, jnp.int32)
 
 
 def mk(n, variant):
+    import rwkv_lm_ext_tpu.models.decode as dec
+
     @jax.jit
     def f(params, tok0, state):
         def body(carry, _):
@@ -47,6 +51,37 @@ def mk(n, variant):
             if variant == "forward":
                 lg, st = rwkv_forward(params, cfg, tok[:, None], st)
                 lg = lg[:, -1]
+            elif variant in ("step_ffnblk", "step_attprep"):
+                # hand-spliced: one side fused, the other unfused
+                B = tok.shape[0]
+                dt = cfg.compute_dtype
+                x = jnp.take(params["emb"], tok, axis=0).astype(dt)
+                na, nw, nf = [], [], []
+                for i, bp in enumerate(params["blocks"]):
+                    if i == 0 and "ln0" in bp:
+                        x = dec._ln(x, bp["ln0"])
+                    if variant == "step_attprep":
+                        ao, ash, wp = dec._att_step_fused(
+                            bp["att"], bp["ln1"], cfg, x,
+                            st["att_shift"][i], st["wkv"][i])
+                        x = x + ao
+                        fo, fsh = dec._ffn_step(
+                            bp["ffn"], cfg, dec._ln(x, bp["ln2"]),
+                            st["ffn_shift"][i])
+                        x = x + fo
+                    else:
+                        ao, ash, wp = dec._att_step(
+                            bp["att"], cfg, dec._ln(x, bp["ln1"]),
+                            st["att_shift"][i], st["wkv"][i])
+                        x = x + ao
+                        x, fsh = dec._ffn_step_fused(
+                            bp["ffn"], bp["ln2"], cfg, x,
+                            st["ffn_shift"][i])
+                    na.append(ash); nw.append(wp); nf.append(fsh)
+                st = {"att_shift": jnp.stack(na), "wkv": jnp.stack(nw),
+                      "ffn_shift": jnp.stack(nf)}
+                x = dec._ln(x, params["ln_out"])
+                lg = dec.proj(x, params["head"], dt)
             else:
                 lg, st = rwkv_decode_step(
                     params, cfg, tok, st,
@@ -80,7 +115,10 @@ def run(variant):
 
 
 if __name__ == "__main__":
-    for v in ("forward", "step", "step_fused"):
-        r = run(v)
+    variants = os.environ.get(
+        "VARIANTS", "step,step_fused,step_ffnblk,step_attprep"
+    ).split(",")
+    for v in variants:
+        r = run(v.strip())
         r["B"] = B
         print(json.dumps(r), flush=True)
