@@ -21,6 +21,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STAGES = {
     # name -> (script, argv, env overrides)
     "train_lora": ("scripts/bench_train.py", [], {"TRAIN_TYPE": "lora"}),
+    "train_lora_noremat": (
+        "scripts/bench_train.py", [],
+        {"TRAIN_TYPE": "lora", "REMAT": "0"},
+    ),
     "train_qlora": ("scripts/bench_train.py", [], {"TRAIN_TYPE": "qlora"}),
     "decode_bf16": ("scripts/bench_batched_decode.py", [], {}),
     "decode_int8": ("scripts/bench_batched_decode.py", [], {"INT8": "1"}),
