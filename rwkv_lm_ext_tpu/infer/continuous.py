@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, sample_token
+from rwkv_lm_ext_tpu.infer.sampling import (
+    SamplingParams,
+    slot_params,
+    sample_token_rows,
+)
 from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
 
 
@@ -37,16 +41,26 @@ class _Request:
     rid: int
     prompt_ids: List[int]
     max_tokens: int
+    sampling: SamplingParams
     out_ids: List[int] = dataclasses.field(default_factory=list)
     callback: Optional[Callable[[int], None]] = None
     initial_state: Optional[object] = None   # e.g. a named tuned state
 
 
+# knobs compiled into the batched step — every request must share them
+_GLOBAL_KNOBS = ("top_k", "token_ban", "top_p_impl", "categorical_impl")
+
+
 class ContinuousBatcher:
     """Slot-pool batcher over a GenerationEngine's (params, cfg).
 
-    One SamplingParams per batcher (it is baked into the compiled step);
-    per-request max_tokens and stop handling are host-side counters.
+    Per-REQUEST sampling: temperature, top_p, the occurrence penalties
+    (presence/frequency/decay), repetition_penalty, token_stop and
+    max_tokens may differ per submit() — the scalar knobs live in (B,)
+    device rows scattered at admission (infer.sampling.slot_params).
+    Batcher-GLOBAL knobs (compiled into the step): top_k, token_ban and
+    the top_p/categorical implementation selectors — submit() rejects a
+    request that disagrees on those.
     """
 
     def __init__(
@@ -71,58 +85,82 @@ class ContinuousBatcher:
         V = cfg.vocab_size
         self._tokens = jnp.zeros((n_slots,), jnp.int32)
         self._occ = jnp.zeros((n_slots, V), jnp.float32)
+        self._rows = slot_params(n_slots, sampling)
         self._state = engine.init_state(n_slots)
 
         sp = sampling
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def step_fn(params, tokens, state, occ, rng):
+        def step_fn(params, tokens, state, occ, rows, rng):
             logits, state = rwkv_forward(
                 params, cfg, tokens[:, None], state, wkv_backend=be
             )
             rng, sub = jax.random.split(rng)
-            nxt, occ = sample_token(sub, logits[:, -1], occ, sp)
+            nxt, occ = sample_token_rows(sub, logits[:, -1], occ, rows, sp)
             return nxt, state, occ, rng
 
         self._step_fn = step_fn
 
-        @functools.partial(jax.jit, donate_argnums=(0, 2))
-        def admit_fn(state, slot, single_state, tokens, tok0, occ, occ0):
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
+        def admit_fn(state, slot, single_state, rows, row1,
+                     tokens, tok0, occ, occ0):
             state = jax.tree_util.tree_map(
                 lambda b, s: b.at[:, slot].set(s[:, 0]), state, single_state
             )
+            rows = jax.tree_util.tree_map(
+                lambda b, r: b.at[slot].set(r[0]), rows, row1
+            )
             tokens = tokens.at[slot].set(tok0)
             occ = occ.at[slot].set(occ0)  # carries tok0's occurrence
-            return state, tokens, occ
+            return state, rows, tokens, occ
 
         self._admit_fn = admit_fn
 
         @jax.jit
-        def first_sample(logits, rng):
-            occ0 = jnp.zeros((V,), jnp.float32)
+        def first_sample(logits, row1, rng):
+            occ0 = jnp.zeros((1, V), jnp.float32)
             rng, sub = jax.random.split(rng)
-            tok, occ0 = sample_token(sub, logits, occ0, sp)
-            return tok, occ0, rng
+            tok, occ0 = sample_token_rows(
+                sub, logits[None], occ0, row1, sp
+            )
+            return tok[0], occ0[0], rng
 
         self._first_sample = first_sample
 
     # -- public API ------------------------------------------------------
 
     def submit(self, prompt, *, max_tokens: int = 128,
+               sampling: Optional[SamplingParams] = None,
                callback: Optional[Callable[[int], None]] = None,
                initial_state=None) -> int:
         """Queue a request; returns its id. Accepts text (needs the
-        engine's tokenizer) or token ids. initial_state conditions the
-        request on a B=1 recurrent state — e.g. a state-tuned task from
-        StatesRegistry.initial_state(name) (the reference's named-states
-        serving, demo/states_runner.py), per request, concurrently."""
+        engine's tokenizer) or token ids. sampling overrides the
+        batcher's default per request (temperature/top_p/penalties/
+        token_stop; top_k, token_ban and impl selectors must match the
+        batcher's — they are compiled into the shared step).
+        initial_state conditions the request on a B=1 recurrent state —
+        e.g. a state-tuned task from StatesRegistry.initial_state(name)
+        (the reference's named-states serving, demo/states_runner.py),
+        per request, concurrently."""
+        if sampling is None:
+            sampling = self.sampling
+        else:
+            for knob in _GLOBAL_KNOBS:
+                if getattr(sampling, knob) != getattr(self.sampling, knob):
+                    raise ValueError(
+                        f"{knob} is compiled into the batched step "
+                        f"(batcher-global): request has "
+                        f"{getattr(sampling, knob)!r}, batcher has "
+                        f"{getattr(self.sampling, knob)!r}"
+                    )
         if isinstance(prompt, str):
             ids = self.engine.tokenizer.encode(prompt)
         else:
             ids = list(prompt)
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, ids, max_tokens, callback=callback,
+        self._queue.append(_Request(rid, ids, max_tokens, sampling,
+                                    callback=callback,
                                     initial_state=initial_state))
         return rid
 
@@ -136,17 +174,20 @@ class ContinuousBatcher:
         serving driver runs step() in a background thread)."""
         eng = self.engine
         logits, single = eng.prefill([1])
-        tok0, occ0, rng = self._first_sample(logits, self._rng)
-        state, tokens, occ = self._admit_fn(
-            self._state, 0, single, self._tokens, tok0, self._occ, occ0
+        row1 = slot_params(1, self.sampling)
+        tok0, occ0, rng = self._first_sample(logits, row1, self._rng)
+        state, rows, tokens, occ = self._admit_fn(
+            self._state, 0, single, self._rows, row1,
+            self._tokens, tok0, self._occ, occ0,
         )
         tokens, state, occ, rng = self._step_fn(
-            eng.params, tokens, state, occ, rng
+            eng.params, tokens, state, occ, rows, rng
         )
         # the warmup donated the live buffers; rebuild a clean pool
         self._tokens = jnp.zeros((self.n_slots,), jnp.int32)
         self._occ = jnp.zeros((self.n_slots, self.cfg.vocab_size),
                               jnp.float32)
+        self._rows = slot_params(self.n_slots, self.sampling)
         self._state = eng.init_state(self.n_slots)
 
     def step(self) -> Dict[int, List[int]]:
@@ -159,17 +200,16 @@ class ContinuousBatcher:
             return done
         self._tokens, self._state, self._occ, self._rng = self._step_fn(
             self.engine.params, self._tokens, self._state, self._occ,
-            self._rng,
+            self._rows, self._rng,
         )
         toks = np.asarray(self._tokens)
-        stops = set(self.sampling.token_stop)
         for i, req in enumerate(self._slots):
             if req is None:
                 continue
             # the PREVIOUS token (already emitted) was fed; toks[i] is the
             # newly sampled one
             t = int(toks[i])
-            if t in stops:
+            if t in req.sampling.token_stop:
                 done[req.rid] = req.out_ids
                 self._retire(i)
                 continue
@@ -201,10 +241,12 @@ class ContinuousBatcher:
             logits, single = self.engine.prefill(
                 req.prompt_ids, state=req.initial_state
             )
-            tok0, occ0, self._rng = self._first_sample(logits, self._rng)
+            row1 = slot_params(1, req.sampling)
+            tok0, occ0, self._rng = self._first_sample(
+                logits, row1, self._rng
+            )
             t0 = int(tok0)
-            stops = set(self.sampling.token_stop)
-            if t0 in stops or req.max_tokens < 1:
+            if t0 in req.sampling.token_stop or req.max_tokens < 1:
                 done[req.rid] = req.out_ids
                 continue
             req.out_ids.append(t0)
@@ -213,8 +255,11 @@ class ContinuousBatcher:
             if req.max_tokens == 1:
                 done[req.rid] = req.out_ids
                 continue
-            self._state, self._tokens, self._occ = self._admit_fn(
-                self._state, i, single, self._tokens, tok0, self._occ, occ0
+            self._state, self._rows, self._tokens, self._occ = (
+                self._admit_fn(
+                    self._state, i, single, self._rows, row1,
+                    self._tokens, tok0, self._occ, occ0,
+                )
             )
             self._slots[i] = req
         return done
@@ -268,6 +313,7 @@ class BatcherDriver:
 
     def submit_and_wait(
         self, prompt, *, max_tokens: int = 128,
+        sampling: Optional[SamplingParams] = None,
         timeout: Optional[float] = None,
         callback: Optional[Callable[[int], None]] = None,
     ) -> List[int]:
@@ -277,7 +323,8 @@ class BatcherDriver:
                     "batcher decode loop died"
                 ) from self._error
             rid = self.batcher.submit(
-                prompt, max_tokens=max_tokens, callback=callback
+                prompt, max_tokens=max_tokens, sampling=sampling,
+                callback=callback,
             )
             self._cv.notify_all()
             ok = self._cv.wait_for(

@@ -128,6 +128,117 @@ def sample_inverse_cdf(key: jax.Array, logits: jax.Array) -> jax.Array:
     return jnp.minimum(token, logits.shape[-1] - 1)
 
 
+# -- per-row (per-slot) sampling ------------------------------------------
+#
+# Continuous batching serves many requests through ONE compiled decode
+# step; baking a single SamplingParams into that step forces every
+# concurrent request onto the same temperature/top_p/penalties (the
+# reference has no batched serving at all — its generate loop is
+# per-request, src/model_run.py:1264-1315). The TPU-native answer: carry
+# the scalar knobs as (B,) device arrays scattered at slot admission,
+# exactly like the occurrence buffers. Broadcasting them into the filters
+# is free next to the (B, V) softmax/sort the filters already pay.
+#
+# Per-ROW knobs: temperature, top_p, alpha_presence/frequency/decay,
+# repetition_penalty. Compile-time/batcher-GLOBAL knobs: top_k,
+# token_ban, top_p_impl, categorical_impl (static shapes / branch
+# structure). token_stop and max_tokens are host-side per-request.
+
+SLOT_PARAM_FIELDS = (
+    "temperature", "top_p", "alpha_presence", "alpha_frequency",
+    "alpha_decay", "repetition_penalty",
+)
+
+
+def slot_params(n: int, sp: SamplingParams) -> dict:
+    """(n,)-row pytree of the per-row knobs, filled from sp."""
+    return {
+        f: jnp.full((n,), getattr(sp, f), jnp.float32)
+        for f in SLOT_PARAM_FIELDS
+    }
+
+
+def apply_top_p_rows(logits: jax.Array, p: jax.Array) -> jax.Array:
+    """apply_top_p with a per-row nucleus mass p: (B,)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cdf = jnp.cumsum(sorted_probs, axis=-1)
+    pc = p[:, None]
+    idx = jnp.argmax(cdf >= pc, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_probs, idx[:, None], axis=-1)
+    # p >= 1 disables the filter; if fp cumsum never reaches p, argmax
+    # returns 0 (the max prob) — keep everything instead of just top-1
+    keep_all = (pc >= 1.0) | (cdf[..., -1:] < pc)
+    cutoff = jnp.where(keep_all, 0.0, cutoff)
+    return jnp.where(probs < cutoff, -jnp.inf, logits)
+
+
+def apply_top_p_bisect_rows(
+    logits: jax.Array, p: jax.Array, *, iters: int = 24
+) -> jax.Array:
+    """apply_top_p_bisect with per-row p (the row reduction already
+    broadcasts; p >= 1 rows converge to cutoff 0 = keep all)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    pc = p[:, None]
+    lo = jnp.zeros(probs.shape[:-1] + (1,), probs.dtype)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), -1, keepdims=True)
+        up = mass >= pc
+        return jnp.where(up, mid, lo), jnp.where(up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.where(probs >= lo, logits, -jnp.inf)
+
+
+def sample_token_rows(
+    key: jax.Array,
+    logits: jax.Array,
+    occurrences: jax.Array,
+    rows: dict,
+    sp: SamplingParams,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched penalize→filter→sample with per-row knobs.
+
+    logits/occurrences: (B, V); rows: slot_params(B, ...); sp supplies
+    the global knobs (top_k, token_ban, impl selectors). Rows whose
+    temperature is 0 decode greedily (argmax of the filtered logits,
+    matching sample_token's temperature=0.0 contract)."""
+    logits = logits.astype(jnp.float32)
+    if sp.token_ban:
+        ban = jnp.array(sp.token_ban)
+        logits = logits.at[..., ban].set(-jnp.inf)
+    logits = (
+        logits
+        - rows["alpha_presence"][:, None] * (occurrences > 0)
+        - rows["alpha_frequency"][:, None] * occurrences
+    )
+    rp = rows["repetition_penalty"][:, None]
+    seen = occurrences > 0
+    scaled = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, scaled, logits)
+    logits = apply_top_k(logits, sp.top_k)
+    if sp.top_p_impl == "bisect":
+        logits = apply_top_p_bisect_rows(logits, rows["top_p"])
+    else:
+        logits = apply_top_p_rows(logits, rows["top_p"])
+
+    t = rows["temperature"][:, None]
+    tempered = logits / jnp.maximum(t, 1e-6)
+    if sp.categorical_impl == "invcdf":
+        sampled = sample_inverse_cdf(key, tempered)
+    else:
+        sampled = jax.random.categorical(key, tempered, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    token = jnp.where(rows["temperature"] == 0.0, greedy, sampled)
+    occ = occurrences * rows["alpha_decay"][:, None]
+    occ = occ.at[jnp.arange(occ.shape[0]), token].add(1.0)
+    return token, occ
+
+
 def sample_token(
     key: jax.Array,
     logits: jax.Array,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rwkv_lm_ext_tpu.config import MASK_ID, PAD_ID
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
 
 MASK_TOKEN = "[MASK]"
 
@@ -87,23 +88,42 @@ class ServingService:
             out = self.states.generate(self.engine, action, text, **gen_kw)
         return {"action": action, "output": out}
 
+    # sampling knobs /generate accepts per request; the batcher carries
+    # them in per-slot device rows (infer.sampling.slot_params) and the
+    # locked engine path takes them via SamplingParams — same semantics
+    # on both paths
+    _PER_REQUEST_KNOBS = (
+        "temperature", "top_p", "alpha_presence", "alpha_frequency",
+        "alpha_decay", "repetition_penalty", "token_stop",
+    )
+
     def generate(self, prompt: str, **gen_kw) -> Dict:
         assert self.engine is not None
-        # the batcher bakes ONE SamplingParams into its compiled step, so it
-        # can only honor max_tokens; any other sampling kwarg must take the
-        # locked engine path or the same request would silently behave
-        # differently with batching on
-        batchable = set(gen_kw) <= {"max_tokens"}
-        if self._driver is not None and batchable:
+        import dataclasses
+
+        unknown = set(gen_kw) - {"max_tokens", *self._PER_REQUEST_KNOBS}
+        if unknown:
+            raise BadRequest(f"unsupported generate options: {sorted(unknown)}")
+        max_tokens = int(gen_kw.pop("max_tokens", 128))
+        if "token_stop" in gen_kw:
+            gen_kw["token_stop"] = tuple(gen_kw["token_stop"])
+        if self._driver is not None:
             # continuous batching: concurrent requests share the batched
             # decode step instead of serializing on the engine lock
+            sp = (
+                dataclasses.replace(self.batcher.sampling, **gen_kw)
+                if gen_kw else None
+            )
             ids = self._driver.submit_and_wait(
-                prompt, max_tokens=int(gen_kw.get("max_tokens", 128))
+                prompt, max_tokens=max_tokens, sampling=sp
             )
             tok = self.batcher.engine.tokenizer
             return {"output": tok.decode(ids) if tok else ids}
         with self._lock:
-            out = self.engine.generate(prompt, **gen_kw)
+            out = self.engine.generate(
+                prompt, max_tokens=max_tokens,
+                **({"sampling": SamplingParams(**gen_kw)} if gen_kw else {}),
+            )
         return {"output": out}
 
     def fill_mask(
@@ -201,9 +221,22 @@ class ServingService:
                     payload["text"], payload.get("action", "default")
                 )
             if route == "/generate":
+                unknown = set(payload) - {
+                    "prompt", "max_tokens", *self._PER_REQUEST_KNOBS
+                }
+                if unknown:
+                    raise BadRequest(
+                        f"unsupported generate options: {sorted(unknown)}"
+                    )
+                knobs = {
+                    k: payload[k]
+                    for k in self._PER_REQUEST_KNOBS
+                    if k in payload
+                }
                 return self.generate(
                     payload["prompt"],
                     max_tokens=int(payload.get("max_tokens", 128)),
+                    **knobs,
                 )
             if route == "/fill_mask":
                 return self.fill_mask(

@@ -114,6 +114,68 @@ def test_batcher_driver_concurrent(engine):
     assert results == expected, (results, expected)
 
 
+def test_per_request_sampling(engine):
+    """Concurrent requests with DIFFERENT sampling knobs (scattered into
+    the per-slot device rows) each match their standalone generation."""
+    # repetition_penalty < 1 boosts already-seen tokens, so the greedy
+    # trajectory provably diverges from the unpenalized one
+    sp_a = SamplingParams(temperature=0.0, token_stop=(),
+                          repetition_penalty=0.125)
+    sp_b = SamplingParams(temperature=0.0, token_stop=(),
+                          alpha_presence=-50.0, alpha_frequency=-5.0)
+    sp_c = SamplingParams(temperature=0.0, token_stop=())
+    exp = {
+        k: engine.generate([5, 9, 23], max_tokens=6, sampling=sp)
+        for k, sp in (("a", sp_a), ("b", sp_b), ("c", sp_c))
+    }
+    # the -50 presence "penalty" boosts seen tokens by +50, so request b
+    # provably locks onto repeats and diverges from the default
+    assert exp["b"] != exp["c"]
+
+    batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp_c)
+    ra = batcher.submit([5, 9, 23], max_tokens=6, sampling=sp_a)
+    rb = batcher.submit([5, 9, 23], max_tokens=6, sampling=sp_b)
+    rc = batcher.submit([5, 9, 23], max_tokens=6)  # batcher default
+    results = batcher.run()
+    assert results[ra] == exp["a"]
+    assert results[rb] == exp["b"]
+    assert results[rc] == exp["c"]
+
+
+def test_per_request_stop_tokens(engine):
+    """token_stop is host-side per-request state: one request stops early
+    on its own stop token while its neighbor runs to max_tokens."""
+    sp0 = SamplingParams(temperature=0.0, token_stop=())
+    full = engine.generate([5, 9, 23], max_tokens=6, sampling=sp0)
+    stop = full[3]
+    sp_stop = SamplingParams(temperature=0.0, token_stop=(stop,))
+    exp_stop = engine.generate([5, 9, 23], max_tokens=6, sampling=sp_stop)
+    assert exp_stop != full
+
+    batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp0)
+    r1 = batcher.submit([5, 9, 23], max_tokens=6)
+    r2 = batcher.submit([5, 9, 23], max_tokens=6, sampling=sp_stop)
+    results = batcher.run()
+    assert results[r1] == full
+    assert results[r2] == exp_stop
+
+
+def test_submit_rejects_global_knob_mismatch(engine):
+    """top_k/token_ban/impl selectors are compiled into the shared step;
+    a request that disagrees is rejected instead of silently ignored."""
+    batcher = ContinuousBatcher(
+        engine, n_slots=1, sampling=SamplingParams(temperature=0.0)
+    )
+    with pytest.raises(ValueError, match="top_k"):
+        batcher.submit([5], sampling=SamplingParams(top_k=7))
+    with pytest.raises(ValueError, match="token_ban"):
+        batcher.submit([5], sampling=SamplingParams(token_ban=(2,)))
+    # per-row knobs are fine
+    batcher.submit([5], max_tokens=1,
+                   sampling=SamplingParams(temperature=0.0, top_p=0.3))
+    batcher.run()
+
+
 def test_per_request_initial_states(engine):
     """States-conditioned requests (the reference's named-states serving,
     demo/states_runner.py) batch concurrently: each slot's output matches

@@ -92,6 +92,57 @@ def test_occurrence_penalties_reduce_repeats():
     assert (int(t1), int(t2), int(t3)) == (0, 1, 2)  # massive presence penalty
 
 
+def test_sample_token_rows_matches_global():
+    """sample_token_rows with uniform rows reproduces batched sample_token
+    exactly (same key, same filters) across the knob space."""
+    from rwkv_lm_ext_tpu.infer.sampling import sample_token_rows, slot_params
+
+    B, V = 4, 50
+    logits = jax.random.normal(jax.random.PRNGKey(7), (B, V))
+    occ = jnp.zeros((B, V)).at[:, 3].set(2.0).at[:, 9].set(1.0)
+    for sp in (
+        SamplingParams(),
+        SamplingParams(temperature=0.0),
+        SamplingParams(temperature=0.7, top_p=0.5, repetition_penalty=1.3),
+        SamplingParams(top_p=1.0, alpha_presence=0.9, alpha_frequency=0.2),
+        SamplingParams(top_p_impl="bisect", categorical_impl="invcdf"),
+        SamplingParams(top_k=5),
+        SamplingParams(token_ban=(0, 1), alpha_decay=0.9),
+    ):
+        k = jax.random.PRNGKey(11)
+        t_g, occ_g = sample_token(k, logits, occ, sp)
+        t_r, occ_r = sample_token_rows(k, logits, occ, slot_params(B, sp), sp)
+        assert (t_g == t_r).all(), sp
+        np.testing.assert_allclose(occ_g, occ_r, rtol=1e-6)
+
+
+def test_sample_token_rows_heterogeneous():
+    """Rows carrying DIFFERENT knobs each match the per-row global call
+    (greedy, so the shared key is irrelevant)."""
+    from rwkv_lm_ext_tpu.infer.sampling import sample_token_rows, slot_params
+
+    sps = [
+        SamplingParams(temperature=0.0, alpha_presence=100.0),
+        SamplingParams(temperature=0.0, repetition_penalty=5.0),
+        SamplingParams(temperature=0.0),
+    ]
+    V = 40
+    logits = jax.random.normal(jax.random.PRNGKey(3), (len(sps), V))
+    occ = jnp.zeros((len(sps), V))
+    # every row has "seen" its own argmax token, so the penalty rows move
+    occ = occ.at[jnp.arange(len(sps)), jnp.argmax(logits, -1)].set(1.0)
+    rows = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *[slot_params(1, sp) for sp in sps]
+    )
+    t_r, _ = sample_token_rows(
+        jax.random.PRNGKey(0), logits, occ, rows, SamplingParams()
+    )
+    for i, sp in enumerate(sps):
+        t_i, _ = sample_token(jax.random.PRNGKey(9), logits[i], occ[i], sp)
+        assert int(t_r[i]) == int(t_i), (i, sp)
+    assert int(t_r[0]) != int(t_r[2])  # the penalty actually changed row 0
+
+
 def test_generate_with_carried_state(engine):
     """state carry: generating after a prefix equals prefilling the whole."""
     sp = SamplingParams(temperature=0.0, top_p=1.0, token_stop=())

@@ -154,6 +154,21 @@ def test_service_routes(service):
     assert isinstance(out["output"], str)
 
 
+def test_generate_route_sampling_knobs(service):
+    """/generate forwards per-request sampling knobs (engine path here;
+    the batcher path carries the same knobs in per-slot device rows)."""
+    from rwkv_lm_ext_tpu.serve.api import BadRequest
+
+    out = service.handle(
+        "/generate",
+        {"prompt": "ab", "max_tokens": 3, "temperature": 0.0,
+         "top_p": 0.5, "token_stop": []},
+    )
+    assert isinstance(out["output"], str)
+    with pytest.raises(BadRequest, match="unsupported"):
+        service.generate("ab", max_tokens=2, beam_width=4)
+
+
 def test_http_server_roundtrip(service):
     from rwkv_lm_ext_tpu.serve import serve_http
 
