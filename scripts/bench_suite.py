@@ -7,7 +7,7 @@ keyed by stage name, plus the platform.
 
 Usage:  python scripts/bench_suite.py [--out PERF.json] [--stages a,b,c]
 Stages: train_lora, train_qlora, decode_bf16, decode_int8,
-        decode_int8c, encoder_train
+        decode_int8c, encoder_train, speculative
 (~25-45 min total on the tunneled v5e — compiles dominate.)
 """
 import argparse
@@ -30,6 +30,7 @@ STAGES = {
     "decode_int8": ("scripts/bench_batched_decode.py", [], {"INT8": "1"}),
     "decode_int8c": ("scripts/bench_batched_decode.py", [], {"INT8": "int8c"}),
     "encoder_train": ("scripts/bench_encoder_train.py", ["pallas"], {}),
+    "speculative": ("scripts/bench_speculative.py", [], {}),
 }
 
 

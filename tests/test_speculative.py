@@ -1,0 +1,126 @@
+"""Speculative decoding (infer.speculative): greedy output must be
+token-identical to the target model's own greedy decode for ANY draft
+(the acceptance rule is exact argmax match), and the stats must reflect
+the draft's quality."""
+import jax
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
+from rwkv_lm_ext_tpu.infer.speculative import SpeculativeEngine
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+T_CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=160, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+D_CFG = ModelConfig(
+    n_layer=1, n_embd=32, vocab_size=160, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+# engine greedy applies the default occurrence penalties; speculative
+# decoding is penalty-free greedy, so compare against the same
+PLAIN_GREEDY = SamplingParams(
+    temperature=0.0, alpha_presence=0.0, alpha_frequency=0.0,
+    token_stop=(),
+)
+
+
+def _params(cfg, seed):
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    params = init_rwkv_params(jax.random.PRNGKey(seed), cfg)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(seed * 100 + i), b["att"]["output"].shape
+        )
+    return params
+
+
+@pytest.fixture(scope="module")
+def target():
+    return _params(T_CFG, 5)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    return _params(D_CFG, 9)
+
+
+def test_matches_target_greedy_any_draft(target, draft):
+    """An unrelated random draft (near-zero acceptance) still yields the
+    target's exact greedy output — speculation is lossless."""
+    eng = GenerationEngine(target, T_CFG, wkv_backend="reference")
+    expected = eng.generate([5, 9, 23, 7], max_tokens=10,
+                            sampling=PLAIN_GREEDY)
+    spec = SpeculativeEngine(
+        target, T_CFG, draft, D_CFG, gamma=4,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    out, stats = spec.generate(
+        [5, 9, 23, 7], max_tokens=10, token_stop=(), return_stats=True
+    )
+    assert out == expected, (out, expected)
+    assert stats.rounds >= 1 and 0.0 <= stats.acceptance <= 1.0
+
+
+def test_self_draft_full_acceptance(target):
+    """Draft == target accepts everything: gamma+1 tokens per verify
+    pass, zero correction passes."""
+    eng = GenerationEngine(target, T_CFG, wkv_backend="reference")
+    expected = eng.generate([5, 9, 23], max_tokens=9, sampling=PLAIN_GREEDY)
+    spec = SpeculativeEngine(
+        target, T_CFG, target, T_CFG, gamma=4,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    out, stats = spec.generate(
+        [5, 9, 23], max_tokens=9, token_stop=(), return_stats=True
+    )
+    assert out == expected
+    assert stats.acceptance == 1.0
+    # prefill + one verify per round, no correction re-prefills
+    assert stats.target_passes == 1 + stats.rounds
+    assert stats.tokens_per_target_pass > 1.0
+
+
+def test_truncated_self_draft(target):
+    """The early-exit self-draft (first k blocks, shared buffers) is a
+    valid draft: zero extra weight memory, lossless output."""
+    from rwkv_lm_ext_tpu.infer.speculative import truncated_draft
+
+    dparams, dcfg = truncated_draft(target, T_CFG, 1)
+    assert dcfg.n_layer == 1
+    assert dparams["blocks"][0] is target["blocks"][0]  # shared buffers
+    assert dparams["emb"] is target["emb"]
+
+    eng = GenerationEngine(target, T_CFG, wkv_backend="reference")
+    expected = eng.generate([5, 9, 23], max_tokens=8, sampling=PLAIN_GREEDY)
+    spec = SpeculativeEngine(
+        target, T_CFG, dparams, dcfg, gamma=3,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    out = spec.generate([5, 9, 23], max_tokens=8, token_stop=())
+    assert out == expected
+
+
+def test_stop_token(target, draft):
+    eng = GenerationEngine(target, T_CFG, wkv_backend="reference")
+    full = eng.generate([5, 9, 23], max_tokens=8, sampling=PLAIN_GREEDY)
+    stop = full[3]
+    expected = eng.generate(
+        [5, 9, 23], max_tokens=8,
+        sampling=SamplingParams(
+            temperature=0.0, alpha_presence=0.0, alpha_frequency=0.0,
+            token_stop=(stop,),
+        ),
+    )
+    spec = SpeculativeEngine(
+        target, T_CFG, draft, D_CFG, gamma=3,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    out = spec.generate([5, 9, 23], max_tokens=8, token_stop=(stop,))
+    assert out == expected == full[:3]
