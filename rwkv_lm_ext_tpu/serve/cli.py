@@ -1,0 +1,189 @@
+"""Serving CLI: one command from checkpoints to HTTP endpoints.
+
+The runnable equivalent of the reference's demo servers —
+demo/states_runner.py (named states + instruction templates from a
+config file) and demo/fill_mask_api.py (fill-mask / similarity /
+generate, CPU-capable) — as a single entry point:
+
+  python -m rwkv_lm_ext_tpu.serve.cli \\
+      --model RWKV-x060-World-1B6.pth \\
+      --chat-adapter out/chat/lora-step1000.pth --lora-r 8 --lora-alpha 32 \\
+      --states-config states.json \\
+      --bi-adapter out/bi/lora-step500.pth \\
+      --cross-adapter out/cross/lora-step500.pth \\
+      --encoder out/mlm/encoder.pth \\
+      --batcher-slots 16 --port 8000
+
+states.json maps action names to state-tuned checkpoints + templates
+(the states_config of demo/states_runner.py):
+  {"summarize": {"path": "states/sum.pth", "template": "sum: {input}"}}
+
+Every adapter merges over the SAME pristine base (pure merged-weight
+hot-swap — no module state), so chat/embedding/reranking serve
+concurrently from one process.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+
+def _parse(argv=None):
+    p = argparse.ArgumentParser(
+        prog="rwkv_lm_ext_tpu.serve.cli", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--model", default=None,
+                   help="base .pth for generation / states / encoders")
+    p.add_argument("--vocab", default=None, help="world-vocab path")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before backend init")
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype override (e.g. float32)")
+    p.add_argument("--quant", default=None,
+                   choices=("int8", "int8c", "nf4", "fp4"),
+                   help="quantize the generation base's block linears")
+    p.add_argument("--chat-adapter", default=None,
+                   help="LoRA .pth merged into the generation base")
+    p.add_argument("--pissa-init", default=None,
+                   help="init_pissa.pth for a PiSSA chat adapter")
+    p.add_argument("--lora-r", type=int, default=8)
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--states-config", default=None,
+                   help="JSON: name -> {path, template} state-tuned tasks")
+    p.add_argument("--bi-adapter", default=None,
+                   help="LoRA .pth for the bi-encoder (/embed /similarity)")
+    p.add_argument("--bi-pooling", default="weightedmean")
+    p.add_argument("--cross-adapter", default=None,
+                   help="LoRA .pth for the cross-encoder (/rerank); its "
+                        "score.weight (or a sibling score-*.pth via "
+                        "--cross-head) is the scoring head")
+    p.add_argument("--cross-head", default=None,
+                   help=".pth holding score.weight if not in the adapter")
+    p.add_argument("--encoder", default=None,
+                   help="bidirectional encoder .pth for /fill_mask")
+    p.add_argument("--batcher-slots", type=int, default=0,
+                   help="enable continuous batching for /generate")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    return p.parse_args(argv)
+
+
+def _load_head(sd) -> Optional[dict]:
+    import numpy as np
+
+    if "score.weight" not in sd:
+        return None
+    # saved in the reference's (num_labels, C) layout; kernel is (C, n)
+    return {"kernel": np.asarray(sd["score.weight"], np.float32).T}
+
+
+def build_service(args):
+    """Assemble a ServingService from CLI args (separated from main so
+    tests can drive it without binding a port)."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from rwkv_lm_ext_tpu.adapters import LoraConfig
+    from rwkv_lm_ext_tpu.adapters.lora import (
+        lora_state_dict_to_tree,
+        merge_lora,
+        merge_pissa,
+    )
+    from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+    from rwkv_lm_ext_tpu.checkpoint import load_rwkv_checkpoint
+    from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.infer.encoders import BiEncoder, CrossEncoder
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.infer.states_registry import StatesRegistry
+    from rwkv_lm_ext_tpu.serve.api import ServingService
+
+    overrides = {}
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+        overrides["param_dtype"] = args.dtype
+    tok = WorldTokenizer(args.vocab)
+    lc = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+
+    engine = states = bi = cross = batcher = None
+    encoder_params = encoder_cfg = None
+    if args.model:
+        base, cfg = load_rwkv_checkpoint(args.model, **overrides)
+
+        def merged(adapter_path, pissa_init=None):
+            sd = load_torch_pth(adapter_path)
+            tree = lora_state_dict_to_tree(sd)
+            if pissa_init:
+                init = lora_state_dict_to_tree(load_torch_pth(pissa_init))
+                return merge_pissa(base, tree, init, lc), sd
+            return merge_lora(base, tree, lc), sd
+
+        gen_params = base
+        if args.chat_adapter:
+            gen_params, _ = merged(args.chat_adapter, args.pissa_init)
+        if args.quant:
+            gen_params = quantize_tree(gen_params, mode=args.quant)
+        engine = GenerationEngine(gen_params, cfg, tok)
+
+        if args.states_config:
+            states = StatesRegistry(cfg)
+            with open(args.states_config) as f:
+                for name, spec in json.load(f).items():
+                    states.register_pth(
+                        name, spec["path"], spec.get("template", "{input}")
+                    )
+        if args.batcher_slots:
+            from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher
+
+            batcher = ContinuousBatcher(engine, n_slots=args.batcher_slots)
+        if args.bi_adapter:
+            bi_params, _ = merged(args.bi_adapter)
+            bi = BiEncoder(bi_params, cfg, tok, pooling_type=args.bi_pooling)
+        if args.cross_adapter:
+            cross_params, sd = merged(args.cross_adapter)
+            head = _load_head(sd)
+            if head is None and args.cross_head:
+                head = _load_head(load_torch_pth(args.cross_head))
+            if head is None:
+                raise SystemExit(
+                    "--cross-adapter needs score.weight (in the adapter "
+                    "or via --cross-head)"
+                )
+            cross = CrossEncoder(cross_params, cfg, tok, head)
+
+    if args.encoder:
+        encoder_params, encoder_cfg = load_rwkv_checkpoint(
+            args.encoder, **overrides
+        )
+
+    return ServingService(
+        engine=engine,
+        states_registry=states,
+        bi_encoder=bi,
+        cross_encoder=cross,
+        encoder_params=encoder_params,
+        encoder_cfg=encoder_cfg,
+        tokenizer=tok,
+        batcher=batcher,
+    )
+
+
+def main(argv=None):
+    args = _parse(argv)
+    if not (args.model or args.encoder):
+        raise SystemExit("need --model and/or --encoder")
+    from rwkv_lm_ext_tpu.serve.api import serve_http
+
+    svc = build_service(args)
+    server = serve_http(svc, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}",
+          flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

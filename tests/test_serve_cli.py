@@ -1,0 +1,110 @@
+"""serve.cli: one command from checkpoints to endpoints (the runnable
+equivalent of demo/states_runner.py + demo/fill_mask_api.py)."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_lm_ext_tpu import ModelConfig
+from rwkv_lm_ext_tpu.adapters import LoraConfig
+from rwkv_lm_ext_tpu.adapters.lora import lora_tree_to_state_dict
+from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+# compile-heavy: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+# world-vocab sized so the real WorldTokenizer's ids are in range
+CFG = ModelConfig(
+    n_layer=2, n_embd=64, vocab_size=65536, head_size=16,
+    dtype="float32", param_dtype="float32",
+)
+
+
+def test_serve_cli_builds_and_serves(tmp_path):
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
+    model_pth = str(tmp_path / "base.pth")
+    save_torch_pth(model_pth, params_to_state_dict(params, CFG))
+
+    H, N = CFG.n_head, CFG.head_size
+    states_pth = str(tmp_path / "states.pth")
+    save_torch_pth(states_pth, {
+        f"blocks.{i}.att.time_state":
+            0.05 * np.random.RandomState(i).randn(H, N, N).astype(np.float32)
+        for i in range(CFG.n_layer)
+    })
+    states_json = str(tmp_path / "states.json")
+    with open(states_json, "w") as f:
+        json.dump(
+            {"echo": {"path": states_pth, "template": "do: {input}"}}, f
+        )
+
+    lc = LoraConfig(r=4, alpha=8)
+    rng = np.random.RandomState(7)
+    tree = {
+        "blocks.0.att.receptance": {
+            "A": jnp.asarray(rng.randn(64, 4), jnp.float32) * 0.05,
+            "B": jnp.asarray(rng.randn(4, 64), jnp.float32) * 0.05,
+        }
+    }
+    bi_pth = str(tmp_path / "bi.pth")
+    save_torch_pth(bi_pth, lora_tree_to_state_dict(tree, lc))
+    cross_sd = lora_tree_to_state_dict(tree, lc)
+    cross_sd["score.weight"] = rng.randn(1, 64).astype(np.float32)
+    cross_pth = str(tmp_path / "cross.pth")
+    save_torch_pth(cross_pth, cross_sd)
+
+    from rwkv_lm_ext_tpu.serve.cli import _parse, build_service
+
+    args = _parse([
+        "--model", model_pth, "--dtype", "float32",
+        "--lora-r", "4", "--lora-alpha", "8",
+        "--states-config", states_json,
+        "--bi-adapter", bi_pth,
+        "--cross-adapter", cross_pth,
+    ])
+    svc = build_service(args)
+
+    out = svc.handle("/generate", {"prompt": "hi", "max_tokens": 3,
+                                   "temperature": 0.0, "token_stop": []})
+    assert isinstance(out["output"], str)
+    out = svc.handle("/process_text", {"text": "abc", "action": "echo"})
+    assert isinstance(out["output"], str)
+    out = svc.handle(
+        "/similarity", {"texts_a": ["hello"], "texts_b": ["hello", "zzz"]}
+    )
+    sims = np.asarray(out["similarity"])
+    assert sims.shape == (1, 2)
+    np.testing.assert_allclose(sims[0, 0], 1.0, atol=1e-4)
+    out = svc.handle("/rerank", {"query": "q", "documents": ["a", "b"]})
+    assert len(out["scores"]) == 2
+
+    with pytest.raises(SystemExit):
+        from rwkv_lm_ext_tpu.serve.cli import main
+
+        main([])  # neither --model nor --encoder
+
+
+def test_serve_cli_cross_needs_head(tmp_path):
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
+    model_pth = str(tmp_path / "base.pth")
+    save_torch_pth(model_pth, params_to_state_dict(params, CFG))
+    lc = LoraConfig(r=4, alpha=8)
+    tree = {
+        "blocks.0.att.receptance": {
+            "A": jnp.zeros((64, 4), jnp.float32),
+            "B": jnp.zeros((4, 64), jnp.float32),
+        }
+    }
+    cross_pth = str(tmp_path / "cross.pth")
+    save_torch_pth(cross_pth, lora_tree_to_state_dict(tree, lc))
+
+    from rwkv_lm_ext_tpu.serve.cli import _parse, build_service
+
+    args = _parse(["--model", model_pth, "--dtype", "float32",
+                   "--cross-adapter", cross_pth])
+    with pytest.raises(SystemExit, match="score.weight"):
+        build_service(args)
