@@ -55,7 +55,24 @@ class GenerationEngine:
         *,
         chunk_len: int = 256,
         wkv_backend: str = "auto",
+        mesh=None,
     ):
+        """mesh: a jax.sharding.Mesh with ("dp", "tp") axes (parallel.
+        make_mesh) shards the engine across chips — head-parallel TP for
+        models beyond one chip's HBM (the reference serves 7B/14B on one
+        GPU; here the same checkpoint spans the ICI mesh). Params and
+        state are placed under parallel.mesh shardings and GSPMD
+        partitions every jitted program. With tp > 1 the WKV rides the
+        pure-XLA paths (packed T=1 decode step / chunked prefill) — the
+        Pallas kernels have no partitioning rule, so "auto" flips to
+        "chunked" for the prefill side."""
+        if mesh is not None:
+            from rwkv_lm_ext_tpu.parallel.mesh import param_shardings
+
+            params = jax.device_put(params, param_shardings(params, mesh))
+            if wkv_backend == "auto" and mesh.shape.get("tp", 1) > 1:
+                wkv_backend = "chunked"
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -83,7 +100,12 @@ class GenerationEngine:
         )
 
     def init_state(self, batch_size: int = 1, wkv_init=None):
-        return init_model_state(self.cfg, batch_size, wkv_init=wkv_init)
+        state = init_model_state(self.cfg, batch_size, wkv_init=wkv_init)
+        if self.mesh is not None:
+            from rwkv_lm_ext_tpu.parallel.mesh import state_shardings
+
+            state = jax.device_put(state, state_shardings(self.mesh, state))
+        return state
 
     def prefill(
         self, tokens: Sequence[int], state=None

@@ -65,6 +65,13 @@ def _parse(argv=None):
                    help="bidirectional encoder .pth for /fill_mask")
     p.add_argument("--batcher-slots", type=int, default=0,
                    help="enable continuous batching for /generate")
+    p.add_argument("--wkv-backend", default="auto",
+                   help="WKV kernel path for the engine/encoders "
+                        "(auto|pallas|chunked|chunked_exact|reference)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="head-parallel tensor parallelism: shard the "
+                        "model across a (dp=1, tp=N) device mesh for "
+                        "checkpoints beyond one chip's HBM")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     return p.parse_args(argv)
@@ -109,6 +116,20 @@ def build_service(args):
     tok = WorldTokenizer(args.vocab)
     lc = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
 
+    mesh = None
+    enc_backend = args.wkv_backend
+    if args.tp > 1:
+        from rwkv_lm_ext_tpu.parallel import make_mesh, param_shardings
+
+        mesh = make_mesh(dp=1, tp=args.tp)
+        if enc_backend in ("auto", "pallas"):
+            enc_backend = "chunked"  # the XLA path GSPMD can partition
+
+    def place(p):
+        if mesh is None:
+            return p
+        return jax.device_put(p, param_shardings(p, mesh))
+
     engine = states = bi = cross = batcher = None
     encoder_params = encoder_cfg = None
     if args.model:
@@ -127,7 +148,9 @@ def build_service(args):
             gen_params, _ = merged(args.chat_adapter, args.pissa_init)
         if args.quant:
             gen_params = quantize_tree(gen_params, mode=args.quant)
-        engine = GenerationEngine(gen_params, cfg, tok)
+        engine = GenerationEngine(
+            gen_params, cfg, tok, mesh=mesh, wkv_backend=enc_backend
+        )
 
         if args.states_config:
             states = StatesRegistry(cfg)
@@ -142,7 +165,9 @@ def build_service(args):
             batcher = ContinuousBatcher(engine, n_slots=args.batcher_slots)
         if args.bi_adapter:
             bi_params, _ = merged(args.bi_adapter)
-            bi = BiEncoder(bi_params, cfg, tok, pooling_type=args.bi_pooling)
+            bi = BiEncoder(place(bi_params), cfg, tok,
+                           pooling_type=args.bi_pooling,
+                           wkv_backend=enc_backend)
         if args.cross_adapter:
             cross_params, sd = merged(args.cross_adapter)
             head = _load_head(sd)
@@ -153,7 +178,8 @@ def build_service(args):
                     "--cross-adapter needs score.weight (in the adapter "
                     "or via --cross-head)"
                 )
-            cross = CrossEncoder(cross_params, cfg, tok, head)
+            cross = CrossEncoder(cross_params, cfg, tok, head,
+                                 wkv_backend=enc_backend)
 
     if args.encoder:
         encoder_params, encoder_cfg = load_rwkv_checkpoint(

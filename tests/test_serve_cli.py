@@ -88,6 +88,29 @@ def test_serve_cli_builds_and_serves(tmp_path):
         main([])  # neither --model nor --encoder
 
 
+def test_serve_cli_tp_mesh(tmp_path):
+    """--tp shards the serving stack across the (virtual) mesh; outputs
+    match the single-device service."""
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
+    model_pth = str(tmp_path / "base.pth")
+    save_torch_pth(model_pth, params_to_state_dict(params, CFG))
+
+    from rwkv_lm_ext_tpu.serve.cli import _parse, build_service
+
+    # same prefill numerics on both paths for an exact match
+    base_args = ["--model", model_pth, "--dtype", "float32",
+                 "--wkv-backend", "chunked"]
+    svc1 = build_service(_parse(base_args))
+    svc2 = build_service(_parse(base_args + ["--tp", "2"]))
+    assert svc2.engine.mesh is not None
+    req = {"prompt": "hi", "max_tokens": 3,
+           "temperature": 0.0, "token_stop": [],
+           "alpha_presence": 0.0, "alpha_frequency": 0.0}
+    out1 = svc1.handle("/generate", dict(req))
+    out2 = svc2.handle("/generate", dict(req))
+    assert out1["output"] == out2["output"]
+
+
 def test_serve_cli_cross_needs_head(tmp_path):
     params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
     model_pth = str(tmp_path / "base.pth")
