@@ -72,6 +72,10 @@ def _parse(argv=None):
                    help="head-parallel tensor parallelism: shard the "
                         "model across a (dp=1, tp=N) device mesh for "
                         "checkpoints beyond one chip's HBM")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache: server "
+                        "restarts reuse compiled programs instead of "
+                        "paying the ~30s+ first-compile per shape")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     return p.parse_args(argv)
@@ -93,6 +97,11 @@ def build_service(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        # cache every compile, however small the program
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from rwkv_lm_ext_tpu.adapters import LoraConfig
     from rwkv_lm_ext_tpu.adapters.lora import (
