@@ -39,8 +39,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rwkv_lm_ext_tpu.infer.sampling import SamplingParams, penalize_and_filter
 from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
 from rwkv_lm_ext_tpu.models.state import init_model_state
+
+
+def _filtered_probs(logits: jax.Array, sp: SamplingParams) -> jax.Array:
+    """The engine's penalize->filter->temper pipeline as a probability
+    distribution (penalties excluded — speculative mode rejects them).
+    Works on (V,) or (T, V)."""
+    occ = jnp.zeros_like(logits, jnp.float32)
+    filtered = penalize_and_filter(logits, occ, sp)
+    t = max(sp.temperature, 1e-6)
+    return jax.nn.softmax(filtered / t, axis=-1)
+
+
+def speculative_accept(p, qrows, cand, key):
+    """The Leviathan et al. accept/resample rule, standalone so the
+    distribution guarantee is unit-testable: accept draft token
+    cand[i] ~ q_i w.p. min(1, p_i(cand[i])/q_i(cand[i])); at the first
+    rejection j resample from norm(relu(p_j - q_j)); on full acceptance
+    sample the bonus token from p[gamma]. Marginal of the emitted
+    sequence == sampling from p directly.
+
+    p: (gamma+1, V) target distributions; qrows: (gamma, V) draft
+    distributions; cand: (gamma,) draft tokens. Returns (j, next)."""
+    gm = cand.shape[0]
+    idx = jnp.arange(gm)
+    pr = p[idx, cand]
+    qr = qrows[idx, cand]
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (gm,))
+    acc = u * qr < pr                 # u < p/q without the division
+    all_acc = jnp.all(acc)
+    j = jnp.where(all_acc, gm, jnp.argmin(acc))
+    jc = jnp.minimum(j, gm - 1)
+    resid = jnp.maximum(p[jc] - qrows[jc], 0.0)
+    # numerically-empty residual can only mean p == q: fall back to p
+    resid = jnp.where(jnp.sum(resid) > 1e-12, resid, p[jc])
+    dist = jnp.where(all_acc, p[gm], resid / jnp.sum(resid))
+    nxt = jax.random.categorical(k2, jnp.log(dist + 1e-30)).astype(jnp.int32)
+    return j, nxt
 
 
 def truncated_draft(params, cfg, n_layer: int):
@@ -102,6 +141,7 @@ class SpeculativeEngine:
         self.chunk_len = chunk_len
         self._tp, self._tc = target_params, target_cfg
         self._dp, self._dc = draft_params, draft_cfg
+        self._t_be, self._d_be = wkv_backend, draft_wkv_backend
 
         def t_fwd(params, tokens, state):
             return rwkv_forward(
@@ -149,6 +189,52 @@ class SpeculativeEngine:
             return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), new_state
 
         self._verify = jax.jit(verify)
+        self._sampled_jit = {}
+
+    def _sampled_programs(self, sp: SamplingParams):
+        """Jitted draft-sampling scan + verify/accept/resample program for
+        one SamplingParams (cached per sp — it is a frozen dataclass)."""
+        if sp in self._sampled_jit:
+            return self._sampled_jit[sp]
+        gm, d_cfg, t_cfg = self.gamma, self._dc, self._tc
+        d_be, t_be = self._d_be, self._t_be
+
+        def draft_scan(params, cur, state, key):
+            """Sample gamma tokens x_i ~ q_i; return tokens and the FULL
+            filtered draft rows q (gamma, V) for the rejection test."""
+
+            def body(carry, _):
+                tok, st, k = carry
+                logits, st = rwkv_forward(
+                    params, d_cfg, tok[None, None], st, wkv_backend=d_be
+                )
+                q = _filtered_probs(logits[0, -1], sp)
+                k, sub = jax.random.split(k)
+                nxt = jax.random.categorical(
+                    sub, jnp.log(q + 1e-30)
+                ).astype(jnp.int32)
+                return (nxt, st, k), (nxt, q)
+
+            (_, _, key), (toks, qrows) = jax.lax.scan(
+                body, (cur, state, key), None, length=gm
+            )
+            return toks, qrows, key
+
+        def verify_accept(params, feed, state, qrows, cand, key):
+            """Target pass + speculative_accept (the rejection-sampling
+            rule): the emitted distribution provably equals target-only
+            sampling with the same SamplingParams."""
+            logits, new_state = rwkv_forward(
+                params, t_cfg, feed, state, wkv_backend=t_be
+            )
+            p = _filtered_probs(logits[0].astype(jnp.float32), sp)  # (g+1,V)
+            key, sub = jax.random.split(key)
+            j, nxt = speculative_accept(p, qrows, cand, sub)
+            return j, nxt, new_state, key
+
+        progs = (jax.jit(draft_scan), jax.jit(verify_accept))
+        self._sampled_jit[sp] = progs
+        return progs
 
     # -- helpers -----------------------------------------------------------
 
@@ -171,21 +257,51 @@ class SpeculativeEngine:
         *,
         max_tokens: int = 128,
         token_stop: Tuple[int, ...] = (0,),
+        sampling: Optional[SamplingParams] = None,
+        seed: int = 0,
         return_stats: bool = False,
     ):
-        """Greedy generation, token-identical to the target model's own
-        greedy decode (the acceptance rule is exact argmax match)."""
+        """Speculative generation.
+
+        sampling=None (or temperature 0): greedy — token-identical to
+        the target's own greedy decode (acceptance = exact argmax match).
+        sampling with temperature > 0: rejection sampling (Leviathan et
+        al.) over the filtered/tempered distributions — the emitted
+        distribution provably equals target-only sampling with the same
+        SamplingParams. Occurrence/repetition penalties are rejected
+        (history-dependent; incompatible with batched verification)."""
         if isinstance(prompt, str):
             assert self.tokenizer is not None
             ids = self.tokenizer.encode(prompt)
         else:
             ids = list(prompt)
 
+        sampled = sampling is not None and sampling.temperature > 0.0
+        if sampled:
+            if (sampling.alpha_presence != 0.0
+                    or sampling.alpha_frequency != 0.0
+                    or sampling.repetition_penalty != 1.0):
+                raise ValueError(
+                    "speculative sampling cannot honor occurrence/"
+                    "repetition penalties (history-dependent); set them "
+                    "to 0/1 or use GenerationEngine.generate"
+                )
+            token_stop = sampling.token_stop
+            d_scan_s, verify_accept = self._sampled_programs(sampling)
+            key = jax.random.PRNGKey(seed)
+
         stats = SpecStats()
         t_logits, t_state = self._prefill(self._t_fwd, self._tp, self._tc, ids)
         stats.target_passes += 1
         _, d_state = self._prefill(self._d_fwd, self._dp, self._dc, ids)
-        cur = jnp.argmax(t_logits).astype(jnp.int32)
+        if sampled:
+            key, sub = jax.random.split(key)
+            p0 = _filtered_probs(t_logits.astype(jnp.float32), sampling)
+            cur = jax.random.categorical(
+                sub, jnp.log(p0 + 1e-30)
+            ).astype(jnp.int32)
+        else:
+            cur = jnp.argmax(t_logits).astype(jnp.int32)
 
         out: List[int] = []
         stop = set(token_stop)
@@ -200,20 +316,29 @@ class SpeculativeEngine:
                 break
             # snapshots: rejection rolls both models back to here
             t_snap, d_snap = t_state, d_state
-            cand = self._draft_scan(self._dp, cur, d_state)  # (gamma,)
-            feed = jnp.concatenate([cur[None], cand])[None]  # (1, gamma+1)
-            argmaxes, t_full = self._verify(self._tp, feed, t_state)
+            if sampled:
+                cand, qrows, key = d_scan_s(self._dp, cur, d_state, key)
+                feed = jnp.concatenate([cur[None], cand])[None]
+                j_d, nxt_d, t_full, key = verify_accept(
+                    self._tp, feed, t_state, qrows, cand, key
+                )
+                j, nxt = int(j_d), int(nxt_d)
+            else:
+                cand = self._draft_scan(self._dp, cur, d_state)  # (gamma,)
+                feed = jnp.concatenate([cur[None], cand])[None]
+                argmaxes, t_full = self._verify(self._tp, feed, t_state)
+                arg_h = np.asarray(argmaxes)
+                cand_j = np.asarray(cand)
+                j = 0
+                while j < self.gamma and cand_j[j] == arg_h[j]:
+                    j += 1
+                nxt = int(arg_h[j])
             stats.rounds += 1
             stats.target_passes += 1
             stats.proposed += self.gamma
-
-            cand_h = np.asarray(cand)
-            arg_h = np.asarray(argmaxes)
-            j = 0
-            while j < self.gamma and cand_h[j] == arg_h[j]:
-                j += 1
             stats.accepted += j
 
+            cand_h = np.asarray(cand)
             consumed = [c] + [int(x) for x in cand_h[:j]]
             if j == self.gamma:
                 t_state = t_full  # fed exactly the consumed tokens
@@ -229,7 +354,8 @@ class SpeculativeEngine:
             )
 
             # emit the accepted draft tokens; the target's next token
-            # (correction on mismatch / bonus on full accept) becomes cur
+            # (correction/resample on rejection, bonus on full accept)
+            # becomes cur
             stopped = False
             for t in consumed[1:]:
                 if t in stop or len(out) >= max_tokens:
@@ -238,7 +364,7 @@ class SpeculativeEngine:
                 out.append(t)
             if stopped:
                 break
-            cur = jnp.asarray(int(arg_h[j]), jnp.int32)
+            cur = jnp.asarray(nxt, jnp.int32)
 
         text = self.tokenizer.decode(out) if self.tokenizer else out
         if return_stats:

@@ -107,6 +107,71 @@ def test_truncated_self_draft(target):
     assert out == expected
 
 
+def test_speculative_accept_preserves_target_distribution():
+    """The rejection-sampling rule's statistical guarantee: the first
+    emitted token (accepted draft token or resample) is distributed
+    EXACTLY as the target p[0], for an arbitrary mismatched draft q."""
+    import jax.numpy as jnp
+
+    from rwkv_lm_ext_tpu.infer.speculative import speculative_accept
+
+    V, N = 6, 40000
+    p = jnp.asarray([[0.4, 0.3, 0.1, 0.1, 0.05, 0.05],
+                     [0.1, 0.1, 0.2, 0.2, 0.2, 0.2]])   # (gamma+1=2, V)
+    q = jnp.asarray([[0.05, 0.15, 0.3, 0.3, 0.1, 0.1]])  # (gamma=1, V)
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        cand = jax.random.categorical(k1, jnp.log(q)).astype(jnp.int32)
+        j, nxt = speculative_accept(p, q, cand, k2)
+        return jnp.where(j > 0, cand[0], nxt)
+
+    toks = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(0), N))
+    freq = jnp.bincount(toks, length=V) / N
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(freq), np.asarray(p[0]),
+                               atol=0.01)  # ~4 sigma at N=40k
+
+
+def test_sampled_full_acceptance_with_self_draft(target):
+    """draft == target with identical SamplingParams: p == q, so every
+    proposal is accepted (u < 1 always) regardless of temperature."""
+    spec = SpeculativeEngine(
+        target, T_CFG, target, T_CFG, gamma=4,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    sp = SamplingParams(temperature=0.9, top_p=0.9, alpha_presence=0.0,
+                        alpha_frequency=0.0, token_stop=())
+    out, stats = spec.generate([5, 9, 23], max_tokens=10, sampling=sp,
+                               return_stats=True)
+    assert len(out) == 10
+    assert stats.acceptance == 1.0
+    assert stats.target_passes == 1 + stats.rounds
+
+
+def test_sampled_runs_with_mismatched_draft(target, draft):
+    spec = SpeculativeEngine(
+        target, T_CFG, draft, D_CFG, gamma=3,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    sp = SamplingParams(temperature=1.0, top_p=0.8, alpha_presence=0.0,
+                        alpha_frequency=0.0, token_stop=())
+    out, stats = spec.generate([5, 9], max_tokens=8, sampling=sp,
+                               seed=3, return_stats=True)
+    assert len(out) == 8
+    assert 0.0 <= stats.acceptance <= 1.0
+
+
+def test_sampled_rejects_history_penalties(target, draft):
+    spec = SpeculativeEngine(
+        target, T_CFG, draft, D_CFG, gamma=2,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    with pytest.raises(ValueError, match="penalt"):
+        spec.generate([5], sampling=SamplingParams(temperature=1.0))
+
+
 def test_stop_token(target, draft):
     eng = GenerationEngine(target, T_CFG, wkv_backend="reference")
     full = eng.generate([5, 9, 23], max_tokens=8, sampling=PLAIN_GREEDY)
