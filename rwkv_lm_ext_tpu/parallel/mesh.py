@@ -78,6 +78,20 @@ def param_shardings(params, mesh: Mesh):
         # emb / layer norms / time vectors replicate
         if mesh.shape["tp"] == 1 and spec != P():
             spec = P()
+        # divisibility guard: quantized leaves flatten into (q, scale)
+        # children that inherit the weight's spec — a (1, C) int8 scale
+        # can't divide a tp-sharded leading axis, and 4-bit leaves are
+        # block-packed. Sharding is layout, not semantics: dropping a
+        # non-divisible axis to replicated is always correct.
+        if spec != P():
+            shape = getattr(leaf, "shape", ())
+            fixed = []
+            for ax, name_ in enumerate(spec):
+                if ax >= len(shape):
+                    break  # spec longer than the (packed) leaf's rank
+                ok = name_ is None or shape[ax] % mesh.shape[name_] == 0
+                fixed.append(name_ if ok else None)
+            spec = P(*fixed) if any(fixed) else P()
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)

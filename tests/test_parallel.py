@@ -419,3 +419,27 @@ def test_continuous_batcher_on_tp_mesh():
     results = batcher.run()
     for rid, key in rids.items():
         assert results[rid] == expected[key]
+
+
+def test_quantized_engine_on_tp_mesh():
+    """Quantized serving on a tp mesh: QuantizedTensor leaves flatten
+    into (q, scale) children — scale vectors and 4-bit packed blocks hit
+    param_shardings' divisibility guard and replicate instead of
+    erroring; outputs match the single-device quantized engine."""
+    from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
+
+    params = init_rwkv_params(jax.random.PRNGKey(3), CFG)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(90 + i), b["att"]["output"].shape
+        )
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    for mode in ("int8", "nf4"):
+        qp = quantize_tree(params, mode=mode)
+        ref = GenerationEngine(qp, CFG, wkv_backend="chunked")
+        expected = ref.generate([5, 9, 23], max_tokens=5, sampling=sp)
+        eng = GenerationEngine(qp, CFG, mesh=make_mesh(dp=1, tp=2))
+        out = eng.generate([5, 9, 23], max_tokens=5, sampling=sp)
+        assert out == expected, (mode, out, expected)
