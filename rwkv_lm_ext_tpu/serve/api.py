@@ -40,8 +40,10 @@ class ServingService:
         tokenizer=None,
         mask_id: int = MASK_ID,
         batcher=None,                # ContinuousBatcher: concurrent /generate
+        spec_engine=None,            # SpeculativeEngine: single-stream latency
     ):
         self.engine = engine
+        self.spec = spec_engine
         self.states = states_registry
         self.bi = bi_encoder
         self.cross = cross_encoder
@@ -74,6 +76,8 @@ class ServingService:
                 self.fill_mask(f"warm {MASK_TOKEN} up")
             except Exception:
                 pass
+        if self.spec is not None:
+            self.spec.generate([1], max_tokens=max_tokens, token_stop=())
         if self.batcher is not None and self._driver is None:
             from rwkv_lm_ext_tpu.infer.continuous import BatcherDriver
 
@@ -118,13 +122,28 @@ class ServingService:
                 prompt, max_tokens=max_tokens, sampling=sp
             )
             tok = self.batcher.engine.tokenizer
-            return {"output": tok.decode(ids) if tok else ids}
+            return {"output": tok.decode(ids) if tok else ids,
+                    "backend": "batcher"}
+        eff = SamplingParams(**gen_kw) if gen_kw else SamplingParams()
+        if (self.spec is not None
+                and eff.alpha_presence == 0.0
+                and eff.alpha_frequency == 0.0
+                and eff.repetition_penalty == 1.0):
+            # speculative decoding honors penalty-free sampling exactly;
+            # penalized requests fall through to the plain engine
+            with self._lock:
+                out = self.spec.generate(
+                    prompt, max_tokens=max_tokens,
+                    token_stop=eff.token_stop,
+                    sampling=eff if eff.temperature > 0.0 else None,
+                )
+            return {"output": out, "backend": "speculative"}
         with self._lock:
             out = self.engine.generate(
                 prompt, max_tokens=max_tokens,
-                **({"sampling": SamplingParams(**gen_kw)} if gen_kw else {}),
+                **({"sampling": eff} if gen_kw else {}),
             )
-        return {"output": out}
+        return {"output": out, "backend": "engine"}
 
     def fill_mask(
         self, text: str, *, top_k: int = 10, cumulative_prob: float = 0.95

@@ -65,6 +65,15 @@ def _parse(argv=None):
                    help="bidirectional encoder .pth for /fill_mask")
     p.add_argument("--batcher-slots", type=int, default=0,
                    help="enable continuous batching for /generate")
+    p.add_argument("--draft", default=None,
+                   help="smaller RWKV .pth: speculative decoding for "
+                        "penalty-free /generate (single-stream latency; "
+                        "ignored when --batcher-slots is set)")
+    p.add_argument("--draft-layers", type=int, default=0,
+                   help="early-exit self-draft from the target's first "
+                        "K layers instead of a separate --draft ckpt")
+    p.add_argument("--gamma", type=int, default=8,
+                   help="speculative lookahead length")
     p.add_argument("--wkv-backend", default="auto",
                    help="WKV kernel path for the engine/encoders "
                         "(auto|pallas|chunked|chunked_exact|reference)")
@@ -139,7 +148,7 @@ def build_service(args):
             return p
         return jax.device_put(p, param_shardings(p, mesh))
 
-    engine = states = bi = cross = batcher = None
+    engine = states = bi = cross = batcher = spec = None
     encoder_params = encoder_cfg = None
     if args.model:
         base, cfg = load_rwkv_checkpoint(args.model, **overrides)
@@ -172,6 +181,24 @@ def build_service(args):
             from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher
 
             batcher = ContinuousBatcher(engine, n_slots=args.batcher_slots)
+        elif args.draft or args.draft_layers:
+            from rwkv_lm_ext_tpu.infer.speculative import (
+                SpeculativeEngine,
+                truncated_draft,
+            )
+
+            if args.draft:
+                d_params, d_cfg = load_rwkv_checkpoint(
+                    args.draft, **overrides
+                )
+            else:
+                d_params, d_cfg = truncated_draft(
+                    gen_params, cfg, args.draft_layers
+                )
+            spec = SpeculativeEngine(
+                gen_params, cfg, d_params, d_cfg, tok,
+                gamma=args.gamma, wkv_backend=enc_backend,
+            )
         if args.bi_adapter:
             bi_params, _ = merged(args.bi_adapter)
             bi = BiEncoder(place(bi_params), cfg, tok,
@@ -204,6 +231,7 @@ def build_service(args):
         encoder_cfg=encoder_cfg,
         tokenizer=tok,
         batcher=batcher,
+        spec_engine=spec,
     )
 
 

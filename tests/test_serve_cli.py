@@ -111,6 +111,34 @@ def test_serve_cli_tp_mesh(tmp_path):
     assert out1["output"] == out2["output"]
 
 
+def test_serve_cli_speculative_backend(tmp_path):
+    """--draft-layers routes penalty-free /generate through speculative
+    decoding (response says so); penalized requests fall back to the
+    plain engine. Greedy outputs match across backends."""
+    params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
+    model_pth = str(tmp_path / "base.pth")
+    save_torch_pth(model_pth, params_to_state_dict(params, CFG))
+
+    from rwkv_lm_ext_tpu.serve.cli import _parse, build_service
+
+    svc = build_service(_parse([
+        "--model", model_pth, "--dtype", "float32",
+        "--draft-layers", "1", "--gamma", "3",
+    ]))
+    req = {"prompt": "hi", "max_tokens": 4, "temperature": 0.0,
+           "token_stop": [], "alpha_presence": 0.0, "alpha_frequency": 0.0}
+    out_spec = svc.handle("/generate", dict(req))
+    assert out_spec["backend"] == "speculative"
+    # penalized request -> plain engine
+    out_pen = svc.handle("/generate", dict(req, alpha_presence=0.25))
+    assert out_pen["backend"] == "engine"
+    # greedy parity across backends (fp32, penalty-free)
+    svc_plain = build_service(_parse(["--model", model_pth,
+                                      "--dtype", "float32"]))
+    out_eng = svc_plain.handle("/generate", dict(req))
+    assert out_spec["output"] == out_eng["output"]
+
+
 def test_serve_cli_cross_needs_head(tmp_path):
     params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
     model_pth = str(tmp_path / "base.pth")
