@@ -66,7 +66,7 @@ def state_dict_to_params(
             att["time_decay"] = vec(b + "att.time_decay")
             att["time_decay_w1"] = jnp.asarray(_f(g(b + "att.time_decay_w1")), dt)
             att["time_decay_w2"] = jnp.asarray(_f(g(b + "att.time_decay_w2")), dt)
-        else:
+        elif cfg.version >= 5:
             for name in _ATT_VECS_V5:
                 if b + f"att.{name}" in sd:
                     att[name] = vec(b + f"att.{name}")
@@ -76,16 +76,24 @@ def state_dict_to_params(
             else:  # per-head scalar decay (v5.0/5.1)
                 td = np.broadcast_to(td.reshape(H, 1), (H, N)).copy()
             att["time_decay"] = jnp.asarray(td, dt)
-        faaaa_key = (
-            b + "att.time_faaaa"
-            if b + "att.time_faaaa" in sd
-            else b + "att.time_first"
-        )
-        att["time_faaaa"] = jnp.asarray(_f(g(faaaa_key)).reshape(H, N), dt)
+        else:
+            # v4: per-channel (C,) decay/bonus, static lerp vectors
+            for name in ("time_mix_k", "time_mix_v", "time_mix_r"):
+                att[name] = vec(b + f"att.{name}")
+            att["time_decay"] = vec(b + "att.time_decay")
+            att["time_first"] = vec(b + "att.time_first")
+        if cfg.version >= 5:
+            faaaa_key = (
+                b + "att.time_faaaa"
+                if b + "att.time_faaaa" in sd
+                else b + "att.time_first"
+            )
+            att["time_faaaa"] = jnp.asarray(_f(g(faaaa_key)).reshape(H, N), dt)
         for name in _LINEARS_ATT:
             if b + f"att.{name}.weight" in sd:
                 att[name] = lin(b + f"att.{name}.weight")
-        att["ln_x"] = ln(b + "att.ln_x")
+        if b + "att.ln_x.weight" in sd:
+            att["ln_x"] = ln(b + "att.ln_x")
         if b + "att.time_state" in sd:
             att["time_state"] = jnp.asarray(
                 _f(g(b + "att.time_state")).reshape(H, N, N), dt
@@ -181,7 +189,9 @@ def load_rwkv_checkpoint(path: str, wkv_dispatch: str = "auto",
     sd = strip_prefix(load_torch_pth(path))
     cfg = sniff_model_config(sd, **cfg_overrides)
     params = state_dict_to_params(sd, cfg)
-    if wkv_dispatch == "auto" and "wkv_exact" not in cfg_overrides:
+    if (wkv_dispatch == "auto" and "wkv_exact" not in cfg_overrides
+            and cfg.version >= 5):
+        # v4 runs the aa/bb/pp log-space kernel — nothing to dispatch on
         from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
 
         cfg = apply_wkv_dispatch(cfg, params)

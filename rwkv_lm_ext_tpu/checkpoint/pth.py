@@ -231,6 +231,8 @@ def sniff_model_config(state_dict: Dict[str, np.ndarray], **overrides):
             version = max(6.0, version)
         if int(version) == 6 and "time_faaaa" in key:
             n_head = sd[key].shape[0]
+    if version < 5:
+        n_head = 1  # v4 has no heads; keep dim_att % head_size == 0
     kwargs = dict(
         n_layer=n_layer,
         n_embd=n_embd,

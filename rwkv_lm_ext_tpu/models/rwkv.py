@@ -650,6 +650,13 @@ def rwkv_forward(
       Pass False to force the generic path (parity tests do).
     Returns (logits (B,T,V) [or hidden (B,T,C) if return_hidden], new_state).
     """
+    if cfg.version < 5:
+        # RWKV-4 family: aa/bb/pp log-space WKV, no GroupNorm/gate —
+        # same state-threaded contract, so engines/serving work as-is
+        from rwkv_lm_ext_tpu.models.rwkv4 import rwkv4_forward
+
+        assert return_logits and not return_hidden and not use_state_params
+        return rwkv4_forward(params, cfg, tokens, state)
     if "blocks_stacked" in params:
         # stacked (scan-over-layers) parameter trees dispatch transparently
         from rwkv_lm_ext_tpu.models.stacked import rwkv_forward_stacked

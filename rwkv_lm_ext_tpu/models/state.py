@@ -74,6 +74,11 @@ def init_model_state(
     overrides the WKV slots — the hook for state-tuned "states" serving
     (reference infer/states_generator.py:34-49)."""
     L, B, C = cfg.n_layer, batch_size, cfg.n_embd
+    if cfg.version < 5:
+        assert wkv_init is None, "v4 has no (H,N,N) tuned states"
+        from rwkv_lm_ext_tpu.models.rwkv4 import init_v4_state
+
+        return init_v4_state(cfg, B)
     H, N = cfg.n_head, cfg.head_size
     trail = wkv_state_shape(H, N)
     if wkv_init is None:
