@@ -55,6 +55,8 @@ class ServingService:
         self._driver = None
         self._lock = threading.Lock()
         self._fill_mask_jit = {}
+        self._counts: Dict[str, int] = {}
+        self._spec_totals = {"rounds": 0, "proposed": 0, "accepted": 0}
 
     def warmup(self, *, max_tokens: int = 2) -> None:
         """Pre-compile the hot paths from the calling thread.
@@ -132,11 +134,15 @@ class ServingService:
             # speculative decoding honors penalty-free sampling exactly;
             # penalized requests fall through to the plain engine
             with self._lock:
-                out = self.spec.generate(
+                out, st = self.spec.generate(
                     prompt, max_tokens=max_tokens,
                     token_stop=eff.token_stop,
                     sampling=eff if eff.temperature > 0.0 else None,
+                    return_stats=True,
                 )
+                self._spec_totals["rounds"] += st.rounds
+                self._spec_totals["proposed"] += st.proposed
+                self._spec_totals["accepted"] += st.accepted
             return {"output": out, "backend": "speculative"}
         with self._lock:
             out = self.engine.generate(
@@ -232,9 +238,33 @@ class ServingService:
             "ranking": order.tolist(),
         }
 
+    def stats(self) -> Dict:
+        """Serving observability: which generate backends ran, batcher
+        occupancy, aggregate speculative acceptance."""
+        out: Dict = {"requests": dict(self._counts)}
+        if self.batcher is not None:
+            out["batcher"] = {
+                "n_slots": self.batcher.n_slots,
+                "active": sum(
+                    s is not None for s in self.batcher._slots
+                ),
+                "queued": len(self.batcher._queue),
+            }
+        if self.spec is not None:
+            t = self._spec_totals
+            out["speculative"] = dict(
+                t, acceptance=(
+                    t["accepted"] / t["proposed"] if t["proposed"] else 0.0
+                ),
+            )
+        return out
+
     # ---- dispatch --------------------------------------------------
     def handle(self, route: str, payload: Dict) -> Dict:
+        self._counts[route] = self._counts.get(route, 0) + 1
         try:
+            if route == "/stats":
+                return self.stats()
             if route == "/process_text":
                 return self.process_text(
                     payload["text"], payload.get("action", "default")

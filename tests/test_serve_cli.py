@@ -137,6 +137,11 @@ def test_serve_cli_speculative_backend(tmp_path):
                                       "--dtype", "float32"]))
     out_eng = svc_plain.handle("/generate", dict(req))
     assert out_spec["output"] == out_eng["output"]
+    # /stats reflects the routed backends and acceptance aggregates
+    st = svc.handle("/stats", {})
+    assert st["requests"]["/generate"] == 2
+    assert st["speculative"]["rounds"] >= 1
+    assert 0.0 <= st["speculative"]["acceptance"] <= 1.0
 
 
 def test_serve_cli_cross_needs_head(tmp_path):
