@@ -106,13 +106,22 @@ def batch_shardings(mesh: Mesh, tree):
 
 def state_shardings(mesh: Mesh, state):
     """Model state: batch axis (axis 1 after the layer axis) over dp, WKV
-    head axis over tp."""
+    head axis over tp. Axes that don't divide (e.g. the B=1 admission
+    prefill of a continuous batcher on a dp>1 mesh) replicate — sharding
+    is layout, not semantics."""
 
     def assign(path, leaf):
         key = path[0].key
-        if key == "wkv":              # (L, B, H, N, N)
-            return NamedSharding(mesh, P(None, "dp", "tp"))
-        return NamedSharding(mesh, P(None, "dp"))  # (L, B, C)
+        spec = (
+            P(None, "dp", "tp") if key == "wkv"   # (L, B, H, ...)
+            else P(None, "dp")                    # (L, B, C)
+        )
+        fixed = [
+            name if name is None or leaf.shape[ax] % mesh.shape[name] == 0
+            else None
+            for ax, name in enumerate(spec)
+        ]
+        return NamedSharding(mesh, P(*fixed) if any(fixed) else P())
 
     return jax.tree_util.tree_map_with_path(assign, state)
 

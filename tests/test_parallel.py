@@ -443,3 +443,33 @@ def test_quantized_engine_on_tp_mesh():
         eng = GenerationEngine(qp, CFG, mesh=make_mesh(dp=1, tp=2))
         out = eng.generate([5, 9, 23], max_tokens=5, sampling=sp)
         assert out == expected, (mode, out, expected)
+
+
+def test_continuous_batcher_on_dp_tp_mesh():
+    """Throughput scale-out: the batcher's slot pool shards over dp
+    (state batch axis) AND tp (heads) simultaneously; outputs match the
+    single-device batcher exactly."""
+    from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
+
+    params = init_rwkv_params(jax.random.PRNGKey(3), CFG)
+    for i, b in enumerate(params["blocks"]):
+        b["att"]["output"] = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(90 + i), b["att"]["output"].shape
+        )
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    prompts = [[5, 9, 23], [77, 3], [14, 60], [2, 4, 6]]
+
+    ref_eng = GenerationEngine(params, CFG, wkv_backend="chunked")
+    ref = ContinuousBatcher(ref_eng, n_slots=4, sampling=sp)
+    ref_ids = [ref.submit(p, max_tokens=4) for p in prompts]
+    expected = ref.run()
+
+    mesh = make_mesh(dp=2, tp=2)
+    eng = GenerationEngine(params, CFG, mesh=mesh)
+    batcher = ContinuousBatcher(eng, n_slots=4, sampling=sp)
+    rids = [batcher.submit(p, max_tokens=4) for p in prompts]
+    results = batcher.run()
+    for r_ref, r in zip(ref_ids, rids):
+        assert results[r] == expected[r_ref]
