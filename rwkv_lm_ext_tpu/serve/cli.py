@@ -37,6 +37,9 @@ def _parse(argv=None):
     p.add_argument("--model", default=None,
                    help="base .pth for generation / states / encoders")
     p.add_argument("--vocab", default=None, help="world-vocab path")
+    p.add_argument("--tokenizer-json", default=None,
+                   help="HF tokenizer.json instead of the world vocab "
+                        "(e.g. 20B_tokenizer.json for RWKV-4 Pile)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
     p.add_argument("--dtype", default=None,
@@ -131,7 +134,12 @@ def build_service(args):
     if args.dtype:
         overrides["dtype"] = args.dtype
         overrides["param_dtype"] = args.dtype
-    tok = WorldTokenizer(args.vocab)
+    if args.tokenizer_json:
+        from rwkv_lm_ext_tpu.data.tokenizer_json import JsonTokenizer
+
+        tok = JsonTokenizer(args.tokenizer_json)
+    else:
+        tok = WorldTokenizer(args.vocab)
     lc = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
 
     mesh = None
