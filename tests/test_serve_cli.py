@@ -144,6 +144,50 @@ def test_serve_cli_speculative_backend(tmp_path):
     assert 0.0 <= st["speculative"]["acceptance"] <= 1.0
 
 
+def test_serve_cli_v4_checkpoint_with_json_tokenizer(tmp_path):
+    """A v4 Pile-style deployment end to end: v4 .pth (sniffed as 4.0)
+    + HF tokenizer.json, served through the same CLI."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tk = Tokenizer(models.BPE())
+    tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tk.decoder = decoders.ByteLevel()
+    tk.train_from_iterator(
+        ["hello world"] * 4,
+        trainers.BpeTrainer(
+            vocab_size=300,
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        ),
+    )
+    tok_path = str(tmp_path / "tokenizer.json")
+    tk.save(tok_path)
+
+    from tests.test_rwkv4 import CFG as V4CFG, _v4_params
+
+    v4cfg = V4CFG.__class__(**{
+        **{f.name: getattr(V4CFG, f.name)
+           for f in __import__("dataclasses").fields(V4CFG)
+           if f.name in ("n_layer", "n_embd", "head_size", "dim_ffn",
+                         "dtype", "param_dtype", "version")},
+        "vocab_size": tk.get_vocab_size() + 8,
+    })
+    params = _v4_params(jax.random.PRNGKey(1), v4cfg)
+    model_pth = str(tmp_path / "v4.pth")
+    save_torch_pth(model_pth, params_to_state_dict(params, v4cfg))
+
+    from rwkv_lm_ext_tpu.serve.cli import _parse, build_service
+
+    svc = build_service(_parse([
+        "--model", model_pth, "--dtype", "float32",
+        "--tokenizer-json", tok_path,
+    ]))
+    assert svc.engine.cfg.version == 4.0
+    out = svc.handle("/generate", {"prompt": "hello", "max_tokens": 3,
+                                   "temperature": 0.0, "token_stop": []})
+    assert isinstance(out["output"], str)
+
+
 def test_serve_cli_cross_needs_head(tmp_path):
     params = init_rwkv_params(jax.random.PRNGKey(0), CFG, fast_init=True)
     model_pth = str(tmp_path / "base.pth")
