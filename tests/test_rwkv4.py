@@ -183,3 +183,22 @@ def test_v4_generation_through_engine(params):
         logits, st = rwkv4_forward(params, CFG, jnp.asarray([[cur]]), st)
         cur = int(jnp.argmax(logits[0, -1]))
     assert out == want
+
+
+def test_v4_continuous_batching(params):
+    """The slot-pool batcher serves v4 (state scatter works on the
+    aa/bb/pp layout): outputs match standalone greedy generation."""
+    from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
+
+    sp = SamplingParams(temperature=0.0, alpha_presence=0.0,
+                        alpha_frequency=0.0, token_stop=())
+    eng = GenerationEngine(params, CFG)
+    prompts = [[5, 9, 23], [77, 3]]
+    expected = [eng.generate(p, max_tokens=4, sampling=sp) for p in prompts]
+    batcher = ContinuousBatcher(eng, n_slots=2, sampling=sp)
+    rids = [batcher.submit(p, max_tokens=4) for p in prompts]
+    results = batcher.run()
+    for rid, want in zip(rids, expected):
+        assert results[rid] == want
