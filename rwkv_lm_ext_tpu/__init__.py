@@ -37,6 +37,8 @@ def __getattr__(name):
         "WorldTokenizer": "rwkv_lm_ext_tpu.data",
         "GenerationEngine": "rwkv_lm_ext_tpu.infer",
         "SamplingParams": "rwkv_lm_ext_tpu.infer",
+        "ContinuousBatcher": "rwkv_lm_ext_tpu.infer",
+        "SpeculativeEngine": "rwkv_lm_ext_tpu.infer",
         "rwkv_forward": "rwkv_lm_ext_tpu.models",
         "init_rwkv_params": "rwkv_lm_ext_tpu.models",
     }

@@ -31,6 +31,10 @@ STAGES = {
     "decode_int8c": ("scripts/bench_batched_decode.py", [], {"INT8": "int8c"}),
     "encoder_train": ("scripts/bench_encoder_train.py", ["pallas"], {}),
     "speculative": ("scripts/bench_speculative.py", [], {}),
+    # the headline embed metric on the int8c native-compute path (int8
+    # MXU GEMMs); meets the <=1e-3 embedding-cosine acceptance vs its
+    # fp32 base (test_quant_kg int8c drift test)
+    "embed_int8c": ("bench.py", [], {"BENCH_QUANT": "int8c"}),
 }
 
 
