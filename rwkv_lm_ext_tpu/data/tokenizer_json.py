@@ -48,14 +48,15 @@ class _StreamingDecoder:
     def push(self, token_id: int) -> str:
         self._ids.append(int(token_id))
         text = self._tk.decode(self._ids)
-        # hold back anything that could still change: the last character
-        # may be half of a byte pair, and U+FFFD marks incomplete bytes
+        # hold back only the TRAILING run of U+FFFD — those may still be
+        # completed by the next token's bytes. An interior U+FFFD is
+        # permanent (later bytes cannot repair an earlier invalid
+        # sequence), so it must be emitted, not held forever.
         stable_end = len(text)
-        if text.endswith("�"):
-            stable_end = text.rfind("�")
+        while stable_end > 0 and text[stable_end - 1] == "�":
+            stable_end -= 1
+        stable_end = max(stable_end, self._emitted)  # never rewind
         piece = text[self._emitted:stable_end]
-        if "�" in piece:
-            return ""
         self._emitted = stable_end
         return piece
 

@@ -206,7 +206,13 @@ def sample_token_rows(
     logits/occurrences: (B, V); rows: slot_params(B, ...); sp supplies
     the global knobs (top_k, token_ban, impl selectors). Rows whose
     temperature is 0 decode greedily (argmax of the filtered logits,
-    matching sample_token's temperature=0.0 contract)."""
+    matching sample_token's temperature=0.0 contract).
+
+    Cost note: top_p is PER-ROW (dynamic), so the nucleus filter always
+    executes — unlike the global sample_token, which skips it statically
+    at top_p >= 1.0. A batcher whose every request disables top_p still
+    pays the (B, V) sort (or bisect) per step; use top_p_impl="bisect"
+    there if it matters."""
     logits = logits.astype(jnp.float32)
     if sp.token_ban:
         ban = jnp.array(sp.token_ban)

@@ -239,13 +239,19 @@ class SpeculativeEngine:
     # -- helpers -----------------------------------------------------------
 
     def _prefill(self, fwd, params, cfg, ids: List[int], state=None):
+        from rwkv_lm_ext_tpu.infer.engine import _chunk_plan
+
         if state is None:
             state = init_model_state(cfg, 1)
         tok = jnp.asarray(ids, jnp.int32)
         logits = None
-        for off in range(0, len(ids), self.chunk_len):
-            piece = tok[off : off + self.chunk_len][None]
+        # bucketed chunking: ~log2(chunk_len) compiled shapes per model,
+        # not one per distinct prompt-length remainder
+        off = 0
+        for size in _chunk_plan(len(ids), self.chunk_len):
+            piece = tok[off : off + size][None]
             logits, state = fwd(params, piece, state)
+            off += size
         assert logits is not None, "empty prompt"
         return logits[0, -1], state
 
@@ -277,16 +283,24 @@ class SpeculativeEngine:
             ids = list(prompt)
 
         sampled = sampling is not None and sampling.temperature > 0.0
-        if sampled:
+        if sampling is not None:
             if (sampling.alpha_presence != 0.0
                     or sampling.alpha_frequency != 0.0
                     or sampling.repetition_penalty != 1.0):
                 raise ValueError(
-                    "speculative sampling cannot honor occurrence/"
+                    "speculative decoding cannot honor occurrence/"
                     "repetition penalties (history-dependent); set them "
                     "to 0/1 or use GenerationEngine.generate"
                 )
+            # one rule for BOTH modes: a provided SamplingParams is the
+            # source of truth for token_stop
             token_stop = sampling.token_stop
+            if not sampled and sampling.token_ban:
+                raise ValueError(
+                    "greedy speculative mode verifies by raw argmax and "
+                    "cannot honor token_ban; use temperature > 0"
+                )
+        if sampled:
             d_scan_s, verify_accept = self._sampled_programs(sampling)
             key = jax.random.PRNGKey(seed)
 

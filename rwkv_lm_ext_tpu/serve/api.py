@@ -55,6 +55,9 @@ class ServingService:
         self._driver = None
         self._lock = threading.Lock()
         self._fill_mask_jit = {}
+        # stats have their own lock: handler threads mutate them while
+        # another request may hold _lock for a long generate
+        self._stats_lock = threading.Lock()
         self._counts: Dict[str, int] = {}
         self._spec_totals = {"rounds": 0, "proposed": 0, "accepted": 0}
 
@@ -140,6 +143,7 @@ class ServingService:
                     sampling=eff if eff.temperature > 0.0 else None,
                     return_stats=True,
                 )
+            with self._stats_lock:
                 self._spec_totals["rounds"] += st.rounds
                 self._spec_totals["proposed"] += st.proposed
                 self._spec_totals["accepted"] += st.accepted
@@ -241,7 +245,9 @@ class ServingService:
     def stats(self) -> Dict:
         """Serving observability: which generate backends ran, batcher
         occupancy, aggregate speculative acceptance."""
-        out: Dict = {"requests": dict(self._counts)}
+        with self._stats_lock:
+            out: Dict = {"requests": dict(self._counts)}
+            t = dict(self._spec_totals)
         if self.batcher is not None:
             out["batcher"] = {
                 "n_slots": self.batcher.n_slots,
@@ -251,7 +257,6 @@ class ServingService:
                 "queued": len(self.batcher._queue),
             }
         if self.spec is not None:
-            t = self._spec_totals
             out["speculative"] = dict(
                 t, acceptance=(
                     t["accepted"] / t["proposed"] if t["proposed"] else 0.0
@@ -261,7 +266,8 @@ class ServingService:
 
     # ---- dispatch --------------------------------------------------
     def handle(self, route: str, payload: Dict) -> Dict:
-        self._counts[route] = self._counts.get(route, 0) + 1
+        with self._stats_lock:
+            self._counts[route] = self._counts.get(route, 0) + 1
         try:
             if route == "/stats":
                 return self.stats()
@@ -270,23 +276,12 @@ class ServingService:
                     payload["text"], payload.get("action", "default")
                 )
             if route == "/generate":
-                unknown = set(payload) - {
-                    "prompt", "max_tokens", *self._PER_REQUEST_KNOBS
-                }
-                if unknown:
-                    raise BadRequest(
-                        f"unsupported generate options: {sorted(unknown)}"
-                    )
-                knobs = {
-                    k: payload[k]
-                    for k in self._PER_REQUEST_KNOBS
-                    if k in payload
-                }
-                return self.generate(
-                    payload["prompt"],
-                    max_tokens=int(payload.get("max_tokens", 128)),
-                    **knobs,
-                )
+                # generate() is the single validation point: it rejects
+                # unknown options with BadRequest
+                opts = {k: v for k, v in payload.items() if k != "prompt"}
+                if "max_tokens" in opts:
+                    opts["max_tokens"] = int(opts["max_tokens"])
+                return self.generate(payload["prompt"], **opts)
             if route == "/fill_mask":
                 return self.fill_mask(
                     payload["text"],

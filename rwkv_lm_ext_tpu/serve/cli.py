@@ -195,17 +195,23 @@ def build_service(args):
                 truncated_draft,
             )
 
+            # build from engine.params — the engine holds the
+            # mesh-PLACED copy under --tp; the local gen_params is the
+            # unsharded original (a truncated self-draft then shares the
+            # placed buffers too)
             if args.draft:
                 d_params, d_cfg = load_rwkv_checkpoint(
                     args.draft, **overrides
                 )
+                d_params = place(d_params)
             else:
                 d_params, d_cfg = truncated_draft(
-                    gen_params, cfg, args.draft_layers
+                    engine.params, cfg, args.draft_layers
                 )
             spec = SpeculativeEngine(
-                gen_params, cfg, d_params, d_cfg, tok,
+                engine.params, cfg, d_params, d_cfg, tok,
                 gamma=args.gamma, wkv_backend=enc_backend,
+                draft_wkv_backend=enc_backend,
             )
         if args.bi_adapter:
             bi_params, _ = merged(args.bi_adapter)
@@ -229,6 +235,7 @@ def build_service(args):
         encoder_params, encoder_cfg = load_rwkv_checkpoint(
             args.encoder, **overrides
         )
+        encoder_params = place(encoder_params)
 
     return ServingService(
         engine=engine,

@@ -163,6 +163,27 @@ def test_sampled_runs_with_mismatched_draft(target, draft):
     assert 0.0 <= stats.acceptance <= 1.0
 
 
+def test_greedy_honors_sampling_token_stop(target, draft):
+    """A provided SamplingParams is the source of truth for token_stop
+    in BOTH modes; greedy mode rejects token_ban (raw-argmax verify)."""
+    eng = GenerationEngine(target, T_CFG, wkv_backend="reference")
+    full = eng.generate([5, 9, 23], max_tokens=8, sampling=PLAIN_GREEDY)
+    stop = full[3]
+    spec = SpeculativeEngine(
+        target, T_CFG, draft, D_CFG, gamma=3,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    sp_stop = SamplingParams(temperature=0.0, alpha_presence=0.0,
+                             alpha_frequency=0.0, token_stop=(stop,))
+    out = spec.generate([5, 9, 23], max_tokens=8, sampling=sp_stop)
+    assert out == full[:3]
+    with pytest.raises(ValueError, match="token_ban"):
+        spec.generate([5], sampling=SamplingParams(
+            temperature=0.0, alpha_presence=0.0, alpha_frequency=0.0,
+            token_ban=(1,),
+        ))
+
+
 def test_sampled_rejects_history_penalties(target, draft):
     spec = SpeculativeEngine(
         target, T_CFG, draft, D_CFG, gamma=2,

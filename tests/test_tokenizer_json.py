@@ -52,6 +52,25 @@ def test_streaming_decoder_utf8_safe(tok_path):
     assert all("�" not in p for p in pieces[:-1])
 
 
+def test_streaming_decoder_recovers_after_invalid_byte(tok_path):
+    """A token decoding to a permanent U+FFFD (lone continuation byte —
+    routine when sampling a byte-level BPE) must not stall the stream:
+    later pushes keep emitting, with the replacement char surfaced once
+    it is no longer at the tail."""
+    from rwkv_lm_ext_tpu.data.tokenizer_json import JsonTokenizer
+
+    tok = JsonTokenizer(tok_path)
+    bad = next(
+        i for i in range(tok.vocab_size) if tok.decode([i]) == "�"
+    )
+    dec = tok.streaming_decoder()
+    assert dec.push(bad) == ""  # trailing: still completable, held
+    ids = tok.encode("hello")
+    emitted = "".join(dec.push(t) for t in ids) + dec.flush()
+    assert emitted.endswith("hello")  # the stream kept flowing
+    assert emitted.startswith("�")    # the permanent FFFD surfaced
+
+
 def test_engine_accepts_json_tokenizer(tok_path):
     """Duck-typed drop-in: GenerationEngine generates with it."""
     import jax
