@@ -87,3 +87,42 @@ def test_wkv4_matches_numpy():
     y1, s1 = wkv4(k[:, :9], v[:, :9], w, u)
     y2, s2 = wkv4(k[:, 9:], v[:, 9:], w, u, s1)
     np.testing.assert_allclose(jnp.concatenate([y1, y2], 1), y, rtol=1e-5, atol=1e-5)
+
+
+def test_wkv4_parallel_matches_sequential():
+    """The associative-scan formulation (O(log T) depth) matches the
+    sequential scan exactly in math (tree-order fp diffs only), with and
+    without a chained initial state."""
+    import jax
+
+    from rwkv_lm_ext_tpu.ops.wkv4 import wkv4, wkv4_parallel
+
+    B, T, C = 2, 33, 8
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    k = jax.random.normal(ks[0], (B, T, C)) * 2.0
+    v = jax.random.normal(ks[1], (B, T, C))
+    w = -jnp.exp(jax.random.normal(ks[2], (C,)))
+    u = jax.random.normal(ks[3], (C,))
+
+    y_s, (aa_s, bb_s, pp_s) = wkv4(k, v, w, u)
+    y_p, (aa_p, bb_p, pp_p) = wkv4_parallel(k, v, w, u)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                               rtol=1e-4, atol=1e-5)
+    # normalized states must agree (the (aa, bb, pp) representation is
+    # only unique up to the max-exponent shift): compare aa*e^pp style
+    # ratios via the states' effect on one more step
+    y2_s, _ = wkv4(k[:, :1], v[:, :1], w, u, (aa_s, bb_s, pp_s))
+    y2_p, _ = wkv4(k[:, :1], v[:, :1], w, u, (aa_p, bb_p, pp_p))
+    np.testing.assert_allclose(np.asarray(y2_p), np.asarray(y2_s),
+                               rtol=1e-4, atol=1e-5)
+
+    # chained: parallel over two halves == sequential over the whole
+    y1, s1 = wkv4_parallel(k[:, :17], v[:, :17], w, u)
+    y2, s2 = wkv4_parallel(k[:, 17:], v[:, 17:], w, u, s1)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], 1)), np.asarray(y_s),
+        rtol=1e-4, atol=1e-5,
+    )
+    y3_s, _ = wkv4(k[:, :1], v[:, :1], w, u, s2)
+    np.testing.assert_allclose(np.asarray(y3_s), np.asarray(y2_s),
+                               rtol=1e-4, atol=1e-5)
