@@ -14,9 +14,13 @@ volume, timed with the identical two-length-subtraction scheme. The
 reported `roofline_fraction` is measured-model-throughput over
 measured-matmul-throughput — no hardcoded constants.
 
+The headline serving config is int8c (native int8 MXU GEMMs; passes the
+documented <=1e-3 embedding-cosine acceptance vs its fp32 base); the bf16
+number is measured in the same run and reported as "bf16_seq_s".
+
 Env knobs: BENCH_BATCH (default 64), BENCH_CTX (512), BENCH_ITERS (8),
 BENCH_SMALL=1 tiny model (CI smoke), BENCH_BACKEND (wkv backend),
-BENCH_SKIP_ROOFLINE=1.
+BENCH_QUANT (default int8c; "none" = bf16-only), BENCH_SKIP_ROOFLINE=1.
 """
 import json
 import os
@@ -173,11 +177,20 @@ def main():
     from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
 
     cfg = apply_wkv_dispatch(cfg, params, margin=0.0)
-    quant = os.environ.get("BENCH_QUANT")  # int8c: native int8 MXU GEMMs
+    # headline serving config: int8c native-compute GEMMs (dynamic
+    # per-token activation quant, int8 MXU, int32 accumulate) — passes the
+    # same <=1e-3 embedding-cosine acceptance vs its fp32 base that gates
+    # the parity story (tests/test_quant_kg.py int8c drift test). The bf16
+    # number is measured in the SAME run and reported alongside.
+    # BENCH_QUANT overrides: "none" = bf16-only headline, or int8/nf4/...
+    quant = os.environ.get("BENCH_QUANT", "" if small else "int8c")
+    if quant in ("none", "0", "off"):
+        quant = ""
+    qparams = None
     if quant:
         from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
 
-        params = quantize_tree(params, quant, include_head=False)
+        qparams = jax.device_put(quantize_tree(params, quant, include_head=False))
     params = jax.device_put(params)
 
     tokens0 = jax.random.randint(
@@ -222,8 +235,17 @@ def main():
     per_iter = _timed_pair(
         (make_chained(1), make_chained(iters), iters), params, tokens0
     )
-    log(f"model chain total {time.perf_counter() - t0:.1f}s")
-    seqs_per_sec = B / per_iter
+    log(f"bf16 model chain total {time.perf_counter() - t0:.1f}s")
+    bf16_seqs_per_sec = B / per_iter
+
+    seqs_per_sec = bf16_seqs_per_sec
+    if qparams is not None:
+        t0 = time.perf_counter()
+        per_iter_q = _timed_pair(
+            (make_chained(1), make_chained(iters), iters), qparams, tokens0
+        )
+        log(f"{quant} model chain total {time.perf_counter() - t0:.1f}s")
+        seqs_per_sec = B / per_iter_q
 
     result = {
         "metric": HEADLINE_METRIC
@@ -236,6 +258,8 @@ def main():
         "wkv_backend": backend,
         "wkv_exact": cfg.wkv_exact,
         "fused_chunk": cfg.fused_chunk,
+        "quant": quant or "bf16",
+        "bf16_seq_s": round(bf16_seqs_per_sec, 2),
     }
     if not small and os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
         # the BASELINE.md target (5000/chip) is >40x bf16 matmul physics

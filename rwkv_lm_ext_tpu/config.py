@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from typing import Union
 
 import jax.numpy as jnp
 
@@ -132,8 +133,9 @@ class TrainConfig:
     # layerwise lr multipliers by parameter-name pattern
     # (reference src/model.py:1007-1068 lr_1x/2x/3x groups)
     layerwise_lr: bool = True
-    # remat (activation checkpointing) per block
-    grad_checkpoint: bool = True
+    # remat (activation checkpointing) per block: False | True |
+    # "dots"/"dots_nobatch" selective policies (utils.remat)
+    grad_checkpoint: Union[bool, str] = True
     # TBPTT chunk length for infinite-context training (0 = off)
     chunk_ctx: int = 0
     # mesh axes sizes; data parallel is the default axis

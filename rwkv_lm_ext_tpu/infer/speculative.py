@@ -266,6 +266,7 @@ class SpeculativeEngine:
         sampling: Optional[SamplingParams] = None,
         seed: int = 0,
         return_stats: bool = False,
+        callback=None,
     ):
         """Speculative generation.
 
@@ -326,6 +327,8 @@ class SpeculativeEngine:
             if c in stop or len(out) >= max_tokens:
                 break
             out.append(c)
+            if callback is not None:
+                callback(c)
             if len(out) >= max_tokens:
                 break
             # snapshots: rejection rolls both models back to here
@@ -376,6 +379,8 @@ class SpeculativeEngine:
                     stopped = True
                     break
                 out.append(t)
+                if callback is not None:
+                    callback(t)
             if stopped:
                 break
             cur = jnp.asarray(nxt, jnp.int32)

@@ -169,7 +169,9 @@ def encoder_forward(
 
     for i, bp in enumerate(params["blocks"]):
         if remat:
-            x = jax.checkpoint(run, static_argnums=(2,))(bp, x, i)
+            from rwkv_lm_ext_tpu.utils.remat import remat_wrap
+
+            x = remat_wrap(run, remat, static_argnums=(2,))(bp, x, i)
         else:
             x = run(bp, x, i)
     return layer_norm(x, params["ln_out"])

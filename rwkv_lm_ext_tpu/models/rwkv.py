@@ -728,10 +728,12 @@ def rwkv_forward(
             ls = (
                 state["att_shift"][i], state["wkv"][i], state["ffn_shift"][i]
             )
-        fn = run_block
         if remat:
-            fn = jax.checkpoint(
-                functools.partial(run_block, layer_id=i), static_argnums=()
+            from rwkv_lm_ext_tpu.utils.remat import remat_wrap
+
+            fn = remat_wrap(
+                functools.partial(run_block, layer_id=i), remat,
+                static_argnums=(),
             )
             x, ls = fn(bp, x, ls)
         else:

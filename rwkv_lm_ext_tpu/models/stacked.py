@@ -149,7 +149,9 @@ def rwkv_forward_stacked(
         return x, ls
 
     if remat:
-        body = jax.checkpoint(body)
+        from rwkv_lm_ext_tpu.utils.remat import remat_wrap
+
+        body = remat_wrap(body, remat)
 
     x, (a_s, w_s, f_s) = jax.lax.scan(
         body,

@@ -7,6 +7,11 @@ Covers the reference's two demo services with one service object:
   with cumulative-probability cutoff), POST /similarity {"texts_a",
   "texts_b"}, plus /embed, /rerank, /generate.
 
+/generate with "stream": true answers as text/event-stream: one
+data: {"token": piece} event per UTF-8-safe decoded piece as tokens are
+produced (all three generate backends), then a final
+data: {"done": true, "output": ..., "backend": ...} event.
+
 Transport: stdlib ThreadingHTTPServer JSON endpoints (zero deps; the TPU
 runtime handles requests sequentially per service object), or a FastAPI
 app via make_fastapi_app when fastapi is installed.
@@ -106,16 +111,41 @@ class ServingService:
         "alpha_decay", "repetition_penalty", "token_stop",
     )
 
-    def generate(self, prompt: str, **gen_kw) -> Dict:
-        assert self.engine is not None
-        import dataclasses
-
+    def _validate_gen_opts(self, gen_kw: Dict) -> int:
+        """Reject unknown options and pop max_tokens (shared by the
+        blocking and streaming paths — one validation point)."""
         unknown = set(gen_kw) - {"max_tokens", *self._PER_REQUEST_KNOBS}
         if unknown:
             raise BadRequest(f"unsupported generate options: {sorted(unknown)}")
-        max_tokens = int(gen_kw.pop("max_tokens", 128))
         if "token_stop" in gen_kw:
             gen_kw["token_stop"] = tuple(gen_kw["token_stop"])
+        return int(gen_kw.pop("max_tokens", 128))
+
+    def _token_stream_cb(self, tokenizer, stream_cb):
+        """Wrap a text callback into a token-id callback with UTF-8-safe
+        incremental decoding; returns (cb, finish)."""
+        decoder = tokenizer.streaming_decoder()
+
+        def cb(tid: int) -> None:
+            piece = decoder.push(tid)
+            if piece:
+                stream_cb(piece)
+
+        def finish() -> None:
+            tail = decoder.flush()
+            if tail:
+                stream_cb(tail)
+
+        return cb, finish
+
+    def generate(self, prompt: str, *, stream_cb=None, **gen_kw) -> Dict:
+        """stream_cb: optional callable(text_piece) invoked as tokens are
+        produced (UTF-8-safe incremental decode on every backend); the
+        full result dict is still returned at the end."""
+        assert self.engine is not None
+        import dataclasses
+
+        max_tokens = self._validate_gen_opts(gen_kw)
         if self._driver is not None:
             # continuous batching: concurrent requests share the batched
             # decode step instead of serializing on the engine lock
@@ -123,10 +153,15 @@ class ServingService:
                 dataclasses.replace(self.batcher.sampling, **gen_kw)
                 if gen_kw else None
             )
-            ids = self._driver.submit_and_wait(
-                prompt, max_tokens=max_tokens, sampling=sp
-            )
             tok = self.batcher.engine.tokenizer
+            cb = finish = None
+            if stream_cb is not None and tok is not None:
+                cb, finish = self._token_stream_cb(tok, stream_cb)
+            ids = self._driver.submit_and_wait(
+                prompt, max_tokens=max_tokens, sampling=sp, callback=cb
+            )
+            if finish is not None:
+                finish()
             return {"output": tok.decode(ids) if tok else ids,
                     "backend": "batcher"}
         eff = SamplingParams(**gen_kw) if gen_kw else SamplingParams()
@@ -136,13 +171,21 @@ class ServingService:
                 and eff.repetition_penalty == 1.0):
             # speculative decoding honors penalty-free sampling exactly;
             # penalized requests fall through to the plain engine
+            cb = finish = None
+            if stream_cb is not None and self.spec.tokenizer is not None:
+                cb, finish = self._token_stream_cb(
+                    self.spec.tokenizer, stream_cb
+                )
             with self._lock:
                 out, st = self.spec.generate(
                     prompt, max_tokens=max_tokens,
                     token_stop=eff.token_stop,
                     sampling=eff if eff.temperature > 0.0 else None,
                     return_stats=True,
+                    callback=cb,
                 )
+            if finish is not None:
+                finish()
             with self._stats_lock:
                 self._spec_totals["rounds"] += st.rounds
                 self._spec_totals["proposed"] += st.proposed
@@ -151,9 +194,60 @@ class ServingService:
         with self._lock:
             out = self.engine.generate(
                 prompt, max_tokens=max_tokens,
+                callback=stream_cb,
                 **({"sampling": eff} if gen_kw else {}),
             )
         return {"output": out, "backend": "engine"}
+
+    def generate_sse(self, payload: Dict):
+        """Server-sent-events iterator for a streaming /generate request
+        (payload with "stream": true). Validates eagerly — a bad request
+        raises BadRequest BEFORE the first byte so the transport can
+        still answer 400; failures mid-stream are emitted as a final
+        {"error": ...} event. Yields SSE-encoded bytes:
+        data: {"token": piece} per decoded text piece, then
+        data: {"done": true, "output": ..., "backend": ...}."""
+        import queue
+
+        opts = {
+            k: v for k, v in payload.items()
+            if k not in ("prompt", "stream")
+        }
+        if "max_tokens" in opts:
+            opts["max_tokens"] = int(opts["max_tokens"])
+        if "prompt" not in payload:
+            raise BadRequest("missing field 'prompt'")
+        prompt = payload["prompt"]
+        self._validate_gen_opts(dict(opts))  # eager 400 on unknown knobs
+        with self._stats_lock:
+            self._counts["/generate"] = self._counts.get("/generate", 0) + 1
+
+        q: "queue.SimpleQueue" = queue.SimpleQueue()
+
+        def worker():
+            try:
+                result = self.generate(
+                    prompt, stream_cb=lambda piece: q.put(("token", piece)),
+                    **opts,
+                )
+                q.put(("done", result))
+            except BaseException as e:  # noqa: BLE001 — streamed to client
+                q.put(("error", str(e)))
+
+        def events():
+            threading.Thread(target=worker, daemon=True).start()
+            while True:
+                kind, val = q.get()
+                if kind == "token":
+                    yield _sse({"token": val})
+                elif kind == "done":
+                    yield _sse({"done": True, **val})
+                    return
+                else:
+                    yield _sse({"error": val})
+                    return
+
+        return events()
 
     def fill_mask(
         self, text: str, *, top_k: int = 10, cumulative_prob: float = 0.95
@@ -277,8 +371,18 @@ class ServingService:
                 )
             if route == "/generate":
                 # generate() is the single validation point: it rejects
-                # unknown options with BadRequest
-                opts = {k: v for k, v in payload.items() if k != "prompt"}
+                # unknown options with BadRequest. ("stream" is a
+                # transport option, handled by the HTTP layer — a truthy
+                # value only works there, so reject it here.)
+                opts = {
+                    k: v for k, v in payload.items()
+                    if k not in ("prompt", "stream")
+                }
+                if payload.get("stream"):
+                    raise BadRequest(
+                        "stream=true requires the SSE transport "
+                        "(serve_http / FastAPI)"
+                    )
                 if "max_tokens" in opts:
                     opts["max_tokens"] = int(opts["max_tokens"])
                 return self.generate(payload["prompt"], **opts)
@@ -297,6 +401,10 @@ class ServingService:
         except KeyError as e:
             raise BadRequest(f"missing field {e}") from e
         raise UnknownRoute(route)
+
+
+def _sse(obj: Dict) -> bytes:
+    return b"data: " + json.dumps(obj).encode() + b"\n\n"
 
 
 class UnknownRoute(Exception):
@@ -324,6 +432,18 @@ def serve_http(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/generate" and payload.get("stream"):
+                    # SSE: tokens stream as they are produced
+                    events = service.generate_sse(payload)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    for chunk in events:
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+                    return
                 result = service.handle(self.path, payload)
                 body = json.dumps(result).encode()
                 self.send_response(200)
@@ -357,6 +477,13 @@ def make_fastapi_app(service: ServingService):
     @app.post("/{route:path}")
     async def dispatch(route: str, request: Request):
         payload = await request.json()
+        if route == "generate" and payload.get("stream"):
+            from fastapi.responses import StreamingResponse
+
+            return StreamingResponse(
+                service.generate_sse(payload),
+                media_type="text/event-stream",
+            )
         return service.handle("/" + route, payload)
 
     return app

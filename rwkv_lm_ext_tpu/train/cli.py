@@ -43,10 +43,15 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--ctx-len", type=int, default=512)
     p.add_argument("--chunk-ctx", type=int, default=0, help="TBPTT (infctx)")
     p.add_argument(
-        "--grad-checkpoint", choices=["on", "off"], default="on",
+        "--grad-checkpoint", choices=["on", "off", "dots", "dots_nobatch"],
+        default="on",
         help="per-block activation remat (reference grad_cp). 'off' "
         "trades ~25%% recompute flops for activation memory — wins when "
-        "the batch fits (e.g. LoRA 1B6 B8 ctx512 on a 16 GB chip)",
+        "the batch fits (e.g. LoRA 1B6 B8 ctx512 on a 16 GB chip); "
+        "'dots'/'dots_nobatch' are selective policies that keep matmul "
+        "outputs resident and recompute only elementwise chains — near "
+        "'off' speed at a fraction of its activation memory "
+        "(utils.remat)",
     )
     p.add_argument("--dp", type=int, default=0, help="0 = all devices")
     p.add_argument("--tp", type=int, default=1)
@@ -82,6 +87,12 @@ def _load_base(args):
     return params, cfg
 
 
+def _normalize_remat(spec):
+    from rwkv_lm_ext_tpu.utils.remat import normalize_remat
+
+    return normalize_remat(spec)
+
+
 def _train_config(args, total_steps: int):
     from rwkv_lm_ext_tpu.config import TrainConfig
 
@@ -96,7 +107,7 @@ def _train_config(args, total_steps: int):
         micro_bsz=args.micro_bsz,
         accumulate_grad_batches=args.accumulate_grad_batches,
         chunk_ctx=args.chunk_ctx,
-        grad_checkpoint=args.grad_checkpoint == "on",
+        grad_checkpoint=_normalize_remat(args.grad_checkpoint),
         seed=args.seed,
     )
 

@@ -88,7 +88,9 @@ def tbptt_loss_fn(
         loss = causal_lm_loss(logits, lb, l2_wrap=False)
         return (state, loss_sum + loss * valid, n_sum + valid), None
 
-    body = jax.checkpoint(chunk_step) if remat else chunk_step
+    from rwkv_lm_ext_tpu.utils.remat import remat_wrap
+
+    body = remat_wrap(chunk_step, remat) if remat else chunk_step
     (state, loss_sum, n_sum), _ = jax.lax.scan(
         body, (state0, jnp.zeros(()), jnp.zeros((), jnp.int32)), (tok_c, lab_c)
     )

@@ -26,7 +26,10 @@ B = int(os.environ.get("TRAIN_BATCH", "8"))
 T = int(os.environ.get("TRAIN_CTX", "512"))
 ITERS = int(os.environ.get("TRAIN_ITERS", "4"))
 TRAIN_TYPE = os.environ.get("TRAIN_TYPE", "lora")
-REMAT = os.environ.get("REMAT", "1") == "1"
+# REMAT: 1/0/full/off or a selective policy name (dots / dots_nobatch)
+from rwkv_lm_ext_tpu.utils.remat import normalize_remat
+
+REMAT = normalize_remat(os.environ.get("REMAT", "1"))
 
 cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))

@@ -205,3 +205,48 @@ def test_per_request_initial_states(engine):
     results = batcher.run()
     assert results[r1] == exp_plain
     assert results[r2] == exp_tuned
+
+
+def test_service_stream_cb_batcher_path(engine):
+    """ServingService.generate(stream_cb=...) on the batcher path:
+    incremental pieces concatenate to the final output."""
+    from rwkv_lm_ext_tpu.serve.api import ServingService
+
+    class CharTok:
+        def encode(self, s):
+            return [ord(c) % 180 + 10 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr((i - 10) % 180 + 40) for i in ids)
+
+        def streaming_decoder(self):
+            outer = self
+
+            class _D:
+                def push(self, t):
+                    return outer.decode([t])
+
+                def flush(self):
+                    return ""
+
+            return _D()
+
+    engine.tokenizer = CharTok()
+    try:
+        sp = SamplingParams(temperature=0.0, token_stop=())
+        batcher = ContinuousBatcher(engine, n_slots=2, sampling=sp)
+        svc = ServingService(
+            engine=engine, batcher=batcher, tokenizer=engine.tokenizer
+        )
+        svc.warmup(max_tokens=1)
+        pieces = []
+        out = svc.generate(
+            "abc", max_tokens=5, stream_cb=pieces.append,
+            temperature=0.0, token_stop=[],
+        )
+        assert out["backend"] == "batcher"
+        assert "".join(pieces) == out["output"]
+        assert len(pieces) >= 1
+        svc._driver.close()
+    finally:
+        engine.tokenizer = None

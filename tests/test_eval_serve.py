@@ -106,7 +106,7 @@ def service():
         def streaming_decoder(self):
             class _D:
                 def push(self, t):
-                    return ""
+                    return chr((t - 10) % 60000)
 
                 def flush(self):
                     return ""
@@ -195,6 +195,55 @@ def test_http_server_roundtrip(service):
             urllib.request.urlopen(req, timeout=60)
     finally:
         server.shutdown()
+
+
+def test_generate_sse_stream(service):
+    """Streaming /generate: SSE events carry every decoded piece; the
+    concatenation equals the final output; errors 400 before streaming."""
+    from rwkv_lm_ext_tpu.serve import serve_http
+    from rwkv_lm_ext_tpu.serve.api import BadRequest
+
+    server = serve_http(service, host="127.0.0.1", port=0, warmup=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(
+                {"prompt": "ab", "max_tokens": 4, "stream": True,
+                 "temperature": 0.0, "token_stop": []}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            events = []
+            for line in resp:
+                line = line.strip()
+                if line.startswith(b"data: "):
+                    events.append(json.loads(line[6:]))
+        assert events and events[-1].get("done") is True
+        pieces = "".join(e["token"] for e in events[:-1])
+        assert events[-1]["output"] == pieces
+        assert events[-1]["backend"] == "engine"
+
+        # unknown option -> 400 BEFORE any bytes stream
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(
+                {"prompt": "ab", "stream": True, "beam_width": 3}
+            ).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+    # non-SSE transports reject stream=true explicitly
+    with pytest.raises(BadRequest, match="stream"):
+        service.handle("/generate", {"prompt": "ab", "stream": True})
 
 
 def test_eval_cli_sts(tmp_path):

@@ -78,3 +78,44 @@ def test_dropout_train_vs_eval():
     l_a, _ = rwkv_forward(params, cfg, tokens, dropout_rng=jax.random.PRNGKey(2))
     l_b, _ = rwkv_forward(params, cfg, tokens, dropout_rng=jax.random.PRNGKey(3))
     assert not np.allclose(l_a, l_b)
+
+
+def test_remat_policies_match_gradients():
+    """Selective remat policies (utils.remat) are numerically identical to
+    full remat and no remat — loss and grads agree across all modes."""
+    from rwkv_lm_ext_tpu.train.loop import sft_loss_fn
+    from rwkv_lm_ext_tpu.utils.remat import normalize_remat
+
+    cfg = ModelConfig(**BASE)
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 4, 100)
+    batch = {"input_ids": tokens, "labels": tokens}
+
+    def loss(p, mode):
+        out = sft_loss_fn(p, cfg, batch, remat=mode)
+        return out[0] if isinstance(out, tuple) else out
+
+    ref_l = ref_g = None
+    for mode in (False, True, "dots", "dots_nobatch"):
+        l, g = jax.value_and_grad(lambda p: loss(p, mode))(params)
+        if ref_l is None:
+            ref_l, ref_g = l, g
+        else:
+            np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(ref_g)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+                )
+
+    assert normalize_remat("on") is True
+    assert normalize_remat("off") is False
+    assert normalize_remat("dots") == "dots"
+    assert normalize_remat(True) is True
+    try:
+        normalize_remat("bogus")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("bogus remat spec must raise")

@@ -210,3 +210,17 @@ def test_stop_token(target, draft):
     )
     out = spec.generate([5, 9, 23], max_tokens=8, token_stop=(stop,))
     assert out == expected == full[:3]
+
+
+def test_callback_streams_every_emitted_token(target, draft):
+    """generate(callback=...) sees exactly the emitted token ids, in
+    order, across accepted bursts and corrections."""
+    spec = SpeculativeEngine(
+        target, T_CFG, draft, D_CFG, gamma=4,
+        wkv_backend="reference", draft_wkv_backend="reference",
+    )
+    seen = []
+    out = spec.generate(
+        [5, 9, 23, 7], max_tokens=10, token_stop=(), callback=seen.append
+    )
+    assert seen == out, (seen, out)
