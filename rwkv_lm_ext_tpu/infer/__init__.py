@@ -10,3 +10,4 @@ from rwkv_lm_ext_tpu.infer.sampling import (  # noqa: F401
 from rwkv_lm_ext_tpu.infer.engine import GenerationEngine  # noqa: F401
 from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher  # noqa: F401
 from rwkv_lm_ext_tpu.infer.speculative import SpeculativeEngine  # noqa: F401
+from rwkv_lm_ext_tpu.infer.state_cache import PrefixStateCache  # noqa: F401

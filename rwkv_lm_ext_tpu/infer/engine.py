@@ -56,6 +56,7 @@ class GenerationEngine:
         chunk_len: int = 256,
         wkv_backend: str = "auto",
         mesh=None,
+        state_cache=None,
     ):
         """mesh: a jax.sharding.Mesh with ("dp", "tp") axes (parallel.
         make_mesh) shards the engine across chips — head-parallel TP for
@@ -78,6 +79,10 @@ class GenerationEngine:
         self.tokenizer = tokenizer
         self.chunk_len = chunk_len
         self.wkv_backend = wkv_backend
+        # optional infer.state_cache.PrefixStateCache: prompts sharing a
+        # cached prefix skip re-prefilling it (engaged only when prefill
+        # starts from scratch — explicit initial states bypass it)
+        self.state_cache = state_cache
 
         def fwd(params, tokens, state):
             return rwkv_forward(
@@ -110,17 +115,30 @@ class GenerationEngine:
     def prefill(
         self, tokens: Sequence[int], state=None
     ) -> Tuple[jax.Array, dict]:
-        """Run the prompt; returns (last-token logits (V,), state)."""
+        """Run the prompt; returns (last-token logits (V,), state).
+
+        With a state_cache attached and no explicit initial state, the
+        longest cached strict prefix is resumed (its state is an exact
+        equal of full prefill's at that position) and only the remainder
+        runs; the final state is inserted back for future prompts."""
+        use_cache = state is None and self.state_cache is not None
+        consumed = 0
+        if use_cache:
+            cached, consumed = self.state_cache.lookup(tokens)
+            if cached is not None:
+                state = cached
         if state is None:
             state = self.init_state(1)
         tok = jnp.asarray(tokens, jnp.int32)
         logits = None
-        off = 0
-        for size in _chunk_plan(len(tokens), self.chunk_len):
+        off = consumed
+        for size in _chunk_plan(len(tokens) - consumed, self.chunk_len):
             piece = tok[off : off + size][None]
             logits, state = self._fwd(self.params, piece, state)
             off += size
         assert logits is not None, "empty prompt"
+        if use_cache:
+            self.state_cache.insert(tokens, state)
         return logits[0, -1], state
 
     def generate_on_device(

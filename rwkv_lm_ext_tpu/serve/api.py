@@ -356,6 +356,8 @@ class ServingService:
                     t["accepted"] / t["proposed"] if t["proposed"] else 0.0
                 ),
             )
+        if self.engine is not None and self.engine.state_cache is not None:
+            out["prefix_cache"] = self.engine.state_cache.stats()
         return out
 
     # ---- dispatch --------------------------------------------------

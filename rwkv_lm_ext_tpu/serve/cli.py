@@ -68,6 +68,11 @@ def _parse(argv=None):
                    help="bidirectional encoder .pth for /fill_mask")
     p.add_argument("--batcher-slots", type=int, default=0,
                    help="enable continuous batching for /generate")
+    p.add_argument("--prefix-cache", type=int, default=0, metavar="N",
+                   help="LRU prompt-prefix state cache with N entries: "
+                        "prompts sharing a cached prefix (system prompts, "
+                        "chat history) skip re-prefilling it (~13 MB HBM "
+                        "per entry at 1B6)")
     p.add_argument("--draft", default=None,
                    help="smaller RWKV .pth: speculative decoding for "
                         "penalty-free /generate (single-stream latency; "
@@ -174,8 +179,14 @@ def build_service(args):
             gen_params, _ = merged(args.chat_adapter, args.pissa_init)
         if args.quant:
             gen_params = quantize_tree(gen_params, mode=args.quant)
+        cache = None
+        if args.prefix_cache:
+            from rwkv_lm_ext_tpu.infer.state_cache import PrefixStateCache
+
+            cache = PrefixStateCache(capacity=args.prefix_cache)
         engine = GenerationEngine(
-            gen_params, cfg, tok, mesh=mesh, wkv_backend=enc_backend
+            gen_params, cfg, tok, mesh=mesh, wkv_backend=enc_backend,
+            state_cache=cache,
         )
 
         if args.states_config:
