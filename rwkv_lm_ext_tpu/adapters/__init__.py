@@ -21,3 +21,9 @@ from rwkv_lm_ext_tpu.adapters.lora import (  # noqa: F401
     lora_tree_to_state_dict,
 )
 from rwkv_lm_ext_tpu.adapters.registry import AdapterRegistry  # noqa: F401
+from rwkv_lm_ext_tpu.adapters.slot_lora import (  # noqa: F401
+    SlotLoraLeaf,
+    build_slot_lora,
+    set_slot_idx,
+    has_slot_lora,
+)

@@ -45,6 +45,8 @@ class _Request:
     out_ids: List[int] = dataclasses.field(default_factory=list)
     callback: Optional[Callable[[int], None]] = None
     initial_state: Optional[object] = None   # e.g. a named tuned state
+    adapter: Optional[str] = None            # slot-lora adapter name
+    adapter_id: int = 0                      # 0 = base
 
 
 # knobs compiled into the batched step — every request must share them
@@ -88,6 +90,16 @@ class ContinuousBatcher:
         self._rows = slot_params(n_slots, sampling)
         self._state = engine.init_state(n_slots)
 
+        # per-slot multi-adapter LoRA (adapters.slot_lora): each slot
+        # decodes under its request's adapter inside the shared step
+        from rwkv_lm_ext_tpu.adapters.slot_lora import has_slot_lora
+
+        self._slot_lora = has_slot_lora(params)
+        self._slot_idx = (
+            jnp.zeros((n_slots,), jnp.int32) if self._slot_lora else None
+        )
+        self._slotted_params = self._reslot_params(params)
+
         sp = sampling
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
@@ -127,12 +139,22 @@ class ContinuousBatcher:
 
         self._first_sample = first_sample
 
+    def _reslot_params(self, params=None):
+        """The step's param tree with the current per-slot adapter
+        indices baked into every SlotLoraLeaf (host-side rewrap)."""
+        params = self.engine.params if params is None else params
+        if not self._slot_lora:
+            return params
+        from rwkv_lm_ext_tpu.adapters.slot_lora import set_slot_idx
+
+        return set_slot_idx(params, self._slot_idx)
+
     # -- public API ------------------------------------------------------
 
     def submit(self, prompt, *, max_tokens: int = 128,
                sampling: Optional[SamplingParams] = None,
                callback: Optional[Callable[[int], None]] = None,
-               initial_state=None) -> int:
+               initial_state=None, adapter: Optional[str] = None) -> int:
         """Queue a request; returns its id. Accepts text (needs the
         engine's tokenizer) or token ids. sampling overrides the
         batcher's default per request (temperature/top_p/penalties/
@@ -153,6 +175,12 @@ class ContinuousBatcher:
                         f"{getattr(sampling, knob)!r}, batcher has "
                         f"{getattr(self.sampling, knob)!r}"
                     )
+        aid = 0
+        if adapter is not None and adapter != "base":
+            ids_map = getattr(self.engine, "adapter_ids", None)
+            if not self._slot_lora or not ids_map or adapter not in ids_map:
+                raise ValueError(f"unknown adapter {adapter!r}")
+            aid = ids_map[adapter]
         if isinstance(prompt, str):
             ids = self.engine.tokenizer.encode(prompt)
         else:
@@ -161,7 +189,9 @@ class ContinuousBatcher:
         self._next_rid += 1
         self._queue.append(_Request(rid, ids, max_tokens, sampling,
                                     callback=callback,
-                                    initial_state=initial_state))
+                                    initial_state=initial_state,
+                                    adapter=adapter if aid else None,
+                                    adapter_id=aid))
         return rid
 
     @property
@@ -181,7 +211,7 @@ class ContinuousBatcher:
             self._tokens, tok0, self._occ, occ0,
         )
         tokens, state, occ, rng = self._step_fn(
-            eng.params, tokens, state, occ, rows, rng
+            self._slotted_params, tokens, state, occ, rows, rng
         )
         # the warmup donated the live buffers; rebuild a clean pool
         self._tokens = jnp.zeros((self.n_slots,), jnp.int32)
@@ -199,7 +229,7 @@ class ContinuousBatcher:
             self._finished.update(done)
             return done
         self._tokens, self._state, self._occ, self._rng = self._step_fn(
-            self.engine.params, self._tokens, self._state, self._occ,
+            self._slotted_params, self._tokens, self._state, self._occ,
             self._rows, self._rng,
         )
         toks = np.asarray(self._tokens)
@@ -238,8 +268,17 @@ class ContinuousBatcher:
             if self._slots[i] is not None or not self._queue:
                 continue
             req = self._queue.popleft()
+            pparams = None
+            if self._slot_lora:
+                from rwkv_lm_ext_tpu.adapters.slot_lora import set_slot_idx
+
+                pparams = set_slot_idx(
+                    self.engine.params,
+                    jnp.full((1,), req.adapter_id, jnp.int32),
+                )
             logits, single = self.engine.prefill(
-                req.prompt_ids, state=req.initial_state
+                req.prompt_ids, state=req.initial_state,
+                params=pparams, cache_salt=req.adapter,
             )
             row1 = slot_params(1, req.sampling)
             tok0, occ0, self._rng = self._first_sample(
@@ -261,6 +300,9 @@ class ContinuousBatcher:
                     self._tokens, tok0, self._occ, occ0,
                 )
             )
+            if self._slot_lora:
+                self._slot_idx = self._slot_idx.at[i].set(req.adapter_id)
+                self._slotted_params = self._reslot_params()
             self._slots[i] = req
         return done
 
@@ -316,6 +358,7 @@ class BatcherDriver:
         sampling: Optional[SamplingParams] = None,
         timeout: Optional[float] = None,
         callback: Optional[Callable[[int], None]] = None,
+        initial_state=None, adapter: Optional[str] = None,
     ) -> List[int]:
         with self._cv:
             if self._error is not None:
@@ -324,7 +367,8 @@ class BatcherDriver:
                 ) from self._error
             rid = self.batcher.submit(
                 prompt, max_tokens=max_tokens, sampling=sampling,
-                callback=callback,
+                callback=callback, initial_state=initial_state,
+                adapter=adapter,
             )
             self._cv.notify_all()
             ok = self._cv.wait_for(

@@ -57,6 +57,7 @@ class GenerationEngine:
         wkv_backend: str = "auto",
         mesh=None,
         state_cache=None,
+        adapter_ids=None,
     ):
         """mesh: a jax.sharding.Mesh with ("dp", "tp") axes (parallel.
         make_mesh) shards the engine across chips — head-parallel TP for
@@ -83,6 +84,9 @@ class GenerationEngine:
         # cached prefix skip re-prefilling it (engaged only when prefill
         # starts from scratch — explicit initial states bypass it)
         self.state_cache = state_cache
+        # name -> adapter id when params is a slot-lora tree
+        # (adapters.slot_lora.build_slot_lora's second return value)
+        self.adapter_ids = adapter_ids
 
         def fwd(params, tokens, state):
             return rwkv_forward(
@@ -113,18 +117,25 @@ class GenerationEngine:
         return state
 
     def prefill(
-        self, tokens: Sequence[int], state=None
+        self, tokens: Sequence[int], state=None, *, params=None,
+        cache_salt=None,
     ) -> Tuple[jax.Array, dict]:
         """Run the prompt; returns (last-token logits (V,), state).
 
         With a state_cache attached and no explicit initial state, the
         longest cached strict prefix is resumed (its state is an exact
         equal of full prefill's at that position) and only the remainder
-        runs; the final state is inserted back for future prompts."""
+        runs; the final state is inserted back for future prompts.
+        params overrides self.params (same tree structure — e.g. a
+        slot-lora tree with a different per-row adapter index);
+        cache_salt namespaces cache entries (states from different
+        adapters must never cross)."""
         use_cache = state is None and self.state_cache is not None
         consumed = 0
         if use_cache:
-            cached, consumed = self.state_cache.lookup(tokens)
+            cached, consumed = self.state_cache.lookup(
+                tokens, salt=cache_salt
+            )
             if cached is not None:
                 state = cached
         if state is None:
@@ -134,11 +145,13 @@ class GenerationEngine:
         off = consumed
         for size in _chunk_plan(len(tokens) - consumed, self.chunk_len):
             piece = tok[off : off + size][None]
-            logits, state = self._fwd(self.params, piece, state)
+            logits, state = self._fwd(
+                self.params if params is None else params, piece, state
+            )
             off += size
         assert logits is not None, "empty prompt"
         if use_cache:
-            self.state_cache.insert(tokens, state)
+            self.state_cache.insert(tokens, state, salt=cache_salt)
         return logits[0, -1], state
 
     def generate_on_device(
@@ -289,17 +302,36 @@ class GenerationEngine:
         seed: int = 0,
         callback: Optional[Callable[[str], None]] = None,
         return_state: bool = False,
+        adapter: Optional[str] = None,
     ):
         """Autoregressive sampling generation (the reference's generate,
         src/model_run.py:1264-1315: occurrence penalties, token ban/stop,
-        UTF-8-safe streaming callback)."""
+        UTF-8-safe streaming callback).
+
+        adapter: named per-request adapter on a slot-lora param tree
+        (adapters.slot_lora; the engine must have been built with one and
+        carry .adapter_ids). None/"base" = pristine base weights."""
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "need a tokenizer for str prompts"
             prompt_ids = self.tokenizer.encode(prompt)
         else:
             prompt_ids = list(prompt)
 
-        logits, state = self.prefill(prompt_ids, state)
+        params, salt = self.params, None
+        if adapter is not None and adapter != "base":
+            from rwkv_lm_ext_tpu.adapters.slot_lora import set_slot_idx
+
+            ids_map = getattr(self, "adapter_ids", None)
+            if not ids_map or adapter not in ids_map:
+                raise ValueError(f"unknown adapter {adapter!r}")
+            params = set_slot_idx(
+                self.params, jnp.full((1,), ids_map[adapter], jnp.int32)
+            )
+            salt = adapter
+
+        logits, state = self.prefill(
+            prompt_ids, state, params=params, cache_salt=salt
+        )
         occ = jnp.zeros((self.cfg.vocab_size,), jnp.float32)
         key = jax.random.PRNGKey(seed)
 
@@ -322,7 +354,7 @@ class GenerationEngine:
                 if piece:
                     callback(piece)
             token, state, occ, key = self._decode_and_sample(
-                self.params, token, state, occ, key, sampling
+                params, token, state, occ, key, sampling
             )
         if decoder is not None and callback is not None:
             tail = decoder.flush()

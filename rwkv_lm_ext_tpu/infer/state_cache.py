@@ -36,7 +36,8 @@ def _tree_copy(tree):
 
 
 class PrefixStateCache:
-    """LRU map  token-prefix -> recurrent state after consuming it.
+    """LRU map  (salt, token-prefix) -> recurrent state after consuming
+    it. salt namespaces entries (per-adapter in multi-LoRA serving).
 
     lookup() returns the longest cached key that is a STRICT prefix of
     the prompt (strict so at least one token is always prefilled and
@@ -56,31 +57,36 @@ class PrefixStateCache:
         self.hits = 0
         self.misses = 0
 
-    def lookup(self, tokens: Sequence[int]) -> Tuple[Optional[object], int]:
-        """Longest strict-prefix hit: (state copy, consumed) or (None, 0)."""
+    def lookup(
+        self, tokens: Sequence[int], *, salt=None
+    ) -> Tuple[Optional[object], int]:
+        """Longest strict-prefix hit: (state copy, consumed) or (None, 0).
+        salt namespaces entries (e.g. per-adapter — a state produced
+        under one adapter must never serve another)."""
         ids = tuple(tokens)
         best = None
         with self._lock:
-            for key in self._entries:
+            for skey, key in self._entries:
                 if (
-                    len(key) < len(ids)
-                    and (best is None or len(key) > len(best))
+                    skey == salt
+                    and len(key) < len(ids)
+                    and (best is None or len(key) > len(best[1]))
                     and ids[: len(key)] == key
                 ):
-                    best = key
+                    best = (skey, key)
             if best is None:
                 self.misses += 1
                 return None, 0
             self._entries.move_to_end(best)
             self.hits += 1
             state = self._entries[best]
-        return _tree_copy(state), len(best)
+        return _tree_copy(state), len(best[1])
 
-    def insert(self, tokens: Sequence[int], state) -> None:
+    def insert(self, tokens: Sequence[int], state, *, salt=None) -> None:
         """Cache the state reached after consuming tokens (stores a
         private device copy; no-op below min_prefix or on repeats)."""
-        key = tuple(tokens)
-        if len(key) < self.min_prefix:
+        key = (salt, tuple(tokens))
+        if len(key[1]) < self.min_prefix:
             return
         with self._lock:
             if key in self._entries:

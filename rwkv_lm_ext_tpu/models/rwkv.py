@@ -30,6 +30,11 @@ def as_weight(leaf, dt):
     delta, adapters.lora) so quantized/adapted trees run through the same
     forward (and through jit — the formats are static pytree aux data)."""
     if not isinstance(leaf, jax.Array):
+        if hasattr(leaf, "slot_apply"):
+            raise TypeError(
+                "SlotLoraLeaf is per-row (adapters.slot_lora) and has no "
+                "single dense weight; route this op through proj()"
+            )
         if hasattr(leaf, "qformat"):
             from rwkv_lm_ext_tpu.adapters.quant import dequantize
 
@@ -103,6 +108,11 @@ def proj(x, leaf, dt):
     natively on the MXU's int8 path — the variant travels WITH the
     parameter tree, not through config/global state. Everything else
     dequantizes/materializes via as_weight and rides the bf16 MXU."""
+    if hasattr(leaf, "slot_apply"):
+        # per-row multi-adapter LoRA (adapters.slot_lora): base
+        # projection (recursing — the base may itself be quantized)
+        # plus each row's selected low-rank delta
+        return leaf.slot_apply(x, proj(x, leaf.base, dt), dt)
     if getattr(leaf, "qformat", None) == "int8c":
         from rwkv_lm_ext_tpu.adapters.quant import int8_matmul
 

@@ -111,15 +111,25 @@ class ServingService:
         "alpha_decay", "repetition_penalty", "token_stop",
     )
 
-    def _validate_gen_opts(self, gen_kw: Dict) -> int:
-        """Reject unknown options and pop max_tokens (shared by the
-        blocking and streaming paths — one validation point)."""
-        unknown = set(gen_kw) - {"max_tokens", *self._PER_REQUEST_KNOBS}
+    def _validate_gen_opts(self, gen_kw: Dict):
+        """Reject unknown options; pop max_tokens and adapter (shared by
+        the blocking and streaming paths — one validation point).
+        Returns (max_tokens, adapter)."""
+        unknown = set(gen_kw) - {"max_tokens", "adapter",
+                                 *self._PER_REQUEST_KNOBS}
         if unknown:
             raise BadRequest(f"unsupported generate options: {sorted(unknown)}")
         if "token_stop" in gen_kw:
             gen_kw["token_stop"] = tuple(gen_kw["token_stop"])
-        return int(gen_kw.pop("max_tokens", 128))
+        adapter = gen_kw.pop("adapter", None)
+        if adapter is not None and adapter != "base":
+            ids = getattr(self.engine, "adapter_ids", None) or {}
+            if adapter not in ids:
+                raise BadRequest(
+                    f"unknown adapter {adapter!r}; serving "
+                    f"{sorted(ids) or ['base']}"
+                )
+        return int(gen_kw.pop("max_tokens", 128)), adapter
 
     def _token_stream_cb(self, tokenizer, stream_cb):
         """Wrap a text callback into a token-id callback with UTF-8-safe
@@ -145,10 +155,12 @@ class ServingService:
         assert self.engine is not None
         import dataclasses
 
-        max_tokens = self._validate_gen_opts(gen_kw)
+        max_tokens, adapter = self._validate_gen_opts(gen_kw)
         if self._driver is not None:
             # continuous batching: concurrent requests share the batched
-            # decode step instead of serializing on the engine lock
+            # decode step instead of serializing on the engine lock —
+            # including across ADAPTERS (slot-lora: each row decodes
+            # under its request's adapter in the same compiled step)
             sp = (
                 dataclasses.replace(self.batcher.sampling, **gen_kw)
                 if gen_kw else None
@@ -158,7 +170,8 @@ class ServingService:
             if stream_cb is not None and tok is not None:
                 cb, finish = self._token_stream_cb(tok, stream_cb)
             ids = self._driver.submit_and_wait(
-                prompt, max_tokens=max_tokens, sampling=sp, callback=cb
+                prompt, max_tokens=max_tokens, sampling=sp, callback=cb,
+                adapter=adapter,
             )
             if finish is not None:
                 finish()
@@ -166,6 +179,7 @@ class ServingService:
                     "backend": "batcher"}
         eff = SamplingParams(**gen_kw) if gen_kw else SamplingParams()
         if (self.spec is not None
+                and adapter is None
                 and eff.alpha_presence == 0.0
                 and eff.alpha_frequency == 0.0
                 and eff.repetition_penalty == 1.0):
@@ -194,7 +208,7 @@ class ServingService:
         with self._lock:
             out = self.engine.generate(
                 prompt, max_tokens=max_tokens,
-                callback=stream_cb,
+                callback=stream_cb, adapter=adapter,
                 **({"sampling": eff} if gen_kw else {}),
             )
         return {"output": out, "backend": "engine"}
@@ -358,6 +372,10 @@ class ServingService:
             )
         if self.engine is not None and self.engine.state_cache is not None:
             out["prefix_cache"] = self.engine.state_cache.stats()
+        if self.engine is not None and getattr(
+            self.engine, "adapter_ids", None
+        ):
+            out["adapters"] = sorted(self.engine.adapter_ids)
         return out
 
     # ---- dispatch --------------------------------------------------

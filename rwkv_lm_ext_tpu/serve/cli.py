@@ -49,6 +49,14 @@ def _parse(argv=None):
                    help="quantize the generation base's block linears")
     p.add_argument("--chat-adapter", default=None,
                    help="LoRA .pth merged into the generation base")
+    p.add_argument("--slot-adapter", action="append", default=None,
+                   metavar="NAME=PATH",
+                   help="repeatable: named LoRA served PER REQUEST on the "
+                        "same base (adapters.slot_lora — /generate "
+                        '{"adapter": NAME}; omit for base weights). Unlike '
+                        "--chat-adapter nothing is merged: under "
+                        "--batcher-slots requests with different adapters "
+                        "decode in ONE batched step. Uses --lora-r/alpha.")
     p.add_argument("--pissa-init", default=None,
                    help="init_pissa.pth for a PiSSA chat adapter")
     p.add_argument("--lora-r", type=int, default=8)
@@ -179,6 +187,19 @@ def build_service(args):
             gen_params, _ = merged(args.chat_adapter, args.pissa_init)
         if args.quant:
             gen_params = quantize_tree(gen_params, mode=args.quant)
+        adapter_ids = None
+        if args.slot_adapter:
+            from rwkv_lm_ext_tpu.adapters.slot_lora import build_slot_lora
+
+            named = {}
+            for spec_str in args.slot_adapter:
+                name, _, path = spec_str.partition("=")
+                if not name or not path:
+                    raise SystemExit(
+                        f"--slot-adapter expects NAME=PATH, got {spec_str!r}"
+                    )
+                named[name] = lora_state_dict_to_tree(load_torch_pth(path))
+            gen_params, adapter_ids = build_slot_lora(gen_params, named, lc)
         cache = None
         if args.prefix_cache:
             from rwkv_lm_ext_tpu.infer.state_cache import PrefixStateCache
@@ -186,7 +207,7 @@ def build_service(args):
             cache = PrefixStateCache(capacity=args.prefix_cache)
         engine = GenerationEngine(
             gen_params, cfg, tok, mesh=mesh, wkv_backend=enc_backend,
-            state_cache=cache,
+            state_cache=cache, adapter_ids=adapter_ids,
         )
 
         if args.states_config:
