@@ -23,7 +23,10 @@ from rwkv_lm_ext_tpu.adapters.lora import (  # noqa: F401
 from rwkv_lm_ext_tpu.adapters.registry import AdapterRegistry  # noqa: F401
 from rwkv_lm_ext_tpu.adapters.slot_lora import (  # noqa: F401
     SlotLoraLeaf,
+    apply_slot_stacks,
     build_slot_lora,
-    set_slot_idx,
     has_slot_lora,
+    init_slot_stacks,
+    set_slot_idx,
+    split_slot_stacks,
 )

@@ -95,20 +95,11 @@ def build_slot_lora(
     r_max = max((configs[n].r for n in names), default=1)
     keys = sorted({k for n in names for k in adapters[n]})
 
-    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
-    out["blocks"] = [dict(b) for b in params["blocks"]]
-    for b in out["blocks"]:
-        b["att"] = dict(b["att"])
-        b["ffn"] = dict(b["ffn"])
-
+    out = _shallow_copy(params)
     idx0 = jnp.zeros((rows,), jnp.int32)
     n_total = len(names) + 1
     for keyname in keys:
-        if keyname.startswith("blocks."):
-            _, i, sub, nm = keyname.split(".")
-            base = out["blocks"][int(i)][sub][nm]
-        else:
-            base = out[keyname]
+        base = _get_leaf(out, keyname)
         if keyname in ("emb",):
             raise ValueError(
                 "slot-lora cannot adapt the embedding table (it is read "
@@ -131,13 +122,104 @@ def build_slot_lora(
             B[aid, :r, :] = configs[n].scaling * np.asarray(
                 ab["B"], np.float32
             )
-        leaf = SlotLoraLeaf(base, jnp.asarray(A), jnp.asarray(B), idx0)
-        if keyname.startswith("blocks."):
-            _, i, sub, nm = keyname.split(".")
-            out["blocks"][int(i)][sub][nm] = leaf
-        else:
-            out[keyname] = leaf
+        _set_leaf(
+            out, keyname,
+            SlotLoraLeaf(base, jnp.asarray(A), jnp.asarray(B), idx0),
+        )
     return out, name_to_id
+
+
+def _shallow_copy(params: Dict) -> Dict:
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    out["blocks"] = [dict(b) for b in params["blocks"]]
+    for b in out["blocks"]:
+        b["att"] = dict(b["att"])
+        b["ffn"] = dict(b["ffn"])
+    return out
+
+
+def _get_leaf(tree: Dict, key: str):
+    if key.startswith("blocks."):
+        _, i, sub, nm = key.split(".")
+        return tree["blocks"][int(i)][sub][nm]
+    return tree[key]
+
+
+def _set_leaf(tree: Dict, key: str, leaf) -> None:
+    if key.startswith("blocks."):
+        _, i, sub, nm = key.split(".")
+        tree["blocks"][int(i)][sub][nm] = leaf
+    else:
+        tree[key] = leaf
+
+
+# ---- training: N adapters learned jointly in one batched step ---------
+#
+# The same stacked formulation trains: grads flow through the one-hot
+# selection to exactly the rows the batch's examples route to (absent
+# adapters and the reserved base row get zero gradient). Stacks are kept
+# RAW (scaling applied at trace time), so each row's gradient equals
+# plain single-adapter LoRA training of that row.
+
+
+def init_slot_stacks(
+    key: jax.Array, params: Dict, lc, names
+) -> Tuple[Dict, Dict[str, int]]:
+    """Trainable stacks for joint multi-adapter SFT: per adapted leaf
+    {"A": (n+1, in, r), "B": (n+1, r, out)} — row 0 reserved (base, zero,
+    never routed during training), rows 1..n LoRA-init (A kaiming, B
+    zero) exactly like init_lora_params per adapter."""
+    from rwkv_lm_ext_tpu.adapters.lora import init_lora_params
+
+    names = list(names)
+    name_to_id = {"base": 0, **{n: i + 1 for i, n in enumerate(names)}}
+    per = []
+    for n in names:
+        key, sub = jax.random.split(key)
+        per.append(init_lora_params(sub, params, lc))
+    stacks: Dict[str, Dict[str, jax.Array]] = {}
+    for k in per[0] if per else ():
+        A0 = jnp.zeros_like(per[0][k]["A"])
+        B0 = jnp.zeros_like(per[0][k]["B"])
+        stacks[k] = {
+            "A": jnp.stack([A0] + [ad[k]["A"] for ad in per]),
+            "B": jnp.stack([B0] + [ad[k]["B"] for ad in per]),
+        }
+    return stacks, name_to_id
+
+
+def apply_slot_stacks(
+    params: Dict, stacks: Dict, idx: jax.Array, lc
+) -> Dict:
+    """Wrap the frozen base with trainable stacks + this batch's per-row
+    adapter ids (jit-traceable — stacks/idx may be tracers). Scaling is
+    folded here, so the stored stacks stay raw like plain LoRA's A/B."""
+    out = _shallow_copy(params)
+    idx = jnp.asarray(idx, jnp.int32)
+    for k, ab in stacks.items():
+        _set_leaf(
+            out, k,
+            SlotLoraLeaf(_get_leaf(params, k), ab["A"],
+                         lc.scaling * ab["B"], idx),
+        )
+    return out
+
+
+def split_slot_stacks(
+    stacks: Dict, name_to_id: Dict[str, int]
+) -> Dict[str, Dict]:
+    """Trained stacks -> per-name adapter trees in the adapters.lora
+    layout ({key: {"A", "B"}}), servable via merge_lora or build_slot_lora
+    and savable with save_lora_checkpoint."""
+    out = {}
+    for name, aid in name_to_id.items():
+        if aid == 0:
+            continue
+        out[name] = {
+            k: {"A": ab["A"][aid], "B": ab["B"][aid]}
+            for k, ab in stacks.items()
+        }
+    return out
 
 
 def _is_slot_leaf(x) -> bool:

@@ -44,7 +44,13 @@ def sft_collate(
     # next-token alignment: labels[t] is the target for logits[t]
     labels = np.full_like(labels_raw, IGNORE)
     labels[:, :-1] = labels_raw[:, 1:]
-    return {"input_ids": input_ids, "labels": labels}
+    out = {"input_ids": input_ids, "labels": labels}
+    if "adapter_id" in examples[0]:
+        # multi-task SFT (adapters.slot_lora): per-example adapter routing
+        out["adapter_ids"] = np.asarray(
+            [e["adapter_id"] for e in examples], np.int32
+        )
+    return out
 
 
 def triplet_collate(

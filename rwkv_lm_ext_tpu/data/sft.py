@@ -54,5 +54,9 @@ def load_sft_jsonl(
                 row.get("input", ""),
                 row.get("output", ""),
             )
+            if "task" in row:
+                # multi-task SFT (slot-lora): the row's task name routes
+                # its example to that adapter's stack row
+                ex["task"] = str(row["task"])
             ds.add(ex, len(ex["input_ids"]))
     return ds

@@ -221,12 +221,26 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
     return ts
 
 
-def _sft_batches(args, tokenizer):
+def _sft_batches(args, tokenizer, *, want_tasks=False):
     from rwkv_lm_ext_tpu.data.buckets import BucketBatchSampler
     from rwkv_lm_ext_tpu.data.collators import sft_collate
     from rwkv_lm_ext_tpu.data.sft import load_sft_jsonl
 
     ds = load_sft_jsonl(args.train_data, tokenizer)
+    task_names = None
+    if want_tasks:
+        # multi-task SFT (slot-lora): rows carry a "task" name; each
+        # example routes to its task's adapter row (ids 1..n, 0 = base)
+        exs = [e for b in ds.buckets for e in b.examples]
+        task_names = sorted({e["task"] for e in exs if "task" in e})
+        if not task_names or any("task" not in e for e in exs):
+            raise SystemExit(
+                "--train-type slot-lora needs a 'task' field on every "
+                "training row"
+            )
+        task_to_id = {n: i + 1 for i, n in enumerate(task_names)}
+        for e in exs:
+            e["adapter_id"] = task_to_id[e["task"]]
     sizes = {
         b.fixed_len: max(1, args.micro_bsz * 64 // b.fixed_len)
         for b in ds.buckets
@@ -237,6 +251,8 @@ def _sft_batches(args, tokenizer):
         for fixed_len, examples in sampler.batches():
             yield sft_collate(examples, fixed_len)
 
+    if want_tasks:
+        return batches, task_names
     return batches
 
 
@@ -259,10 +275,57 @@ def cmd_sft(args):
 
     params, cfg = _load_base(args)
     tokenizer = WorldTokenizer(args.vocab)
-    batches = _sft_batches(args, tokenizer)
+    task_names = None
+    if args.train_type == "slot-lora":
+        batches, task_names = _sft_batches(args, tokenizer, want_tasks=True)
+    else:
+        batches = _sft_batches(args, tokenizer)
     n_batches = sum(1 for _ in batches(0))
     total = args.max_steps or n_batches * args.epochs
     tc = _train_config(args, total)
+
+    if args.train_type == "slot-lora":
+        # joint multi-task LoRA: N adapters trained in ONE batched step,
+        # each example's gradient reaching only its task's stack rows
+        # (adapters.slot_lora). Serve the results mixed per request via
+        # serve.cli --slot-adapter.
+        from rwkv_lm_ext_tpu.adapters import (
+            apply_slot_stacks,
+            init_slot_stacks,
+            split_slot_stacks,
+        )
+
+        lc = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        stacks, name_to_id = init_slot_stacks(
+            jax.random.PRNGKey(args.seed), params, lc, task_names
+        )
+        if getattr(args, "quant", "none") != "none":
+            from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+            params = quantize_tree(params, args.quant)
+
+        def loss_fn(stacks_p, frozen, cfg_, batch):
+            p = apply_slot_stacks(
+                frozen, stacks_p, batch["adapter_ids"], lc
+            )
+            return sft_loss_fn(p, cfg_, batch, remat=tc.grad_checkpoint)
+
+        init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
+
+        def save_fn(ts, step):
+            for name, ad in split_slot_stacks(ts.params, name_to_id).items():
+                save_lora_checkpoint(
+                    ad, lc,
+                    os.path.join(
+                        args.output_dir, f"lora-{name}-step{step}.pth"
+                    ),
+                )
+
+        _run_loop(
+            args, cfg, tc, stacks, step_fn, init_fn, batches,
+            frozen=params, save_fn=save_fn,
+        )
+        return
 
     if args.train_type in ("lora", "pissa"):
         lc = LoraConfig(
@@ -1104,7 +1167,8 @@ def main(argv=None):
     p = sub.add_parser("sft")
     _common_args(p)
     p.add_argument("--train-type", default="lora",
-                   choices=["full", "lora", "pissa", "state", "states"])
+                   choices=["full", "lora", "pissa", "state", "states",
+                            "slot-lora"])
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
     p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4", "fp4"],

@@ -18,6 +18,18 @@ B = 64
 N_TOK = 64
 cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
+_sl = int(os.environ.get("SLOT_LORA", "0"))
+_lora_trees = None
+if _sl:
+    # SLOT_LORA=n -> n stacked adapters (r=8), every row decoding under a
+    # random adapter (incl. base) — the multi-adapter serving tax
+    from rwkv_lm_ext_tpu.adapters import LoraConfig, init_lora_params
+
+    _lc = LoraConfig(r=8, alpha=32.0)
+    _lora_trees = {
+        f"a{i}": init_lora_params(jax.random.PRNGKey(100 + i), params, _lc)
+        for i in range(_sl)
+    }
 _q = os.environ.get("INT8")
 if _q:
     from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
@@ -25,6 +37,14 @@ if _q:
     # INT8=1 -> dequantize-to-bf16 weights; INT8=int8c -> native int8 MXU
     params = quantize_tree(
         params, "int8" if _q == "1" else _q, include_head=True
+    )
+if _lora_trees is not None:
+    from rwkv_lm_ext_tpu.adapters import build_slot_lora, set_slot_idx
+
+    params, _ids = build_slot_lora(params, _lora_trees, _lc, rows=B)
+    params = set_slot_idx(
+        params,
+        jax.random.randint(jax.random.PRNGKey(7), (B,), 0, _sl + 1),
     )
 params = jax.device_put(params)
 state = init_model_state(cfg, B)

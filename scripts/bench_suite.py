@@ -7,7 +7,7 @@ keyed by stage name, plus the platform.
 
 Usage:  python scripts/bench_suite.py [--out PERF.json] [--stages a,b,c]
 Stages: train_lora, train_qlora, decode_bf16, decode_int8,
-        decode_int8c, encoder_train, speculative
+        decode_int8c, decode_slot_lora, encoder_train, speculative
 (~25-45 min total on the tunneled v5e — compiles dominate.)
 """
 import argparse
@@ -29,6 +29,11 @@ STAGES = {
     "decode_bf16": ("scripts/bench_batched_decode.py", [], {}),
     "decode_int8": ("scripts/bench_batched_decode.py", [], {"INT8": "1"}),
     "decode_int8c": ("scripts/bench_batched_decode.py", [], {"INT8": "int8c"}),
+    # multi-adapter serving tax: 4 stacked r=8 LoRAs, every row under a
+    # random adapter (adapters.slot_lora) vs the decode_bf16 stage
+    "decode_slot_lora": (
+        "scripts/bench_batched_decode.py", [], {"SLOT_LORA": "4"},
+    ),
     "encoder_train": ("scripts/bench_encoder_train.py", ["pallas"], {}),
     "speculative": ("scripts/bench_speculative.py", [], {}),
     # the headline embed metric on the int8c native-compute path (int8
