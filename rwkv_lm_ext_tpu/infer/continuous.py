@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from collections import deque
 from typing import Callable, Deque, Dict, List, Optional
 
@@ -81,6 +82,9 @@ class ContinuousBatcher:
         self._slots: List[Optional[_Request]] = [None] * n_slots
         self._next_rid = 0
         self._finished: Dict[int, List[int]] = {}
+        # rids requested for cancellation (any thread may add; the
+        # stepping thread processes — set.add is GIL-atomic)
+        self._cancelled: set = set()
         self._rng = jax.random.PRNGKey(seed)
 
         cfg, be, params = engine.cfg, engine.wkv_backend, engine.params
@@ -198,6 +202,36 @@ class ContinuousBatcher:
     def busy(self) -> bool:
         return any(s is not None for s in self._slots) or bool(self._queue)
 
+    def cancel(self, rid: int) -> bool:
+        """Request cancellation: a pending request drops from the queue
+        and an active one retires its slot on the NEXT tick, recording
+        whatever it produced so far as its (partial) result. Safe to
+        call from any thread — the mutation happens on the stepping
+        thread. Returns whether rid is currently pending/active."""
+        self._cancelled.add(rid)
+        return any(r.rid == rid for r in self._queue) or any(
+            r is not None and r.rid == rid for r in self._slots
+        )
+
+    def _process_cancellations(self, done: Dict[int, List[int]]) -> None:
+        snap = set(self._cancelled)
+        if not snap:
+            return
+        if any(r.rid in snap for r in self._queue):
+            for r in self._queue:
+                if r.rid in snap:
+                    done[r.rid] = r.out_ids
+            self._queue = deque(
+                r for r in self._queue if r.rid not in snap
+            )
+        for i, r in enumerate(self._slots):
+            if r is not None and r.rid in snap:
+                done[r.rid] = r.out_ids
+                self._retire(i)
+        # ids not found were already finished (or bogus) — drop them;
+        # only the processed snapshot, adds that raced stay queued
+        self._cancelled -= snap
+
     def warmup(self) -> None:
         """Compile every jitted program from the CALLING thread (some TPU
         runtimes crash on first compilation from a worker thread — the
@@ -223,8 +257,11 @@ class ContinuousBatcher:
     def step(self) -> Dict[int, List[int]]:
         """Admit queued requests into free slots, run ONE batched decode
         tick, retire finished rows. Returns {rid: token_ids} finished on
-        this tick (including requests that finished at admission)."""
-        done: Dict[int, List[int]] = self._admit_pending()
+        this tick (including requests that finished at admission and
+        cancelled requests with their partial output)."""
+        done: Dict[int, List[int]] = {}
+        self._process_cancellations(done)
+        done.update(self._admit_pending())
         if not any(s is not None for s in self._slots):
             self._finished.update(done)
             return done
@@ -326,6 +363,9 @@ class BatcherDriver:
         self._results: Dict[int, List[int]] = {}
         self._stop = False
         self._error: Optional[BaseException] = None
+        # rids whose waiter gave up (timeout/disconnect): their results
+        # are dropped on arrival instead of leaking in _results forever
+        self._abandoned: set = set()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -351,6 +391,9 @@ class BatcherDriver:
             if done:
                 with self._cv:
                     self._results.update(done)
+                    for rid in self._abandoned & set(self._results):
+                        self._results.pop(rid)
+                        self._abandoned.discard(rid)
                     self._cv.notify_all()
 
     def submit_and_wait(
@@ -359,7 +402,14 @@ class BatcherDriver:
         timeout: Optional[float] = None,
         callback: Optional[Callable[[int], None]] = None,
         initial_state=None, adapter: Optional[str] = None,
+        cancel: Optional["threading.Event"] = None,
     ) -> List[int]:
+        """Blocks until the request finishes. timeout: raises
+        TimeoutError AND cancels the request (its slot frees on the next
+        tick instead of decoding to max_tokens for a departed caller).
+        cancel: an optional threading.Event another thread may set (e.g.
+        on client disconnect) — the request is cancelled and its partial
+        output returned."""
         with self._cv:
             if self._error is not None:
                 raise RuntimeError(
@@ -371,16 +421,51 @@ class BatcherDriver:
                 adapter=adapter,
             )
             self._cv.notify_all()
-            ok = self._cv.wait_for(
-                lambda: rid in self._results or self._stop, timeout=timeout
-            )
+
+            def ready():
+                return rid in self._results or self._stop
+
+            if cancel is None:
+                ok = self._cv.wait_for(ready, timeout=timeout)
+            else:
+                # cancel.set() doesn't notify the cv — poll in short
+                # waits (the loop also notifies on every finished batch)
+                deadline = (
+                    None if timeout is None else time.monotonic() + timeout
+                )
+                while not ready() and not cancel.is_set():
+                    step = 0.05
+                    if deadline is not None:
+                        step = min(step, deadline - time.monotonic())
+                        if step <= 0:
+                            break
+                    self._cv.wait(timeout=step)
+                ok = ready()
+                if not ok and cancel.is_set():
+                    self.batcher.cancel(rid)
+                    # the next tick flushes the partial output
+                    self._cv.wait_for(ready, timeout=5.0)
+                    return self._results.pop(rid, [])
             if not ok:
+                # free the slot/queue entry; drop the result on arrival
+                self.batcher.cancel(rid)
+                self._abandoned.add(rid)
                 raise TimeoutError(f"request {rid} timed out")
             if rid not in self._results and self._error is not None:
                 raise RuntimeError(
                     "batcher decode loop died"
                 ) from self._error
             return self._results.pop(rid, [])
+
+    def cancel(self, rid: int) -> None:
+        """Cancel a request submitted through this driver; its result (or
+        partial output) is discarded when it surfaces."""
+        with self._cv:
+            if self._results.pop(rid, None) is not None:
+                return
+            self.batcher.cancel(rid)
+            self._abandoned.add(rid)
+            self._cv.notify_all()
 
     def close(self):
         with self._cv:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from collections import deque
 from typing import Dict, List
 
 import jax.numpy as jnp
@@ -30,6 +31,12 @@ from rwkv_lm_ext_tpu.config import MASK_ID, PAD_ID
 from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
 
 MASK_TOKEN = "[MASK]"
+
+
+class _ClientDisconnected(Exception):
+    """Raised inside a streaming callback to abort generation after the
+    client went away (engine/speculative paths; the batcher cancels by
+    request id instead)."""
 
 
 class ServingService:
@@ -65,6 +72,8 @@ class ServingService:
         self._stats_lock = threading.Lock()
         self._counts: Dict[str, int] = {}
         self._spec_totals = {"rounds": 0, "proposed": 0, "accepted": 0}
+        # rolling /generate latencies per backend (seconds, last 512)
+        self._latencies: Dict[str, deque] = {}
 
     def warmup(self, *, max_tokens: int = 2) -> None:
         """Pre-compile the hot paths from the calling thread.
@@ -148,12 +157,27 @@ class ServingService:
 
         return cb, finish
 
-    def generate(self, prompt: str, *, stream_cb=None, **gen_kw) -> Dict:
+    def generate(self, prompt: str, *, stream_cb=None, cancel_event=None,
+                 **gen_kw) -> Dict:
         """stream_cb: optional callable(text_piece) invoked as tokens are
         produced (UTF-8-safe incremental decode on every backend); the
-        full result dict is still returned at the end."""
+        full result dict is still returned at the end.
+        cancel_event: optional threading.Event another thread sets (e.g.
+        on client disconnect) — generation aborts instead of decoding to
+        max_tokens for a departed caller; the partial result comes back
+        with "cancelled": true."""
         assert self.engine is not None
         import dataclasses
+        import time as _time
+
+        t0 = _time.perf_counter()
+
+        def _done(result: Dict) -> Dict:
+            with self._stats_lock:
+                self._latencies.setdefault(
+                    result.get("backend", "?"), deque(maxlen=512)
+                ).append(_time.perf_counter() - t0)
+            return result
 
         max_tokens, adapter = self._validate_gen_opts(gen_kw)
         if self._driver is not None:
@@ -171,12 +195,27 @@ class ServingService:
                 cb, finish = self._token_stream_cb(tok, stream_cb)
             ids = self._driver.submit_and_wait(
                 prompt, max_tokens=max_tokens, sampling=sp, callback=cb,
-                adapter=adapter,
+                adapter=adapter, cancel=cancel_event,
             )
             if finish is not None:
                 finish()
-            return {"output": tok.decode(ids) if tok else ids,
-                    "backend": "batcher"}
+            out = {"output": tok.decode(ids) if tok else ids,
+                   "backend": "batcher"}
+            if cancel_event is not None and cancel_event.is_set():
+                out["cancelled"] = True
+            return _done(out)
+        if cancel_event is not None and stream_cb is not None:
+            # abort the engine/speculative decode loops from inside the
+            # streaming callback; these loops run in THIS thread (the
+            # batcher path above cancels by rid instead — its callbacks
+            # run inside the shared decode loop and must never raise)
+            inner_cb = stream_cb
+
+            def stream_cb(piece):  # noqa: F811
+                if cancel_event.is_set():
+                    raise _ClientDisconnected()
+                inner_cb(piece)
+
         eff = SamplingParams(**gen_kw) if gen_kw else SamplingParams()
         if (self.spec is not None
                 and adapter is None
@@ -190,28 +229,36 @@ class ServingService:
                 cb, finish = self._token_stream_cb(
                     self.spec.tokenizer, stream_cb
                 )
-            with self._lock:
-                out, st = self.spec.generate(
-                    prompt, max_tokens=max_tokens,
-                    token_stop=eff.token_stop,
-                    sampling=eff if eff.temperature > 0.0 else None,
-                    return_stats=True,
-                    callback=cb,
-                )
+            try:
+                with self._lock:
+                    out, st = self.spec.generate(
+                        prompt, max_tokens=max_tokens,
+                        token_stop=eff.token_stop,
+                        sampling=eff if eff.temperature > 0.0 else None,
+                        return_stats=True,
+                        callback=cb,
+                    )
+            except _ClientDisconnected:
+                return _done({"output": None, "cancelled": True,
+                              "backend": "speculative"})
             if finish is not None:
                 finish()
             with self._stats_lock:
                 self._spec_totals["rounds"] += st.rounds
                 self._spec_totals["proposed"] += st.proposed
                 self._spec_totals["accepted"] += st.accepted
-            return {"output": out, "backend": "speculative"}
-        with self._lock:
-            out = self.engine.generate(
-                prompt, max_tokens=max_tokens,
-                callback=stream_cb, adapter=adapter,
-                **({"sampling": eff} if gen_kw else {}),
-            )
-        return {"output": out, "backend": "engine"}
+            return _done({"output": out, "backend": "speculative"})
+        try:
+            with self._lock:
+                out = self.engine.generate(
+                    prompt, max_tokens=max_tokens,
+                    callback=stream_cb, adapter=adapter,
+                    **({"sampling": eff} if gen_kw else {}),
+                )
+        except _ClientDisconnected:
+            return _done({"output": None, "cancelled": True,
+                          "backend": "engine"})
+        return _done({"output": out, "backend": "engine"})
 
     def generate_sse(self, payload: Dict):
         """Server-sent-events iterator for a streaming /generate request
@@ -237,11 +284,13 @@ class ServingService:
             self._counts["/generate"] = self._counts.get("/generate", 0) + 1
 
         q: "queue.SimpleQueue" = queue.SimpleQueue()
+        client_gone = threading.Event()
 
         def worker():
             try:
                 result = self.generate(
                     prompt, stream_cb=lambda piece: q.put(("token", piece)),
+                    cancel_event=client_gone,
                     **opts,
                 )
                 q.put(("done", result))
@@ -250,16 +299,20 @@ class ServingService:
 
         def events():
             threading.Thread(target=worker, daemon=True).start()
-            while True:
-                kind, val = q.get()
-                if kind == "token":
-                    yield _sse({"token": val})
-                elif kind == "done":
-                    yield _sse({"done": True, **val})
-                    return
-                else:
-                    yield _sse({"error": val})
-                    return
+            try:
+                while True:
+                    kind, val = q.get()
+                    if kind == "token":
+                        yield _sse({"token": val})
+                    elif kind == "done":
+                        yield _sse({"done": True, **val})
+                        return
+                    else:
+                        yield _sse({"error": val})
+            finally:
+                # transport closed the iterator (client disconnect):
+                # abort generation instead of decoding to max_tokens
+                client_gone.set()
 
         return events()
 
@@ -356,6 +409,17 @@ class ServingService:
         with self._stats_lock:
             out: Dict = {"requests": dict(self._counts)}
             t = dict(self._spec_totals)
+            lat = {k: list(v) for k, v in self._latencies.items()}
+        if lat:
+            out["generate_latency_ms"] = {
+                backend: {
+                    "count": len(xs),
+                    "p50": round(float(np.percentile(xs, 50)) * 1e3, 1),
+                    "p95": round(float(np.percentile(xs, 95)) * 1e3, 1),
+                    "p99": round(float(np.percentile(xs, 99)) * 1e3, 1),
+                }
+                for backend, xs in lat.items()
+            }
         if self.batcher is not None:
             out["batcher"] = {
                 "n_slots": self.batcher.n_slots,
@@ -460,9 +524,14 @@ def serve_http(
                     self.send_header("Cache-Control", "no-cache")
                     self.send_header("Connection", "close")
                     self.end_headers()
-                    for chunk in events:
-                        self.wfile.write(chunk)
-                        self.wfile.flush()
+                    try:
+                        for chunk in events:
+                            self.wfile.write(chunk)
+                            self.wfile.flush()
+                    finally:
+                        # a failed write = client disconnect; closing the
+                        # iterator aborts the generation behind it
+                        events.close()
                     return
                 result = service.handle(self.path, payload)
                 body = json.dumps(result).encode()

@@ -250,3 +250,130 @@ def test_service_stream_cb_batcher_path(engine):
         svc._driver.close()
     finally:
         engine.tokenizer = None
+
+
+def test_cancel_queued_and_active(engine):
+    """cancel(): an active request retires with its partial output on
+    the next tick; a queued one drops with an empty result; the freed
+    slot immediately serves the remaining request exactly."""
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    batcher = ContinuousBatcher(engine, n_slots=1, sampling=sp)
+    ra = batcher.submit([5, 9, 23], max_tokens=50)
+    rb = batcher.submit([77, 3], max_tokens=50)
+    rc = batcher.submit([14, 60], max_tokens=5)
+    for _ in range(3):
+        batcher.step()  # admits A, decodes 3 ticks
+    assert batcher.cancel(ra) and batcher.cancel(rb)
+    results = batcher.run()
+    assert set(results) == {ra, rb, rc}
+    # A: 1 admission token + 3 ticks, well short of max_tokens
+    assert 1 <= len(results[ra]) <= 5
+    assert results[rb] == []
+    want = engine.generate([14, 60], max_tokens=5, sampling=sp)
+    assert results[rc] == want
+    # cancelling an unknown/finished rid is a no-op
+    assert not batcher.cancel(ra)
+    assert batcher.run() == {}
+
+
+def test_driver_timeout_cancels(engine):
+    """submit_and_wait(timeout=...) frees the slot instead of decoding
+    to max_tokens for a departed caller, and drops the orphan result."""
+    import time
+
+    from rwkv_lm_ext_tpu.infer.continuous import BatcherDriver
+
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    batcher = ContinuousBatcher(engine, n_slots=1, sampling=sp)
+    batcher.warmup()
+    driver = BatcherDriver(batcher)
+    try:
+        with pytest.raises(TimeoutError):
+            driver.submit_and_wait([5, 9, 23], max_tokens=200_000,
+                                   timeout=0.3)
+        deadline = time.time() + 30
+        while batcher.busy and time.time() < deadline:
+            time.sleep(0.05)
+        assert not batcher.busy, "cancelled request still occupies a slot"
+        # pool still serves, and the abandoned result didn't leak
+        want = engine.generate([77, 3], max_tokens=3, sampling=sp)
+        assert driver.submit_and_wait([77, 3], max_tokens=3) == want
+        assert driver._results == {}
+        assert driver._abandoned == set()
+    finally:
+        driver.close()
+
+
+def test_driver_cancel_event_returns_partial(engine):
+    """submit_and_wait(cancel=event): setting the event mid-decode
+    returns the partial output instead of blocking to max_tokens."""
+    import threading
+    import time
+
+    from rwkv_lm_ext_tpu.infer.continuous import BatcherDriver
+
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    batcher = ContinuousBatcher(engine, n_slots=1, sampling=sp)
+    batcher.warmup()
+    driver = BatcherDriver(batcher)
+    try:
+        ev = threading.Event()
+        threading.Timer(0.4, ev.set).start()
+        t0 = time.time()
+        out = driver.submit_and_wait([5, 9, 23], max_tokens=200_000,
+                                     cancel=ev)
+        assert time.time() - t0 < 30
+        assert 1 <= len(out) < 200_000
+        deadline = time.time() + 30
+        while batcher.busy and time.time() < deadline:
+            time.sleep(0.05)
+        assert not batcher.busy
+    finally:
+        driver.close()
+
+
+def test_sse_disconnect_aborts_engine_generation(engine):
+    """Closing the SSE iterator (client disconnect) aborts the engine
+    backend's decode loop — the serving lock frees long before the
+    departed request's max_tokens."""
+    import time
+
+    from rwkv_lm_ext_tpu.serve.api import ServingService
+
+    class CharTok:
+        def encode(self, s):
+            return [ord(c) % 180 + 10 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr((i - 10) % 180 + 40) for i in ids)
+
+        def streaming_decoder(self):
+            outer = self
+
+            class _D:
+                def push(self, t):
+                    return outer.decode([t])
+
+                def flush(self):
+                    return ""
+
+            return _D()
+
+    engine.tokenizer = CharTok()
+    try:
+        svc = ServingService(engine=engine, tokenizer=engine.tokenizer)
+        it = svc.generate_sse({
+            "prompt": "ab", "max_tokens": 200_000,
+            "temperature": 0.0, "token_stop": [],
+        })
+        assert next(it).startswith(b"data:")
+        it.close()  # transport gone
+        t0 = time.time()
+        out = svc.generate("ab", max_tokens=2, temperature=0.0,
+                           token_stop=[])
+        assert out["backend"] == "engine"
+        assert time.time() - t0 < 60, "aborted stream still holds the lock"
+        st = svc.stats()
+        assert st["generate_latency_ms"]["engine"]["count"] >= 1
+    finally:
+        engine.tokenizer = None
