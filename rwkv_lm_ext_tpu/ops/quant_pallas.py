@@ -1,0 +1,91 @@
+"""Fused per-row activation quantization for the int8c serving path.
+
+The int8c projection (adapters.quant.int8_matmul — the TPU answer to the
+reference's mm8 serving ops, cuda/operators.cu + wrapper.cpp:125-140)
+quantizes activations dynamically per token: absmax over the contraction
+axis, round to int8, rescale the int32 GEMM result.  Composed in XLA the
+absmax reduce and the round/cast pass each read the activation tensor
+from HBM separately — measured 123.2 vs 139.9 seq/s with the reduce
+ablated at 1B6 B=64 ctx 512 (a 12% end-to-end tax on the embedding
+headline, pure HBM traffic).
+
+This kernel does both in one pass: each grid step holds a (ROWS, C) block
+in VMEM, computes the fp32 row absmax, and writes the int8 rows plus the
+(ROWS, 1) fp32 scales — one bf16 read + one int8 write, the same traffic
+as a static-scale quant.  Numerics are bit-identical to the XLA
+composition (same fp32 math, same round; verified element-exact in
+tests/test_quant_kg.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _quant_kernel(x_ref, q_ref, s_ref):
+    xf = x_ref[:, :].astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.maximum(ax / 127.0, 1e-12)
+    q_ref[:, :] = jnp.round(xf / sx).astype(jnp.int8)
+    s_ref[:, :] = sx
+
+
+def quantize_rows_xla(x2d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Reference/fallback: the original XLA composition (two HBM reads)."""
+    xf = x2d.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    return jnp.round(xf / sx).astype(jnp.int8), sx
+
+
+def _pick_rows(m: int, c: int) -> int:
+    # largest power-of-two row block dividing M whose fp32 block stays
+    # well under VMEM (ROWS*C <= 512K floats ~= 2MB + int8 out)
+    rows = 512
+    while rows > 8 and (m % rows or rows * c > 512 * 1024):
+        rows //= 2
+    return rows
+
+
+def can_quantize_rows(x: jax.Array) -> bool:
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    c = x.shape[-1]
+    return c % 128 == 0 and m >= 8 and m % _pick_rows(m, c) == 0
+
+
+def quantize_rows(
+    x: jax.Array, *, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """(..., C) -> int8 (..., C) + fp32 row scales (..., 1), one pass.
+
+    Shapes the kernel can't tile (C not lane-aligned, tiny M) fall back
+    to the XLA composition — same values either way.
+    """
+    if not can_quantize_rows(x):
+        return quantize_rows_xla(x)
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    x2d = x.reshape(-1, c)
+    m = x2d.shape[0]
+    rows = _pick_rows(m, c)
+    q, s = pl.pallas_call(
+        _quant_kernel,
+        grid=(m // rows,),
+        in_specs=[pl.BlockSpec((rows, c), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((rows, c), lambda i: (i, 0)),
+            pl.BlockSpec((rows, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2d)
+    return q.reshape(*lead, c), s.reshape(*lead, 1)

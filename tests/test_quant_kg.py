@@ -241,3 +241,57 @@ def test_fp4_roundtrip_and_tree():
         jnp.linalg.norm(logits_q[0, -1]) * jnp.linalg.norm(logits_f[0, -1])
     )
     assert float(cos) > 0.98
+
+
+def test_quantize_rows_pallas_matches_xla_composition():
+    """ops.quant_pallas: the fused one-pass activation quant must be
+    element-exact vs the XLA composition it replaces (same fp32 absmax /
+    round math), across tileable and fallback shapes."""
+    from rwkv_lm_ext_tpu.ops.quant_pallas import (
+        can_quantize_rows,
+        quantize_rows,
+        quantize_rows_xla,
+    )
+
+    shapes = [
+        (64, 128),          # tileable, one block
+        (4, 96, 256),       # tileable, >2D lead
+        (8, 7, 128),        # M=56: falls back (not power-of-two divisible)
+        (16, 100),          # C not lane-aligned: falls back
+    ]
+    for i, shape in enumerate(shapes):
+        x = jax.random.normal(jax.random.PRNGKey(i), shape, jnp.bfloat16)
+        q_ref, s_ref = quantize_rows_xla(x)
+        q, s = quantize_rows(x, interpret=can_quantize_rows(x))
+        assert q.dtype == jnp.int8 and s.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=0)
+
+
+def test_int8_matmul_grad_matches_xla_composition():
+    """int8_matmul's custom_vjp replays the original XLA composition's
+    gradient (training through an int8c base — QLoRA --quant int8c —
+    must be unchanged by the fused forward)."""
+    from rwkv_lm_ext_tpu.adapters.quant import int8_matmul
+    from rwkv_lm_ext_tpu.ops.quant_pallas import quantize_rows_xla
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48))
+    d = quantize_int8(w, compute=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+
+    def loss_new(x):
+        return jnp.sum(int8_matmul(x, d) ** 2)
+
+    def loss_old(x):
+        xq, sx = quantize_rows_xla(x)
+        y = jax.lax.dot_general(
+            xq, d.q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (y.astype(jnp.float32) * sx * d.scale).astype(jnp.float32)
+        return jnp.sum(out ** 2)
+
+    v_new, g_new = jax.value_and_grad(loss_new)(x0)
+    v_old, g_old = jax.value_and_grad(loss_old)(x0)
+    np.testing.assert_allclose(float(v_new), float(v_old), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old), rtol=1e-6)
