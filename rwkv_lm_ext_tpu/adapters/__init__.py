@@ -9,6 +9,9 @@ base model (the BiCrossFusionEncoder pattern, infer/encoders.py:27-115).
 from rwkv_lm_ext_tpu.adapters.lora import (  # noqa: F401
     LoraConfig,
     LoraDeltaLeaf,
+    LoraUnfusedLeaf,
+    apply_lora_unfused,
+    apply_lora_unfused_stacked,
     init_lora_params,
     merge_lora,
     merge_lora_stacked,

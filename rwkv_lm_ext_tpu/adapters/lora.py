@@ -211,6 +211,101 @@ def merge_lora(params: Dict, adapter: Dict, lc: LoraConfig) -> Dict:
     return out
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LoraUnfusedLeaf(LoraDeltaLeaf):
+    """Train-time LoRA leaf: base W and the low-rank factors kept
+    SEPARATE so models.rwkv.proj computes x@W + (x@A)@(scale*B) without
+    ever forming W + scale*A@B.
+
+    Why: differentiating through a merged weight makes JAX emit a full
+    (in, out) cotangent for every adapted projection — the same dW
+    matmuls as full fine-tuning (the backward costs 2x the forward's
+    matmul FLOPs) plus weight-shaped fp32 gradient buffers in HBM. With
+    the factors separate, the base branch is a constant: the backward
+    needs only dx through W (1x) and the O(r) dA/dB contractions.
+    The base may itself be quantized (QLoRA): proj recurses, so an
+    int8c base rides the MXU int8 path during training too.
+
+    Inherits materialize() from LoraDeltaLeaf so non-proj consumers
+    (as_weight) still see the dense merged weight."""
+
+    unfused_lora = True  # marker for models.rwkv.proj
+
+
+def apply_lora_unfused(params: Dict, adapter: Dict, lc: LoraConfig) -> Dict:
+    """Training twin of merge_lora: wrap every adapted projection leaf in
+    a LoraUnfusedLeaf (see its docstring for why this halves the
+    backward's matmul FLOPs vs merging). Embedding adapters are still
+    dense-merged — the emb leaf is consumed by jnp.take, not proj."""
+    scale = lc.scaling
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    out["blocks"] = [dict(b) for b in params["blocks"]]
+    for b in out["blocks"]:
+        b["att"] = dict(b["att"])
+        b["ffn"] = dict(b["ffn"])
+    from rwkv_lm_ext_tpu.adapters.quant import is_quantized
+
+    def wrap(base, ab):
+        return LoraUnfusedLeaf(base, ab["A"], ab["B"], scale)
+
+    def dense(base, ab):
+        if is_quantized(base):
+            return LoraDeltaLeaf(base, ab["A"], ab["B"], scale)
+        delta = (scale * (ab["A"] @ ab["B"])).astype(jnp.float32)
+        return (base.astype(jnp.float32) + delta).astype(base.dtype)
+
+    for keyname, ab in adapter.items():
+        if keyname.startswith("blocks."):
+            _, idx, sub, name = keyname.split(".")
+            i = int(idx)
+            out["blocks"][i][sub][name] = wrap(out["blocks"][i][sub][name], ab)
+        elif keyname == "emb":
+            out[keyname] = dense(out[keyname], ab)
+        else:
+            out[keyname] = wrap(out[keyname], ab)
+    return out
+
+
+def apply_lora_unfused_stacked(
+    sparams: Dict, sadapter: Dict, lc: LoraConfig
+) -> Dict:
+    """apply_lora_unfused twin for stacked (scan-over-layers) trees: the
+    stacked A (L,in,r) / B (L,r,out) ride inside the LoraUnfusedLeaf and
+    are sliced per layer by the scan like any other stacked leaf."""
+    scale = lc.scaling
+    out = jax.tree_util.tree_map(lambda x: x, sparams)
+    out["block0"] = {
+        k: (dict(v) if isinstance(v, dict) else v)
+        for k, v in sparams["block0"].items()
+    }
+    out["blocks_stacked"] = {
+        k: (dict(v) if isinstance(v, dict) else v)
+        for k, v in sparams["blocks_stacked"].items()
+    }
+
+    def wrap(base, ab):
+        return LoraUnfusedLeaf(base, ab["A"], ab["B"], scale)
+
+    for path, ab in sadapter["block0"].items():
+        sub, name = path.split(".")
+        out["block0"][sub][name] = wrap(out["block0"][sub][name], ab)
+    for path, ab in sadapter["stacked"].items():
+        sub, name = path.split(".")
+        out["blocks_stacked"][sub][name] = wrap(
+            out["blocks_stacked"][sub][name], ab
+        )
+    for keyname, ab in sadapter["global"].items():
+        if keyname == "emb":
+            delta = (scale * (ab["A"] @ ab["B"])).astype(jnp.float32)
+            out[keyname] = (
+                out[keyname].astype(jnp.float32) + delta
+            ).astype(out[keyname].dtype)
+        else:
+            out[keyname] = wrap(out[keyname], ab)
+    return out
+
+
 def lora_trainable_mask(adapter: Dict) -> Dict:
     return jax.tree_util.tree_map(lambda _: True, adapter)
 

@@ -108,6 +108,11 @@ def int8_matmul(x: jax.Array, d: QuantizedTensor, dtype=jnp.float32) -> jax.Arra
     12% end-to-end tax on the int8c embedding headline.  The backward
     replays the XLA composition's VJP, so training through an int8c
     base (--quant int8c QLoRA) is unchanged.
+
+    Reverse-mode only: the custom_vjp wrapper means jax.jvp/jacfwd over
+    this op raise; every trainer here uses jax.grad (reverse mode). If
+    forward-mode is ever needed, differentiate the XLA composition
+    (quantize_rows_xla + dot) directly instead.
     """
     return _int8_mm(x, d.q, d.scale, jnp.dtype(dtype))
 

@@ -113,6 +113,14 @@ def proj(x, leaf, dt):
         # projection (recursing — the base may itself be quantized)
         # plus each row's selected low-rank delta
         return leaf.slot_apply(x, proj(x, leaf.base, dt), dt)
+    if hasattr(leaf, "unfused_lora"):
+        # train-time LoRA kept unfused (adapters.lora.LoraUnfusedLeaf):
+        # the base branch stays a constant under jax.grad, so the
+        # backward needs dx only — no weight-shaped cotangent
+        y = proj(x, leaf.base, dt)
+        return y + (x @ leaf.A.astype(x.dtype)) @ (
+            leaf.scale * leaf.B
+        ).astype(x.dtype)
     if getattr(leaf, "qformat", None) == "int8c":
         from rwkv_lm_ext_tpu.adapters.quant import int8_matmul
 

@@ -56,7 +56,12 @@ def can_quantize_rows(x: jax.Array) -> bool:
     for d in x.shape[:-1]:
         m *= d
     c = x.shape[-1]
-    return c % 128 == 0 and m >= 8 and m % _pick_rows(m, c) == 0
+    if c % 128 or m < 8:
+        return False
+    rows = _pick_rows(m, c)
+    # _pick_rows bottoms out at 8 without re-checking the VMEM budget, so
+    # huge-C shapes (C >= 64K) must fall back rather than overflow VMEM.
+    return m % rows == 0 and rows * c <= 512 * 1024
 
 
 def quantize_rows(

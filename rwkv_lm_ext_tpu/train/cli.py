@@ -354,22 +354,35 @@ def cmd_sft(args):
 
             adapter = lora_state_dict_to_tree(load_torch_pth(args.peft_checkpoint))
 
+        # --lora-apply unfused (default) keeps base and low-rank factors
+        # separate in the loss (adapters.lora.LoraUnfusedLeaf): the
+        # backward then computes dx only instead of a weight-shaped
+        # cotangent per merged projection — measured materially faster
+        # at 1B6 (scripts/ablate_train.py); "merge" keeps the r3 path.
+        unfused = getattr(args, "lora_apply", "unfused") == "unfused"
         if args.stack_layers:
             from rwkv_lm_ext_tpu.adapters.lora import (
-                merge_lora_stacked, stack_adapter, unstack_adapter,
+                apply_lora_unfused_stacked, merge_lora_stacked,
+                stack_adapter, unstack_adapter,
             )
             from rwkv_lm_ext_tpu.models.stacked import stack_params
 
             params = stack_params(params)
             adapter = stack_adapter(adapter)
+            apply_fn = (
+                apply_lora_unfused_stacked if unfused else merge_lora_stacked
+            )
 
             def loss_fn(adapter_p, frozen, cfg_, batch):
-                merged = merge_lora_stacked(frozen, adapter_p, lc)
+                merged = apply_fn(frozen, adapter_p, lc)
                 return sft_loss_fn(merged, cfg_, batch, remat=tc.grad_checkpoint)
         else:
+            from rwkv_lm_ext_tpu.adapters import apply_lora_unfused
+
+            apply_fn = apply_lora_unfused if unfused else merge_lora
 
             def loss_fn(adapter_p, frozen, cfg_, batch):
-                merged = merge_lora(frozen, adapter_p, lc)
+                merged = apply_fn(frozen, adapter_p, lc)
                 return sft_loss_fn(merged, cfg_, batch, remat=tc.grad_checkpoint)
 
         init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn)
@@ -1171,6 +1184,12 @@ def main(argv=None):
                             "slot-lora"])
     p.add_argument("--lora-r", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--lora-apply", default="unfused",
+                   choices=["unfused", "merge"],
+                   help="how LoRA enters the loss: 'unfused' keeps "
+                        "x@W + (x@A)@B separate (backward needs no "
+                        "weight-shaped cotangents — faster); 'merge' "
+                        "materializes W + scale*A@B per step")
     p.add_argument("--quant", default="none", choices=["none", "int8", "int8c", "nf4", "fp4"],
                    help="QLoRA: quantize the frozen base (reference "
                         "LORA_CONFIG['quant']); the base stays quantized "

@@ -1,8 +1,11 @@
 """Bidirectional-encoder train-step benchmark (the unfused-WKV backward
 path): pallas (two-pass Pallas backward) vs chunked (XLA recompute).
 
-Measured r1 (1x v5e, RWKV-6 1B6, B8 ctx512): pallas 96.0 ms/step
-(42.7 Kt/s), chunked 158.5 ms/step (25.8 Kt/s) — 1.65x end-to-end.
+The scan body is data-chained (tokens perturbed from the previous
+iteration's grads) and guarded by the elision canary in _benchlib —
+round 3's version let XLA hoist the loop-invariant grad computation and
+reported a physically impossible 41.4 Kt/s (see VERDICT.md r3 weak #1).
+
 Run one backend per process (compiles are remote and slow):
     python scripts/bench_encoder_train.py pallas
     python scripts/bench_encoder_train.py chunked
@@ -10,13 +13,14 @@ Run one backend per process (compiles are remote and slow):
 import json
 import os
 import sys
-import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from _benchlib import time_scan, perturb_tokens
 from rwkv_lm_ext_tpu.config import rwkv6_1b6
 from rwkv_lm_ext_tpu.models import init_rwkv_params
 from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
@@ -34,7 +38,7 @@ params = jax.device_put(
 from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
 
 cfg = apply_wkv_dispatch(cfg, params)
-toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
+toks0 = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
 
 
 def loss(p, toks):
@@ -47,22 +51,12 @@ def loss(p, toks):
 g = jax.grad(loss)
 
 
-@jax.jit
-def chain(p, toks):
-    # anti-elision: data-chain the grads into the carry (see bench.py)
-    def body(c, _):
-        grads = g(p, toks)
-        dd = (jnp.abs(grads["emb"][:1, :1]).sum() * 1e3).astype(jnp.int32) % 7
-        return c + dd, None
-
-    s, _ = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
-    return s
+def body(toks, p):
+    grads = g(p, toks)
+    return perturb_tokens(toks, grads["emb"])
 
 
-float(chain(params, toks))  # compile
-t0 = time.perf_counter()
-float(chain(params, toks))
-per = (time.perf_counter() - t0) / ITERS
+per = time_scan(body, toks0, ITERS, const=(params,))
 print(json.dumps({
     "metric": f"encoder_train_step ({backend}, RWKV-6 1B6, B{B}, ctx {T})",
     "value": round(B * T / per / 1e3, 2), "unit": "Kt/s",

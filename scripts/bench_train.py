@@ -43,6 +43,8 @@ tc = TrainConfig(lr_init=1e-4, warmup_steps=1, total_steps=100)
 tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
 batch = {"input_ids": tokens, "labels": tokens}
 
+LORA_APPLY = os.environ.get("LORA_APPLY", "unfused")  # unfused | merge
+
 if TRAIN_TYPE in ("lora", "qlora"):
     lc = LoraConfig(r=8, alpha=32.0)
     adapter = init_lora_params(jax.random.PRNGKey(2), params, lc)
@@ -50,9 +52,13 @@ if TRAIN_TYPE in ("lora", "qlora"):
         from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
 
         params = jax.device_put(quantize_tree(params, "int8"))
+    if LORA_APPLY == "unfused":
+        from rwkv_lm_ext_tpu.adapters import apply_lora_unfused as _apply
+    else:
+        _apply = merge_lora
 
     def loss_fn(adapter_p, frozen, cfg_, b):
-        merged = merge_lora(frozen, adapter_p, lc)
+        merged = _apply(frozen, adapter_p, lc)
         return sft_loss_fn(merged, cfg_, b, remat=REMAT)
 
     init_fn, step_fn = make_train_step(cfg, tc, loss_fn=loss_fn, donate=False)

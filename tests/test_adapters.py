@@ -215,3 +215,71 @@ def test_qlora_stacked_matches_flat(mode):
         merge_lora_stacked(sq, stack_adapter(adapter), LC), CFG, tokens
     )
     np.testing.assert_allclose(l_stacked, l_flat, rtol=2e-4, atol=2e-4)
+
+
+def test_unfused_lora_matches_merge_forward_and_grads():
+    """apply_lora_unfused (LoraUnfusedLeaf through proj) must be
+    numerically the merge path: same logits, same dLoss/dA, dLoss/dB —
+    only the backward's cost differs (no weight-shaped cotangents)."""
+    from rwkv_lm_ext_tpu.adapters import apply_lora_unfused
+    from rwkv_lm_ext_tpu.adapters.lora import LoraUnfusedLeaf
+
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in adapter.values():
+        ab["B"] = 0.01 * jnp.ones_like(ab["B"])
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 100)
+
+    unfused = apply_lora_unfused(params, adapter, LC)
+    assert isinstance(unfused["blocks"][0]["att"]["receptance"], LoraUnfusedLeaf)
+    l_m, _ = rwkv_forward(merge_lora(params, adapter, LC), CFG, tokens)
+    l_u, _ = rwkv_forward(unfused, CFG, tokens)
+    np.testing.assert_allclose(l_u, l_m, rtol=1e-4, atol=1e-4)
+
+    def loss(apply):
+        def f(ad):
+            lg, _ = rwkv_forward(apply(params, ad, LC), CFG, tokens)
+            return jnp.mean(lg.astype(jnp.float32) ** 2)
+        return f
+
+    g_m = jax.grad(loss(merge_lora))(adapter)
+    g_u = jax.grad(loss(apply_lora_unfused))(adapter)
+    for k in adapter:
+        np.testing.assert_allclose(
+            g_u[k]["A"], g_m[k]["A"], rtol=1e-3, atol=1e-5, err_msg=k
+        )
+        np.testing.assert_allclose(
+            g_u[k]["B"], g_m[k]["B"], rtol=1e-3, atol=1e-5, err_msg=k
+        )
+
+
+def test_unfused_lora_stacked_and_quant_base():
+    """Stacked trees slice LoraUnfusedLeaf per layer inside the scan;
+    a quantized base stays quantized under the unfused apply."""
+    from rwkv_lm_ext_tpu.adapters import (
+        apply_lora_unfused, apply_lora_unfused_stacked,
+    )
+    from rwkv_lm_ext_tpu.adapters.lora import stack_adapter
+    from rwkv_lm_ext_tpu.adapters.quant import is_quantized, quantize_tree
+    from rwkv_lm_ext_tpu.models.stacked import stack_params
+
+    params = _params()
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, LC)
+    for ab in adapter.values():
+        ab["B"] = 0.01 * jnp.ones_like(ab["B"])
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 100)
+
+    l_flat, _ = rwkv_forward(apply_lora_unfused(params, adapter, LC), CFG, tokens)
+    l_stk, _ = rwkv_forward(
+        apply_lora_unfused_stacked(
+            stack_params(params), stack_adapter(adapter), LC
+        ), CFG, tokens,
+    )
+    np.testing.assert_allclose(l_stk, l_flat, rtol=2e-4, atol=2e-4)
+
+    qp = quantize_tree(params, "int8")
+    qu = apply_lora_unfused(qp, adapter, LC)
+    assert is_quantized(qu["blocks"][0]["att"]["receptance"].base)
+    l_q, _ = rwkv_forward(qu, CFG, tokens)
+    l_dq, _ = rwkv_forward(merge_lora(qp, adapter, LC), CFG, tokens)
+    np.testing.assert_allclose(l_q, l_dq, rtol=1e-3, atol=1e-3)

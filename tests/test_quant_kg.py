@@ -256,7 +256,8 @@ def test_quantize_rows_pallas_matches_xla_composition():
     shapes = [
         (64, 128),          # tileable, one block
         (4, 96, 256),       # tileable, >2D lead
-        (8, 7, 128),        # M=56: falls back (not power-of-two divisible)
+        (8, 7, 128),        # M=56: _pick_rows=8 divides, Pallas path
+        (12, 128),          # M=12: 12 % 8 != 0, M-indivisible fallback
         (16, 100),          # C not lane-aligned: falls back
     ]
     for i, shape in enumerate(shapes):
@@ -266,6 +267,9 @@ def test_quantize_rows_pallas_matches_xla_composition():
         assert q.dtype == jnp.int8 and s.dtype == jnp.float32
         np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=0)
+    # huge-C shapes whose minimum (8, C) fp32 block exceeds the VMEM
+    # budget must be rejected, not tiled
+    assert not can_quantize_rows(jnp.zeros((8, 128 * 1024), jnp.bfloat16))
 
 
 def test_int8_matmul_grad_matches_xla_composition():
