@@ -18,3 +18,11 @@ from rwkv_lm_ext_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_loss,
     pp_param_specs,
 )
+from rwkv_lm_ext_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    is_main_process,
+    local_batch_to_global,
+    make_hybrid_mesh,
+    process_count,
+    process_index,
+)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import Optional
 
 
@@ -103,6 +104,12 @@ def _parse(argv=None):
                         "paying the ~30s+ first-compile per shape")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    # multi-host serving (model sharded across hosts/slices): run the
+    # same command on every host; only process 0 binds the HTTP port.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -286,13 +293,77 @@ def main(argv=None):
     args = _parse(argv)
     if not (args.model or args.encoder):
         raise SystemExit("need --model and/or --encoder")
+    if args.coordinator or args.num_processes or os.environ.get("RWKV_DIST") == "1":
+        from rwkv_lm_ext_tpu.parallel.distributed import init_distributed
+
+        init_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
+    from rwkv_lm_ext_tpu.parallel.distributed import process_count
     from rwkv_lm_ext_tpu.serve.api import serve_http
 
+    if process_count() > 1:
+        _serve_multihost(args)
+        return
     svc = build_service(args)
     server = serve_http(svc, host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]}",
           flush=True)
     server.serve_forever()
+
+
+def _serve_multihost(args):
+    """Serve a model sharded across hosts: every process builds the same
+    service; process 0 runs the HTTP frontend and broadcasts each
+    request before executing it; workers replay the broadcast copy so
+    all processes issue the identical jitted-call sequence (SPMD
+    lockstep). v1 limits: plain engine path only (no continuous
+    batching / speculative — their background loops aren't lockstep),
+    no SSE streaming."""
+    import threading
+
+    from rwkv_lm_ext_tpu.parallel.distributed import (
+        broadcast_obj, is_main_process,
+    )
+    from rwkv_lm_ext_tpu.serve.api import BadRequest, serve_http
+
+    if args.batcher_slots or args.draft or args.draft_layers:
+        raise SystemExit(
+            "multi-host serving supports the plain engine path only "
+            "(drop --batcher-slots/--draft/--draft-layers)"
+        )
+    svc = build_service(args)
+    if is_main_process():
+        inner_handle = svc.handle
+        lock = threading.Lock()
+
+        def handle(route, payload):
+            with lock:
+                broadcast_obj({"route": route, "payload": payload})
+                return inner_handle(route, payload)
+
+        def generate_sse(payload):
+            raise BadRequest("streaming is not supported in multi-host serving")
+
+        svc.handle = handle
+        svc.generate_sse = generate_sse
+        server = serve_http(svc, host=args.host, port=args.port)
+        print(f"serving on http://{args.host}:{server.server_address[1]}",
+              flush=True)
+        try:
+            server.serve_forever()
+        finally:
+            broadcast_obj({"route": "__shutdown__", "payload": {}})
+    else:
+        svc.warmup()
+        while True:
+            msg = broadcast_obj()
+            if msg.get("route") == "__shutdown__":
+                return
+            try:
+                svc.handle(msg["route"], msg["payload"])
+            except Exception:  # noqa: BLE001 — worker mirrors proc 0's errors
+                pass
 
 
 if __name__ == "__main__":

@@ -78,6 +78,15 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--stack-layers", action="store_true",
                    help="scan-over-layers params: ~7x faster compiles "
                         "(full/states train types)")
+    # multi-host (the reference's --num_nodes + NCCL env block,
+    # peft_train_sft.py:63-70,142): run the SAME command on every host
+    # with a shared --coordinator and that host's --process-id; dp spans
+    # processes (DCN), tp stays within a host/slice. On Cloud TPU pods
+    # none of these are needed — jax autodetects (set RWKV_DIST=1).
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _load_base(args):
@@ -114,12 +123,40 @@ def _train_config(args, total_steps: int):
 
 def _mesh(args):
     from rwkv_lm_ext_tpu.parallel import make_mesh
+    from rwkv_lm_ext_tpu.parallel.distributed import (
+        make_hybrid_mesh, process_count,
+    )
 
+    if process_count() > 1:
+        # multi-host: dp spans processes (DCN-outermost), tp stays local
+        n = jax.device_count()
+        return make_hybrid_mesh(dp=args.dp or n // args.tp, tp=args.tp)
     n = len(jax.devices())
     if args.tp == 1 and (args.dp == 1 or (args.dp == 0 and n == 1)):
         return None
     dp = args.dp or n // args.tp
     return make_mesh(dp=dp, tp=args.tp)
+
+
+def _make_sampler(args, ds, sizes, epoch):
+    """Per-host data sharding in multi-host runs: each process samples
+    only its offset-strided shard of every bucket (the reference's
+    MyBatchSampler.set_world_size/rank, data/custom_datasets.py:38-67);
+    ``sizes`` stay PER-PROCESS (--micro-bsz is per host, like the
+    reference's per-GPU micro_bsz), so the global batch is
+    sizes x process_count, assembled by local_batch_to_global."""
+    from rwkv_lm_ext_tpu.data.buckets import BucketBatchSampler
+    from rwkv_lm_ext_tpu.parallel.distributed import (
+        process_count, process_index,
+    )
+
+    procs = process_count()
+    if procs == 1:
+        return BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+    return BucketBatchSampler(
+        ds, sizes, seed=args.seed + epoch,
+        world_size=procs, rank=process_index(),
+    )
 
 
 def _wrap_save(args, save_fn):
@@ -129,9 +166,15 @@ def _wrap_save(args, save_fn):
         return save_fn
 
     def wrapped(ts, step):
-        if save_fn is not None:
-            save_fn(ts, step)
+        from rwkv_lm_ext_tpu.parallel.distributed import is_main_process
+
+        if save_fn is not None and is_main_process():
+            # .pth writes happen on process 0 only; trained leaves are
+            # replicated across dp, so the local replica IS the value
+            save_fn(_host_local_tree(ts), step)
         if args.save_train_state:
+            # Orbax coordinates its own multihost write — every process
+            # must participate (it owns the ZeRO-sharded opt state)
             from rwkv_lm_ext_tpu.checkpoint.orbax_io import save_checkpoint
 
             save_checkpoint(
@@ -148,6 +191,20 @@ def _wrap_save(args, save_fn):
             ).start()
 
     return wrapped
+
+
+def _host_local_tree(tree):
+    """Main-process view of a (possibly multihost) pytree for .pth
+    writes: fully-replicated global leaves are read from the local
+    replica (a global jax.Array spanning processes is never
+    fully-addressable, even when replicated)."""
+
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree_util.tree_map(f, tree)
 
 
 def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
@@ -169,13 +226,21 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
         ts = load_checkpoint(args.resume_train_state, target=ts)
     if mesh is not None:
         ts = placer(ts, mesh)
+    from rwkv_lm_ext_tpu.parallel.distributed import (
+        is_main_process, local_batch_to_global, process_count,
+    )
+
+    multihost = process_count() > 1
+    main = is_main_process()
     schedule = make_schedule(tc)
     logger = MetricsLogger(
         args.output_dir,
         wandb_project=args.wandb_project,
         ctx_len=args.ctx_len,
-        real_bsz=args.micro_bsz * args.accumulate_grad_batches,
-    )
+        real_bsz=(
+            args.micro_bsz * args.accumulate_grad_batches * process_count()
+        ),
+    ) if main else None  # logs/wandb/train_log.txt: process 0 only
     step = 0
     epoch_losses = []
     for epoch in range(args.epochs):
@@ -185,16 +250,26 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
                 continue
             if args.max_steps and step >= args.max_steps:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None and place_batches:
-                batch = place_batch(batch, mesh)
+            if multihost and place_batches:
+                # each host contributes its sampler shard; the global
+                # dp-sharded batch is micro_bsz * process_count rows
+                batch = local_batch_to_global(batch, mesh)
+            elif multihost:
+                raise NotImplementedError(
+                    "multi-host + pipeline parallelism is not wired yet "
+                    "(pp step fns place their own batches)"
+                )
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None and place_batches:
+                    batch = place_batch(batch, mesh)
             if frozen is not None:
                 ts, metrics = step_fn(ts, batch, frozen)
             else:
                 ts, metrics = step_fn(ts, batch)
             loss = float(metrics["loss"])
             epoch_losses.append(loss)
-            if step % args.log_every == 0:
+            if step % args.log_every == 0 and main:
                 m = logger.on_step(step, metrics, float(schedule(step)))
                 print(f"step {step}: {json.dumps(m)}", flush=True)
             step += 1
@@ -210,9 +285,11 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
                 and step % args.eval_every_steps == 0
             ):
                 eval_fn(ts, step, epoch)
-        logger.on_epoch_end(
-            epoch, float(np.mean(epoch_losses or [0.0])), float(schedule(step))
-        )
+        if main:
+            logger.on_epoch_end(
+                epoch, float(np.mean(epoch_losses or [0.0])),
+                float(schedule(step)),
+            )
         epoch_losses = []
         if save_fn is not None:
             save_fn(ts, step)
@@ -247,7 +324,7 @@ def _sft_batches(args, tokenizer, *, want_tasks=False):
     }
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             yield sft_collate(examples, fixed_len)
 
@@ -549,7 +626,7 @@ def _contrastive_batches(args, tokenizer, collate):
     }
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             yield collate(examples, min(fixed_len * 2, args.ctx_len))
 
@@ -636,7 +713,7 @@ def cmd_nli(args):
     sizes = {L: args.micro_bsz}
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             yield triplet_collate(examples, fixed_len)
 
@@ -800,7 +877,7 @@ def cmd_encoder_crossencoder(args):
         return {"input_ids": _np.stack(rows)}  # (B*G, T)
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             yield collate(examples, fixed_len)
 
@@ -922,7 +999,7 @@ def cmd_mlm(args, mae: bool = False):
     }
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             if mae:
                 yield mae_collate(
@@ -1026,7 +1103,7 @@ def cmd_simcse(args):
         return {"a": _np.stack(rows_a), "b": _np.stack(rows_b)}
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             yield collate(examples, fixed_len)
 
@@ -1128,7 +1205,7 @@ def cmd_instructor(args):
         return out
 
     def batches(epoch):
-        sampler = BucketBatchSampler(ds, sizes, seed=args.seed + epoch)
+        sampler = _make_sampler(args, ds, sizes, epoch)
         for fixed_len, examples in sampler.batches():
             yield collate(examples, fixed_len)
 
@@ -1279,6 +1356,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    if (
+        getattr(args, "coordinator", None)
+        or getattr(args, "num_processes", None)
+        or os.environ.get("RWKV_DIST") == "1"
+    ):
+        from rwkv_lm_ext_tpu.parallel.distributed import init_distributed
+
+        init_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
     args.fn(args)
 
 

@@ -1,0 +1,125 @@
+"""Multi-host execution validated with two CPU processes (gloo over
+localhost stands in for DCN — the TPU answer to the reference's
+multi-node NCCL env block, peft_train_sft.py:63-70,142).
+
+Each test spawns two fresh Python processes (jax.distributed cannot be
+re-initialized in-process), each with 2 virtual CPU devices, dp=4
+spanning both processes.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _set_device_count(env, n_local):
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n_local}")
+    env["XLA_FLAGS"] = " ".join(flags)
+
+
+def _spawn(script_args, n_local=2, extra_env=None):
+    env = dict(os.environ)
+    _set_device_count(env, n_local)
+    env["RWKV_FORCE_CPU"] = "1"
+    env.update(extra_env or {})
+    return subprocess.Popen(
+        [sys.executable] + script_args,
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "_multihost_worker.py")
+
+
+def _run_pair(mode, tmp_path, timeout=600):
+    port = _free_port()
+    procs = [
+        _spawn([WORKER, mode, str(pid), f"127.0.0.1:{port}", str(tmp_path)])
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    return outs
+
+
+def test_two_process_train_step_losses_agree(tmp_path):
+    """One dp=4 train step across 2 processes x 2 local devices: both
+    processes must see the identical (globally reduced) loss, and it
+    must equal the single-process loss on the same global batch."""
+    outs = _run_pair("step", tmp_path)
+    res = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert res[0]["loss"] == res[1]["loss"]
+    assert np.isfinite(res[0]["loss"])
+    # single-process reference on the same global batch
+    env = dict(os.environ)
+    _set_device_count(env, 4)
+    env["RWKV_FORCE_CPU"] = "1"
+    single = subprocess.run(
+        [sys.executable, WORKER, "single", "0", "-", str(tmp_path)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert single.returncode == 0, single.stderr
+    ref = json.loads(single.stdout.strip().splitlines()[-1])
+    np.testing.assert_allclose(res[0]["loss"], ref["loss"], rtol=1e-5)
+
+
+def test_two_process_trainer_cli(tmp_path):
+    """The real trainer CLI in two processes: per-host sampler shards,
+    process-0-only logging and checkpoint writes."""
+    import jax
+    import json as _json
+
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.config import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    save_torch_pth(
+        str(tmp_path / "m.pth"),
+        params_to_state_dict(init_rwkv_params(jax.random.PRNGKey(0), cfg), cfg),
+    )
+    with open(tmp_path / "sft.jsonl", "w") as f:
+        for i in range(8):
+            f.write(_json.dumps({
+                "instruction": f"say {i}", "input": "", "output": str(i)
+            }) + "\n")
+    outs = _run_pair("cli", tmp_path, timeout=900)
+    # process 0 printed step lines; process 1 stayed silent
+    assert "step 0:" in outs[0]
+    assert "step 0:" not in outs[1]
+    out0 = os.path.join(str(tmp_path), "out_p0")
+    assert os.path.exists(os.path.join(out0, "train_log.txt"))
+    saved = [f for f in os.listdir(out0) if f.endswith(".pth")]
+    assert saved, "process 0 wrote no adapter checkpoint"
+    out1 = os.path.join(str(tmp_path), "out_p1")
+    if os.path.exists(out1):
+        assert not os.listdir(out1), "process 1 must not write artifacts"
