@@ -10,13 +10,17 @@ target argmax) makes the output provably identical to target-only
 greedy decoding, so the speedup is pure latency, not a quality trade.
 
 The RWKV twist vs transformer speculative decoding: there is no KV
-cache to truncate on rejection — the target's recurrent state after a
-partial accept is recovered by RE-PREFILLING the accepted prefix from
-the pre-round state snapshot (an O(accepted) matmul pass, still far
-cheaper than per-token decode). The draft is re-advanced the same way.
-Rounds therefore cost:
+cache to truncate on rejection. Round 3 recovered the post-accept state
+by RE-PREFILLING the accepted prefix from a snapshot (a measured ~12 ms
+extra target pass per rejected round). Now the verify pass itself emits
+the state after EVERY fed position (models.collect.rwkv_forward_collect
+— the WKV scan computes these anyway and previously discarded them),
+and the draft's lookahead scan stacks its per-step states, so a partial
+accept of j tokens is ONE dynamic-index select per model:
   full accept:    1 target pass (gamma+1 tokens)   -> gamma+1 tokens out
-  partial accept: 2 target passes (gamma+1, j+1)   -> j+1 tokens out
+  partial accept: 1 target pass + state select      -> j+1 tokens out
+Configs the collect forward can't express (v4, tiny-att, dropout) fall
+back to the r3 re-prefill rollback.
 
 Greedy only: occurrence/repetition penalties depend on the emitted
 history token-by-token, which would invalidate the batched verification
@@ -160,9 +164,20 @@ class SpeculativeEngine:
         self._d_fwd = jax.jit(d_fwd)
 
         gm = self.gamma
+        from rwkv_lm_ext_tpu.models.collect import (
+            collect_supported,
+            rwkv_forward_collect,
+            select_state,
+        )
+
+        # state-select rollback (VERDICT r3 #5): target states come from
+        # the collect verify pass; draft states from the lookahead scan
+        self._target_collect = collect_supported(target_cfg)
+        self._select = jax.jit(select_state)
 
         def draft_scan(params, cur, state):
-            """Greedy-draft gamma tokens from `cur` (B=1)."""
+            """Greedy-draft gamma tokens from `cur` (B=1); also emit the
+            per-step state stack for select-rollback."""
 
             def body(carry, _):
                 tok, st = carry
@@ -171,22 +186,29 @@ class SpeculativeEngine:
                     wkv_backend=draft_wkv_backend,
                 )
                 nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
-                return (nxt, st), nxt
+                return (nxt, st), (nxt, st)
 
-            (_, _), toks = jax.lax.scan(
+            (_, _), (toks, sts) = jax.lax.scan(
                 body, (cur, state), None, length=gm
             )
-            return toks
+            return toks, sts
 
         self._draft_scan = jax.jit(draft_scan)
 
         def verify(params, tokens, state):
             """Target pass over (1, gamma+1) tokens: per-position argmax
-            and the final state (valid only on full acceptance)."""
-            logits, new_state = rwkv_forward(
-                params, target_cfg, tokens, state, wkv_backend=wkv_backend
-            )
-            return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), new_state
+            plus either the per-position state stack (collect path) or
+            the final state (fallback; valid only on full acceptance)."""
+            if self._target_collect:
+                logits, states = rwkv_forward_collect(
+                    params, target_cfg, tokens, state
+                )
+            else:
+                logits, states = rwkv_forward(
+                    params, target_cfg, tokens, state,
+                    wkv_backend=wkv_backend,
+                )
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), states
 
         self._verify = jax.jit(verify)
         self._sampled_jit = {}
@@ -200,8 +222,9 @@ class SpeculativeEngine:
         d_be, t_be = self._d_be, self._t_be
 
         def draft_scan(params, cur, state, key):
-            """Sample gamma tokens x_i ~ q_i; return tokens and the FULL
-            filtered draft rows q (gamma, V) for the rejection test."""
+            """Sample gamma tokens x_i ~ q_i; return tokens, the FULL
+            filtered draft rows q (gamma, V) for the rejection test, and
+            the per-step state stack for select-rollback."""
 
             def body(carry, _):
                 tok, st, k = carry
@@ -213,24 +236,33 @@ class SpeculativeEngine:
                 nxt = jax.random.categorical(
                     sub, jnp.log(q + 1e-30)
                 ).astype(jnp.int32)
-                return (nxt, st, k), (nxt, q)
+                return (nxt, st, k), (nxt, q, st)
 
-            (_, _, key), (toks, qrows) = jax.lax.scan(
+            (_, _, key), (toks, qrows, sts) = jax.lax.scan(
                 body, (cur, state, key), None, length=gm
             )
-            return toks, qrows, key
+            return toks, qrows, sts, key
 
         def verify_accept(params, feed, state, qrows, cand, key):
             """Target pass + speculative_accept (the rejection-sampling
             rule): the emitted distribution provably equals target-only
             sampling with the same SamplingParams."""
-            logits, new_state = rwkv_forward(
-                params, t_cfg, feed, state, wkv_backend=t_be
-            )
+            if self._target_collect:
+                from rwkv_lm_ext_tpu.models.collect import (
+                    rwkv_forward_collect,
+                )
+
+                logits, states = rwkv_forward_collect(
+                    params, t_cfg, feed, state
+                )
+            else:
+                logits, states = rwkv_forward(
+                    params, t_cfg, feed, state, wkv_backend=t_be
+                )
             p = _filtered_probs(logits[0].astype(jnp.float32), sp)  # (g+1,V)
             key, sub = jax.random.split(key)
             j, nxt = speculative_accept(p, qrows, cand, sub)
-            return j, nxt, new_state, key
+            return j, nxt, states, key
 
         progs = (jax.jit(draft_scan), jax.jit(verify_accept))
         self._sampled_jit[sp] = progs
@@ -331,19 +363,22 @@ class SpeculativeEngine:
                 callback(c)
             if len(out) >= max_tokens:
                 break
-            # snapshots: rejection rolls both models back to here
-            t_snap, d_snap = t_state, d_state
+            # snapshots: the fallback (non-collect) target path rolls
+            # back to here on rejection
+            t_snap = t_state
             if sampled:
-                cand, qrows, key = d_scan_s(self._dp, cur, d_state, key)
+                cand, qrows, d_states, key = d_scan_s(
+                    self._dp, cur, d_state, key
+                )
                 feed = jnp.concatenate([cur[None], cand])[None]
-                j_d, nxt_d, t_full, key = verify_accept(
+                j_d, nxt_d, t_states, key = verify_accept(
                     self._tp, feed, t_state, qrows, cand, key
                 )
                 j, nxt = int(j_d), int(nxt_d)
             else:
-                cand = self._draft_scan(self._dp, cur, d_state)  # (gamma,)
+                cand, d_states = self._draft_scan(self._dp, cur, d_state)
                 feed = jnp.concatenate([cur[None], cand])[None]
-                argmaxes, t_full = self._verify(self._tp, feed, t_state)
+                argmaxes, t_states = self._verify(self._tp, feed, t_state)
                 arg_h = np.asarray(argmaxes)
                 cand_j = np.asarray(cand)
                 j = 0
@@ -357,18 +392,24 @@ class SpeculativeEngine:
 
             cand_h = np.asarray(cand)
             consumed = [c] + [int(x) for x in cand_h[:j]]
-            if j == self.gamma:
-                t_state = t_full  # fed exactly the consumed tokens
+            if self._target_collect:
+                # state after consumed == verify position j: one select
+                t_state = self._select(t_states, j)
+            elif j == self.gamma:
+                t_state = t_states  # fed exactly the consumed tokens
             else:
                 _, t_state = self._prefill(
                     self._t_fwd, self._tp, self._tc, consumed, t_snap
                 )
                 stats.target_passes += 1
-            # draft consumed gamma lookahead tokens; re-advance it over
-            # what was actually accepted (a tiny draft prefill)
-            _, d_state = self._prefill(
-                self._d_fwd, self._dp, self._dc, consumed, d_snap
-            )
+            # draft per-step states: index i = state after
+            # [cur] + cand[:i]; full accept needs one extra T=1 step to
+            # consume cand[gamma-1]
+            d_state = self._select(d_states, min(j, self.gamma - 1))
+            if j == self.gamma:
+                _, d_state = self._d_fwd(
+                    self._dp, cand[self.gamma - 1][None, None], d_state
+                )
 
             # emit the accepted draft tokens; the target's next token
             # (correction/resample on rejection, bonus on full accept)

@@ -75,3 +75,43 @@ def wkv_reference(
     final_state, ys = jax.lax.scan(step, state0, xs, reverse=reverse)
     y = jnp.moveaxis(ys, 0, 1)  # (B,T,H,N)
     return y, final_state
+
+
+def wkv_collect(
+    r: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    w: jax.Array,
+    u: Optional[jax.Array],
+    initial_state: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """wkv_reference that also emits the state AFTER EVERY position.
+
+    Returns (y (B,T,H,N) fp32, states (T,B,H,N,N) fp32) where
+    states[t] is the recurrent state after consuming tokens[..t]. Used
+    by the speculative-decoding verify pass (models/collect.py): a
+    partial acceptance selects states[j] instead of re-prefilling the
+    accepted prefix (VERDICT r3 #5). Intended for short T (gamma+1) at
+    small B — the per-step state emit is O(T*B*H*N^2) HBM."""
+    B, T, H, N = r.shape
+    rf = r.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    ew = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
+    state0 = (
+        jnp.zeros((B, H, N, N), jnp.float32)
+        if initial_state is None else initial_state.astype(jnp.float32)
+    )
+    uf = None if u is None else u.astype(jnp.float32)
+
+    def step(S, inp):
+        r_t, k_t, v_t, ew_t = inp
+        kv = k_t[..., :, None] * v_t[..., None, :]
+        attend = S if uf is None else uf[None, :, :, None] * kv + S
+        y_t = jnp.einsum("bhk,bhkv->bhv", r_t, attend)
+        S = S * ew_t[..., :, None] + kv
+        return S, (y_t, S)
+
+    xs = tuple(jnp.moveaxis(a, 1, 0) for a in (rf, kf, vf, ew))
+    _, (ys, Ss) = jax.lax.scan(step, state0, xs)
+    return jnp.moveaxis(ys, 0, 1), Ss

@@ -52,8 +52,12 @@ def time_scan(body, carry0, iters, *, const=(), canary_frac=0.4, warmups=1):
             def sbody(cc, _):
                 return body(cc, *cst), None
             c, _ = jax.lax.scan(sbody, c, None, length=n)
-            return jax.tree_util.tree_map(
-                lambda x: jnp.sum(x.astype(jnp.float32)), c
+            # ONE scalar out: per-leaf outputs would mean one host
+            # round-trip per leaf (30+ s on the remote-TPU tunnel for a
+            # TrainState carry)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+                c, jnp.float32(0),
             )
         return f
 
