@@ -613,6 +613,55 @@ def _bwd(chunk_size, interpret, exact, residuals, cts):
 _wkv_pallas.defvjp(_fwd, _bwd)
 
 
+def _pow2_chunk(L: int) -> int:
+    """Round a chunk length down to a power of two (>= 8).
+
+    The exact-A dyadic-LCA decomposition is only valid for power-of-two
+    L: _exact_A_head guards this (pairwise-tile fallback), but the
+    two-pass backward builds A from _exact_A_factors DIRECTLY — at
+    L=24 the missing dyadic level silently corrupted the causal region
+    of A (dv came out wrong by ~1e3 while the guarded forward stayed
+    correct). Normalizing L at the public wrappers keeps every kernel
+    on the valid decomposition — and the padded-T machinery already
+    handles T not being a multiple of the (now rounded) chunk."""
+    return max(8, 1 << (int(L).bit_length() - 1))
+
+
+def geometry_native(N: int, H: int) -> bool:
+    """True when the packed Pallas kernels (fwd AND two-pass bwd) tile
+    (H, N) directly: 128//N heads per 128-lane program."""
+    P = 128 // N if N <= 128 and 128 % N == 0 else 1
+    if H % P != 0:
+        P = 1
+    return P * N == 128
+
+
+def pad_target(N: int, H: int) -> Optional[int]:
+    """Smallest padded head size Np >= N that the packed kernels tile
+    ((128//Np) | H). None when N is already native or cannot be padded
+    (N > 128). Padding is EXACT: zero-padded k/v rows keep the extra
+    state channels at zero, zero-padded r reads nothing from them (the
+    decay value on padded channels is then irrelevant)."""
+    if N > 128 or geometry_native(N, H):
+        return None
+    for np_ in (8, 16, 32, 64, 128):
+        if np_ >= N and H % (128 // np_) == 0:
+            return np_
+    return 128
+
+
+def _warn_fallback(N: int, H: int, where: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"wkv_pallas {where}: head geometry (H={H}, N={N}) cannot ride "
+        "the packed Pallas kernels (N > 128) — falling back to the "
+        "XLA-recompute backward (~4x slower op-level). Use a head_size "
+        "that divides 128 to avoid this.",
+        stacklevel=3,
+    )
+
+
 def wkv_pallas(
     r: jax.Array,
     k: jax.Array,
@@ -628,6 +677,11 @@ def wkv_pallas(
     """Same contract as wkv_reference/wkv_chunked (y is returned in fp32
     for head-side GroupNorm precision; internals accumulate fp32).
 
+    Head sizes the packed kernels can't tile directly (e.g. 96) are
+    zero-padded up to the next tileable size (exact — see pad_target),
+    so fwd and the two-pass Pallas backward still apply; only N > 128
+    falls back to the XLA-recompute backward (with a warning).
+
     exact=False selects the midpoint-rescale intra-chunk factoring (~4x
     cheaper, exact only under the decay bound
     models.rwkv.suggest_wkv_dispatch checks) — callers must hold that
@@ -639,7 +693,29 @@ def wkv_pallas(
         initial_state = jnp.zeros((B, H, N, N), jnp.float32)
     if interpret is None:
         interpret = not pallas_available()
-    chunk_size = min(chunk_size, max(8, T))
+    chunk_size = _pow2_chunk(min(chunk_size, max(8, T)))
+
+    Np = pad_target(N, H)
+    if Np is not None:
+        pn = Np - N
+        pad4 = [(0, 0), (0, 0), (0, 0), (0, pn)]
+        r = jnp.pad(r, pad4)
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
+        w = jnp.pad(w, pad4)   # padded state channels stay 0: any decay
+        u = jnp.pad(u.astype(jnp.float32), [(0, 0), (0, pn)])
+        initial_state = jnp.pad(
+            initial_state.astype(jnp.float32),
+            [(0, 0), (0, 0), (0, pn), (0, pn)],
+        )
+        y, sout = _wkv_pallas(
+            r, k, v, w.astype(jnp.float32), u,
+            initial_state, chunk_size, interpret, exact,
+        )
+        return y[..., :N].astype(jnp.float32), sout[..., :N, :N]
+
+    if not geometry_native(N, H) and not interpret:
+        _warn_fallback(N, H, "backward")
     y, sout = _wkv_pallas(
         r, k, v, w.astype(jnp.float32), u.astype(jnp.float32),
         initial_state.astype(jnp.float32), chunk_size, interpret, exact,
@@ -1007,10 +1083,29 @@ def wkv6_fused_output(
         initial_state = jnp.zeros((B, H, N, N), jnp.float32)
     if interpret is None:
         interpret = not pallas_available()
+    if not geometry_native(N, H):
+        # head sizes the packed kernel can't tile (e.g. 96): run the
+        # UNFUSED op (which zero-pads N up to a tileable size — exact,
+        # and keeps the two-pass Pallas backward) and apply the
+        # GroupNorm/gate tail in XLA over the true N channels (padded
+        # zeros must not enter the GN statistics).
+        y, sT = wkv_pallas(
+            r, k, v, w, u, initial_state,
+            chunk_size=chunk_size, interpret=interpret, exact=exact,
+        )
+        yf = y.reshape(B, T, H, N)
+        mu = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+        yn = ((yf - mu) * jax.lax.rsqrt(var + eps)).reshape(B, T, H * N)
+        out = (
+            yn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+        ) * g.reshape(B, T, H * N).astype(jnp.float32)
+        return out.astype(g.dtype), sT
     return _wkv_fused(
         r, k, v, w.astype(jnp.float32), u.astype(jnp.float32),
         initial_state.astype(jnp.float32), g,
-        ln_scale, ln_bias, eps, min(chunk_size, max(8, T)), interpret,
+        ln_scale, ln_bias, eps,
+        _pow2_chunk(min(chunk_size, max(8, T))), interpret,
         exact,
     )
 

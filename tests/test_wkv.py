@@ -236,3 +236,71 @@ def test_chunked_exact_grads_and_dispatch():
     y_b, S_b = wkv_reference(r, k, v, w, u)
     np.testing.assert_allclose(y_a, y_b, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(S_a, S_b, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("N,H", [(96, 2), (48, 3), (24, 2)])
+def test_pallas_padded_geometry_fwd_and_grads(N, H):
+    """head sizes that don't divide 128 ride the packed kernels via
+    zero-padding (ops.wkv_pallas.pad_target) — fwd and grads must match
+    the sequential reference exactly (the padding is lossless)."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import pad_target, wkv_pallas
+
+    assert pad_target(N, H) is not None
+    B, T = 2, 24
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    s0 = jax.random.normal(ks[5], (B, H, N, N)) * 0.1
+
+    y_p, s_p = wkv_pallas(r, k, v, w, u, s0, interpret=True)
+    y_r, s_r = wkv_reference(r, k, v, w, u, s0)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_p(r, k, v, w, u, s0):
+        y, sT = wkv_pallas(r, k, v, w, u, s0, interpret=True)
+        return jnp.sum(y**2) + jnp.sum(sT**2)
+
+    def loss_r(r, k, v, w, u, s0):
+        y, sT = wkv_reference(r, k, v, w, u, s0)
+        return jnp.sum(y**2) + jnp.sum(sT**2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5))(r, k, v, w, u, s0)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(r, k, v, w, u, s0)
+    for a, b, name in zip(g_p, g_r, "rkvwus"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad {name}",
+        )
+
+
+def test_fused_output_padded_geometry():
+    """wkv6_fused_output at head_size 96: the unfused+XLA-GN route must
+    match the jnp composition (_fused_ref)."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import _fused_ref, wkv6_fused_output
+
+    B, T, H, N = 1, 16, 2, 96
+    ks = jax.random.split(jax.random.PRNGKey(1), 7)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=0.5)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    g = jax.random.normal(ks[5], (B, T, H, N))
+    sc = jax.random.normal(ks[6], (H * N,)) * 0.1 + 1.0
+    bi = jnp.zeros((H * N,))
+    out, sT = wkv6_fused_output(
+        r, k, v, w, u, g, sc, bi, eps=1e-5, interpret=True
+    )
+    out_ref, sT_ref = _fused_ref(
+        r, k, v, w, u, jnp.zeros((B, H, N, N)), g, sc, bi, 1e-5, 64
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(sT_ref),
+                               rtol=2e-4, atol=2e-4)
