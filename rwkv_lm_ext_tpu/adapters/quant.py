@@ -44,8 +44,10 @@ class QuantizedTensor:
         q, scale = children
         return cls(aux[0], q, scale, aux[1], aux[2], aux[3])
 
-# QLoRA NF4 codebook: quantiles of N(0,1), normalized to [-1, 1]
-NF4_CODE = jnp.asarray(
+# QLoRA NF4 codebook: quantiles of N(0,1), normalized to [-1, 1].
+# numpy (not jnp): a module-level device array would be created inside
+# whatever trace first imports this module lazily -> leaked tracer.
+NF4_CODE = np.asarray(
     [
         -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
         -0.28444138169288635, -0.18477343022823334, -0.09105003625154495,
@@ -53,19 +55,19 @@ NF4_CODE = jnp.asarray(
         0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
         0.7229568362236023, 1.0,
     ],
-    jnp.float32,
+    np.float32,
 )
 
 # bitsandbytes FP4 (e2m1) codebook, sign in bit 3 — the dequant table of
 # bnb's dDequantizeFP4 (csrc/kernels.cu), normalized to [-1, 1]
-FP4_CODE = jnp.asarray(
+FP4_CODE = np.asarray(
     [
         0.0, 0.0052083335, 0.6666667, 1.0,
         0.33333334, 0.5, 0.16666667, 0.25,
         -0.0, -0.0052083335, -0.6666667, -1.0,
         -0.33333334, -0.5, -0.16666667, -0.25,
     ],
-    jnp.float32,
+    np.float32,
 )
 
 _CODE4 = {"nf4": NF4_CODE, "fp4": FP4_CODE}
@@ -214,7 +216,7 @@ def dequantize_nf4(d: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     lo = (packed & 0xF).astype(jnp.int32)
     hi = (packed >> 4).astype(jnp.int32)
     idx = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
-    vals = _CODE4[d.qformat][idx] * d.scale[..., None]
+    vals = jnp.asarray(_CODE4[d.qformat])[idx] * d.scale[..., None]
     flat = vals.reshape(*lead, -1)
     if d.pad:
         flat = flat[..., : -d.pad]

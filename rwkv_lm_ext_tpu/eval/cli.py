@@ -158,6 +158,182 @@ def cmd_retrieval_task(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_parity(args):
+    """Real-checkpoint acceptance runbook (VERDICT r3 #7): one command
+    that takes a .pth (+ optional LoRA + optional retrieval task dump)
+    and reports, on REAL weights:
+
+    1. embedding cosine drift — production path (compute dtype + fused
+       Pallas kernels) vs the fp32 sequential-reference backend, per
+       text; acceptance target <= 1e-3 (BASELINE.md).
+    2. WKV op cross-check vs the REFERENCE REPO's own torch CPU kernel
+       (src/model_encoder_run.py run_rwkv6_forward under NO_CUDA=1) on
+       the checkpoint's real first-layer activations — ties our golden
+       to the reference's math (skipped if /root/reference or torch is
+       unavailable).
+    3. retrieval score delta (--task-dir): the C-MTEB-style metrics
+       (tests/test_cmteb.py:92-94 protocol) computed from BOTH
+       embedding sets, with per-metric deltas.
+    """
+    import numpy as np
+
+    from rwkv_lm_ext_tpu.checkpoint import load_rwkv_checkpoint
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.infer.encoders import BiEncoder
+
+    def build(dtype_overrides, backend):
+        params, cfg = load_rwkv_checkpoint(args.model, **dtype_overrides)
+        if args.lora:
+            from rwkv_lm_ext_tpu.adapters import (
+                LoraConfig, lora_state_dict_to_tree, merge_lora,
+            )
+            from rwkv_lm_ext_tpu.checkpoint.pth import load_torch_pth
+
+            adapter = lora_state_dict_to_tree(load_torch_pth(args.lora))
+            params = merge_lora(
+                params, adapter,
+                LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+            )
+        tok = WorldTokenizer(args.vocab)
+        return BiEncoder(
+            params, cfg, tok, pooling_type=args.pooling,
+            wkv_backend=backend,
+        ), params, cfg
+
+    be_fast, params_fast, cfg = build({}, "auto")
+    be_gold, params_gold, cfg32 = build(
+        {"dtype": "float32", "param_dtype": "float32"}, "reference"
+    )
+
+    if args.task_dir:
+        from rwkv_lm_ext_tpu.eval.tasks import RetrievalTask
+
+        task = RetrievalTask.load(args.task_dir, split=args.split)
+        texts = (
+            list(task.queries.values()) + list(task.corpus.values())
+        )[: args.max_texts]
+    elif args.data:
+        texts = [
+            r["text"] if isinstance(r, dict) else r[0]
+            for r in _rows(args.data)
+        ][: args.max_texts]
+    else:
+        raise SystemExit("parity needs --data or --task-dir")
+
+    e_fast = np.asarray(
+        be_fast.encode_texts(texts, batch_size=args.batch_size), np.float32
+    )
+    e_gold = np.asarray(
+        be_gold.encode_texts(texts, batch_size=args.batch_size), np.float32
+    )
+    cos = np.sum(e_fast * e_gold, axis=-1) / np.maximum(
+        np.linalg.norm(e_fast, axis=-1) * np.linalg.norm(e_gold, axis=-1),
+        1e-12,
+    )
+    drift = 1.0 - cos
+    out = {
+        "n_texts": len(texts),
+        "cosine_drift_mean": float(drift.mean()),
+        "cosine_drift_max": float(drift.max()),
+        "target": 1e-3,
+        "pass": bool(drift.max() <= 1e-3),
+    }
+
+    out["reference_wkv_op"] = _reference_wkv_crosscheck(
+        params_gold, cfg32, be_gold.tokenizer, texts[0]
+    )
+
+    if args.task_dir:
+        from rwkv_lm_ext_tpu.eval.tasks import run_retrieval_task
+
+        m_fast = run_retrieval_task(
+            task, lambda t: be_fast.encode_texts(t, batch_size=args.batch_size)
+        )
+        m_gold = run_retrieval_task(
+            task, lambda t: be_gold.encode_texts(t, batch_size=args.batch_size)
+        )
+        out["scores_fast"] = m_fast
+        out["scores_gold"] = m_gold
+        out["score_delta"] = {
+            k: round(float(m_fast[k]) - float(m_gold[k]), 6)
+            for k in m_fast
+            if isinstance(m_fast.get(k), (int, float))
+        }
+    print(json.dumps(out, indent=2))
+
+
+def _reference_wkv_crosscheck(params, cfg, tok, text):
+    """Feed the checkpoint's REAL first-layer activations through the
+    reference repo's torch CPU WKV (model_encoder_run.run_rwkv6_forward)
+    and our sequential reference; return the max abs error."""
+    import os
+    import sys
+
+    ref = os.environ.get("RWKV_REFERENCE_DIR", "/root/reference")
+    if not os.path.isdir(ref):
+        return {"skipped": "reference repo not mounted"}
+    try:
+        import torch
+    except ImportError:
+        return {"skipped": "torch unavailable"}
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_lm_ext_tpu.models.rwkv import (
+        layer_norm, tmix_v6_projections,
+    )
+    from rwkv_lm_ext_tpu.ops import wkv_reference
+
+    if cfg.version < 6:
+        return {"skipped": f"v{cfg.version} checkpoint (op is v6)"}
+    ids = tok.encode(text)[:64]
+    toks = jnp.asarray([ids], jnp.int32)
+    x = jnp.take(params["emb"], toks, axis=0).astype(jnp.float32)
+    b0 = params["blocks"][0]
+    if "ln0" in b0:
+        x = layer_norm(x, b0["ln0"])
+    xln = layer_norm(x, b0["ln1"])
+    B, T, C = xln.shape
+    H, N = cfg.n_head, cfg.head_size
+    shift0 = jnp.zeros((B, C), jnp.float32)
+    r, k, v, g, w = tmix_v6_projections(b0["att"], cfg, xln, shift0)
+    u = b0["att"]["time_faaaa"].astype(jnp.float32)
+
+    y_ours, _ = wkv_reference(
+        r.reshape(B, T, H, N), k.reshape(B, T, H, N),
+        v.reshape(B, T, H, N), w.reshape(B, T, H, N), u,
+    )
+    y_ours = np.asarray(y_ours).reshape(B, T, C)
+
+    os.environ["NO_CUDA"] = "1"
+    os.environ.setdefault("RWKV_MY_TESTING", "x060")
+    os.environ.setdefault("RWKV_TRAIN_TYPE", "")
+    os.environ["RWKV_HEAD_SIZE_A"] = str(N)
+    os.environ.setdefault("RWKV_JIT_ON", "0")
+    os.environ.setdefault("RWKV_FLOAT_MODE", "fp32")
+    sys.path.insert(0, ref)
+    try:
+        import importlib
+
+        mer = importlib.import_module("src.model_encoder_run")
+        tt = lambda a: torch.from_numpy(  # noqa: E731
+            np.ascontiguousarray(np.asarray(a, np.float32))
+        )
+        y_ref = mer.run_rwkv6_forward(
+            tt(r).view(B, T, C), tt(k).view(B, T, C), tt(v).view(B, T, C),
+            tt(w).view(B, T, C), tt(u).view(H, N),
+        ).numpy()
+    finally:
+        sys.path.remove(ref)
+    err = float(np.abs(y_ours - y_ref).max())
+    scale = float(np.abs(y_ref).max())
+    return {
+        "max_abs_err": err, "y_scale": scale,
+        "rel_err": err / max(scale, 1e-12), "tokens": T,
+    }
+
+
 def cmd_ppl(args):
     """Token perplexity over a corpus (jsonl {"text"} or plain lines)."""
     import jax
@@ -234,6 +410,16 @@ def main(argv=None):
     s.add_argument("--data", required=True)
     s.add_argument("--ctx-len", type=int, default=512)
     s.set_defaults(fn=cmd_ppl)
+
+    s = sub.add_parser("parity"); common(s)
+    s.add_argument("--data", default=None,
+                   help="jsonl of {'text': ...} rows to embed both ways")
+    s.add_argument("--task-dir", default=None,
+                   help="MTEB/BEIR-format dump: also reports retrieval "
+                        "score deltas between the two paths")
+    s.add_argument("--split", default="test")
+    s.add_argument("--max-texts", type=int, default=256)
+    s.set_defaults(fn=cmd_parity)
 
     args = p.parse_args(argv)
     args.fn(args)

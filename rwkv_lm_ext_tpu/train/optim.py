@@ -87,22 +87,62 @@ def make_schedule(tc: TrainConfig) -> Callable[[jax.Array], jax.Array]:
     return schedule
 
 
+def _scale_by_leaf_multiplier(mults) -> optax.GradientTransformation:
+    """One elementwise multiply per leaf whose multiplier != 1 (the lr
+    groups); leaves at 1x pass through untouched."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        out = jax.tree_util.tree_map(
+            lambda u, m: u if m == 1.0 else u * m, updates, mults
+        )
+        return out, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tc: TrainConfig, params) -> optax.GradientTransformation:
+    """AdamW chain. The clip+adam core runs FLATTENED (optax.flatten):
+    per-leaf optimizer math on a ~400-leaf adapter tree emits thousands
+    of tiny fusions that cost real wall-clock on TPU (measured +73 ms
+    per 1B6 LoRA step vs the grads-only program, scripts/ablate_train);
+    on one raveled vector it is a handful of large ops. The masked
+    lr-group scales of r3 are gone too: groups are a per-leaf STATIC
+    multiplier now, skipped entirely when every leaf is 1x (always true
+    for LoRA adapter trees — no time_* leaves)."""
     schedule = make_schedule(tc)
     labels = lr_scale_labels(params) if tc.layerwise_lr else None
 
-    chain = [optax.clip_by_global_norm(tc.grad_clip)] if tc.grad_clip > 0 else []
-    chain.append(
+    core = [optax.clip_by_global_norm(tc.grad_clip)] if tc.grad_clip > 0 else []
+    core.append(
         optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=tc.adam_eps)
     )
+    # flatten only for small (adapter-sized) trees: ravel_pytree promotes
+    # mixed dtypes to fp32 and a single flat m/v vector defeats the
+    # per-leaf ZeRO dp-sharding — both fine for a ~25 MB LoRA/state
+    # adapter, wrong trades for a multi-GB full fine-tune.
+    n_bytes = sum(
+        leaf.size * getattr(leaf, "dtype", jnp.float32).itemsize
+        for leaf in jax.tree_util.tree_leaves(params)
+        if hasattr(leaf, "size")
+    )
+    if n_bytes <= 200 * 1024 * 1024:
+        chain = [optax.flatten(optax.chain(*core))]
+    else:
+        chain = list(core)
     if tc.weight_decay > 0:
         chain.append(
             optax.add_decayed_weights(tc.weight_decay, mask=decay_mask(params))
         )
     if labels is not None:
-        for lbl, mult in (("2x", 2.0), ("3x", 3.0)):
-            mask = jax.tree_util.tree_map(lambda l, want=lbl: l == want, labels)
-            chain.append(optax.masked(optax.scale(mult), mask))
+        mult_of = {"1x": 1.0, "2x": 2.0, "3x": 3.0}
+        mults = jax.tree_util.tree_map(lambda l: mult_of[l], labels)
+        if any(m != 1.0 for m in jax.tree_util.tree_leaves(mults)):
+            chain.append(_scale_by_leaf_multiplier(mults))
     chain.append(optax.scale_by_schedule(schedule))
     chain.append(optax.scale(-1.0))
     return optax.chain(*chain)

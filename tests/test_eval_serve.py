@@ -305,3 +305,35 @@ def test_eval_cli_ppl(tmp_path):
     assert out["tokens"] > 0 and out["perplexity"] > 1
     # a fresh random-ish model must be near chance (ln V ~ 11.1 nats)
     assert 3 < out["nll_per_token"] < 13
+
+
+def test_eval_cli_parity(tmp_path, capsys):
+    """The real-checkpoint acceptance runbook (eval.cli parity): fast
+    path vs fp32 reference backend drift + the reference repo's torch
+    CPU WKV cross-check + retrieval score deltas, one command."""
+    import os
+
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.eval import cli as eval_cli
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "m.pth")
+    save_torch_pth(ckpt, params_to_state_dict(params, cfg))
+    task_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "mini_task"
+    )
+    eval_cli.main([
+        "parity", "--model", ckpt, "--task-dir", task_dir,
+        "--max-texts", "24",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["pass"] and out["cosine_drift_max"] <= 1e-3
+    ref = out["reference_wkv_op"]
+    if "skipped" not in ref:
+        assert ref["rel_err"] < 1e-5
+    assert out["score_delta"]
