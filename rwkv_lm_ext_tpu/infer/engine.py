@@ -143,12 +143,21 @@ class GenerationEngine:
         tok = jnp.asarray(tokens, jnp.int32)
         logits = None
         off = consumed
-        for size in _chunk_plan(len(tokens) - consumed, self.chunk_len):
+        sizes = _chunk_plan(len(tokens) - consumed, self.chunk_len)
+        for i, size in enumerate(sizes):
             piece = tok[off : off + size][None]
             logits, state = self._fwd(
                 self.params if params is None else params, piece, state
             )
             off += size
+            # also cache intermediate chunk-boundary states (not just the
+            # full prompt): a REPEATED identical prompt then resumes from
+            # its last boundary and re-runs only the final chunk — the
+            # full-prompt entry alone can never serve an identical prompt
+            # (lookup is strict-prefix so at least one token yields
+            # logits)
+            if use_cache and i < len(sizes) - 1:
+                self.state_cache.insert(tokens[:off], state, salt=cache_salt)
         assert logits is not None, "empty prompt"
         if use_cache:
             self.state_cache.insert(tokens, state, salt=cache_salt)

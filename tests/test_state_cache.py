@@ -153,3 +153,24 @@ def test_batcher_admission_uses_cache(params):
     for rid, exp in zip(rids, expected):
         assert results[rid] == exp
     assert cache.hits >= 1
+
+
+def test_identical_prompt_hits_boundary_state(params):
+    """Chunk-boundary states are inserted during prefill, so a REPEATED
+    identical prompt resumes from its last boundary (re-running only the
+    final chunk) — and the logits/state are exactly the uncached run's."""
+    cache = PrefixStateCache(capacity=8, min_prefix=4)
+    eng = GenerationEngine(
+        params, CFG, wkv_backend="reference", state_cache=cache,
+        chunk_len=8,
+    )
+    prompt = [5 + (i % 60) for i in range(20)]  # multi-chunk
+    l1, s1 = eng.prefill(prompt)
+    h0 = cache.hits
+    l2, s2 = eng.prefill(prompt)
+    assert cache.hits > h0, "identical prompt must hit a boundary entry"
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for k in s1:
+        np.testing.assert_allclose(
+            np.asarray(s1[k]), np.asarray(s2[k]), rtol=1e-6, atol=1e-6
+        )
