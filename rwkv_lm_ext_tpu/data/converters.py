@@ -140,6 +140,91 @@ def _iter_jsonl(path: str) -> Iterator[Dict]:
                 yield json.loads(line)
 
 
+def convert_wiki_dump(
+    path: str, *, min_chars: int = 64, skip_redirects: bool = True
+) -> Iterator[Dict]:
+    """MediaWiki XML dump (.xml or .xml.bz2) -> {"title", "text"} rows.
+
+    Clean-room lightweight replacement for the reference's 1145-LoC HF
+    datasets builder (data/wikipedia.py): stdlib iterparse over the dump
+    + regex wikitext cleanup (templates, tables, refs, links, markup).
+    The output jsonl feeds the generic corpus pipeline
+    (data.preprocess.build_binidx / MLM-MAE preprocessing) — the
+    training-format side the builder existed for.
+    """
+    import bz2
+    import re
+    import xml.etree.ElementTree as ET
+
+    opener = bz2.open if path.endswith(".bz2") else open
+    # strip namespace from tags as we go ({http://...}page -> page)
+    strip = re.compile(r"\{.*\}")
+
+    re_comment = re.compile(r"<!--.*?-->", re.S)
+    re_ref = re.compile(r"<ref[^>/]*/>|<ref[^>]*>.*?</ref>", re.S)
+    re_tag = re.compile(r"<[^>]+>")
+    re_table = re.compile(r"\{\|.*?\|\}", re.S)
+    re_file = re.compile(
+        r"\[\[(?:File|Image|文件|圖像|图像):[^\[\]]*(?:\[\[[^\[\]]*\]\][^\[\]]*)*\]\]"
+    )
+    re_link = re.compile(r"\[\[(?:[^|\]]*\|)?([^\]]+)\]\]")
+    re_extlink = re.compile(r"\[https?://[^\s\]]+\s?([^\]]*)\]")
+    re_bold = re.compile(r"'{2,5}")
+    re_heading = re.compile(r"^=+\s*(.*?)\s*=+\s*$", re.M)
+    re_listmark = re.compile(r"^[\*#:;]+\s*", re.M)
+    re_blank = re.compile(r"\n{3,}")
+
+    def strip_templates(s: str) -> str:
+        # innermost-out removal of {{...}} (templates nest)
+        prev = None
+        pat = re.compile(r"\{\{[^{}]*\}\}", re.S)
+        while prev != s:
+            prev = s
+            s = pat.sub("", s)
+        return s
+
+    def clean(s: str) -> str:
+        s = re_comment.sub("", s)
+        s = strip_templates(s)
+        s = re_table.sub("", s)
+        s = re_ref.sub("", s)
+        s = re_file.sub("", s)
+        s = re_link.sub(r"\1", s)
+        s = re_extlink.sub(r"\1", s)
+        s = re_tag.sub("", s)
+        s = re_bold.sub("", s)
+        s = re_heading.sub(r"\1", s)
+        s = re_listmark.sub("", s)
+        s = re_blank.sub("\n\n", s)
+        return s.strip()
+
+    with opener(path, "rb") as f:
+        title, ns, redirect, text = None, "0", False, None
+        for event, elem in ET.iterparse(f, events=("end",)):
+            tag = strip.sub("", elem.tag)
+            if tag == "title":
+                title = elem.text or ""
+            elif tag == "ns":
+                ns = elem.text or "0"
+            elif tag == "redirect":
+                redirect = True
+            elif tag == "text":
+                # itertext: robust to stray unescaped markup parsed as
+                # child elements
+                text = "".join(elem.itertext())
+            elif tag == "page":
+                if (
+                    ns == "0"
+                    and not (skip_redirects and redirect)
+                    and text
+                ):
+                    body = clean(text)
+                    if len(body) >= min_chars:
+                        yield {"title": title, "text": body}
+                title, ns, redirect, text = None, "0", False, None
+                elem.clear()
+
+
 def _write_jsonl(records: Iterator[Dict], path: str) -> int:
     n = 0
     with open(path, "w", encoding="utf-8") as f:
@@ -152,7 +237,7 @@ def _write_jsonl(records: Iterator[Dict], path: str) -> int:
 def main(argv=None):  # pragma: no cover - thin CLI
     p = argparse.ArgumentParser(prog="rwkv_lm_ext_tpu.data.converters")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("coig", "drcd", "iepile"):
+    for name in ("coig", "drcd", "iepile", "wiki"):
         s = sub.add_parser(name)
         s.add_argument("--input", required=True)
         s.add_argument("--output", required=True)
@@ -160,7 +245,16 @@ def main(argv=None):  # pragma: no cover - thin CLI
             s.add_argument("--task-type", default="阅读理解")
         if name == "iepile":
             s.add_argument("--task", default="NER")
+        if name == "wiki":
+            s.add_argument("--min-chars", type=int, default=64)
     args = p.parse_args(argv)
+    if args.cmd == "wiki":
+        n = _write_jsonl(
+            convert_wiki_dump(args.input, min_chars=args.min_chars),
+            args.output,
+        )
+        print(f"wrote {n} records to {args.output}")
+        return
     if args.cmd == "coig":
         rows = (
             _iter_parquet(args.input)

