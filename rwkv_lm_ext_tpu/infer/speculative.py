@@ -211,6 +211,41 @@ class SpeculativeEngine:
             return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), states
 
         self._verify = jax.jit(verify)
+
+        # Host-dispatch latency is a first-class cost on a remote-attached
+        # TPU (measured ~5 ms/dispatch through the relay — comparable to
+        # the verify pass itself), so the greedy round is TWO dispatches:
+        # round (draft scan + verify fused) and rollback (both state
+        # selects + the conditional full-accept draft step fused), with
+        # ONE host fetch of (cand, argmaxes) in between.
+        def greedy_round(tparams, dparams, cur, t_state, d_state):
+            cand, d_states = draft_scan(dparams, cur, d_state)
+            feed = jnp.concatenate([cur[None], cand])[None]
+            argmaxes, t_states = verify(tparams, feed, t_state)
+            return cand, argmaxes, t_states, d_states
+
+        self._greedy_round = jax.jit(greedy_round)
+
+        def rollback(dparams, cand, t_states, d_states, j):
+            """(t_state, d_state) after accepting j of gamma tokens.
+            Only valid on the collect path (t_states is a stack)."""
+            j = jnp.asarray(j, jnp.int32)
+            t_state = select_state(t_states, j)
+            d_sel = select_state(d_states, jnp.minimum(j, gm - 1))
+
+            def full_accept(st):
+                _, st2 = rwkv_forward(
+                    dparams, draft_cfg, cand[gm - 1][None, None], st,
+                    wkv_backend=draft_wkv_backend,
+                )
+                return st2
+
+            d_state = jax.lax.cond(
+                j == gm, full_accept, lambda st: st, d_sel
+            )
+            return t_state, d_state
+
+        self._rollback = jax.jit(rollback)
         self._sampled_jit = {}
 
     def _sampled_programs(self, sp: SamplingParams):
@@ -374,15 +409,17 @@ class SpeculativeEngine:
                 j_d, nxt_d, t_states, key = verify_accept(
                     self._tp, feed, t_state, qrows, cand, key
                 )
-                j, nxt = int(j_d), int(nxt_d)
+                # one host transfer for the round's scalars + tokens
+                j_h, nxt_h, cand_h = jax.device_get((j_d, nxt_d, cand))
+                j, nxt = int(j_h), int(nxt_h)
             else:
-                cand, d_states = self._draft_scan(self._dp, cur, d_state)
-                feed = jnp.concatenate([cur[None], cand])[None]
-                argmaxes, t_states = self._verify(self._tp, feed, t_state)
-                arg_h = np.asarray(argmaxes)
-                cand_j = np.asarray(cand)
+                cand, argmaxes, t_states, d_states = self._greedy_round(
+                    self._tp, self._dp, cur, t_state, d_state
+                )
+                # one host transfer per round
+                arg_h, cand_h = jax.device_get((argmaxes, cand))
                 j = 0
-                while j < self.gamma and cand_j[j] == arg_h[j]:
+                while j < self.gamma and cand_h[j] == arg_h[j]:
                     j += 1
                 nxt = int(arg_h[j])
             stats.rounds += 1
@@ -390,26 +427,27 @@ class SpeculativeEngine:
             stats.proposed += self.gamma
             stats.accepted += j
 
-            cand_h = np.asarray(cand)
             consumed = [c] + [int(x) for x in cand_h[:j]]
             if self._target_collect:
-                # state after consumed == verify position j: one select
-                t_state = self._select(t_states, j)
-            elif j == self.gamma:
-                t_state = t_states  # fed exactly the consumed tokens
+                # both rollback selects + the conditional full-accept
+                # draft step: ONE dispatch (j is a traced argument —
+                # one compile covers every j)
+                t_state, d_state = self._rollback(
+                    self._dp, cand, t_states, d_states, j
+                )
             else:
-                _, t_state = self._prefill(
-                    self._t_fwd, self._tp, self._tc, consumed, t_snap
-                )
-                stats.target_passes += 1
-            # draft per-step states: index i = state after
-            # [cur] + cand[:i]; full accept needs one extra T=1 step to
-            # consume cand[gamma-1]
-            d_state = self._select(d_states, min(j, self.gamma - 1))
-            if j == self.gamma:
-                _, d_state = self._d_fwd(
-                    self._dp, cand[self.gamma - 1][None, None], d_state
-                )
+                if j == self.gamma:
+                    t_state = t_states  # fed exactly the consumed tokens
+                else:
+                    _, t_state = self._prefill(
+                        self._t_fwd, self._tp, self._tc, consumed, t_snap
+                    )
+                    stats.target_passes += 1
+                d_state = self._select(d_states, min(j, self.gamma - 1))
+                if j == self.gamma:
+                    _, d_state = self._d_fwd(
+                        self._dp, cand[self.gamma - 1][None, None], d_state
+                    )
 
             # emit the accepted draft tokens; the target's next token
             # (correction/resample on rejection, bonus on full accept)

@@ -176,7 +176,8 @@ def _end_to_end(tp, t_cfg, gamma):
     runs = []
     for name, (layers, eps) in {
         "self12_e0": (12, 0.0),
-        "self12_e2e-3": (12, 2e-3),
+        "self12_noisy": (12, 5e-2),
+        "self12_vnoisy": (12, 2e-1),
         "self6_e0": (6, 0.0),
     }.items():
         dpp, dcc = truncated_draft(tp, t_cfg, layers)

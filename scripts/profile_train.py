@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+# tensorboard_plugin_profile's generated protos predate this protobuf's
+# C++ parser; the pure-python implementation accepts them
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,7 +52,7 @@ toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
 
 def loss(ad, p, tk):
     return sft_loss_fn(
-        apply(p, ad), cfg, {"input_ids": tk, "labels": tk}, remat=REMAT
+        apply(p, ad, lc), cfg, {"input_ids": tk, "labels": tk}, remat=REMAT
     )
 
 
