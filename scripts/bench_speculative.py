@@ -176,23 +176,25 @@ def _end_to_end(tp, t_cfg, gamma):
     runs = []
     for name, (layers, eps) in {
         "self12_e0": (12, 0.0),
-        "self12_noisy": (12, 5e-2),
-        "self12_vnoisy": (12, 2e-1),
+        "self12_n01": (12, 0.1),
+        "self12_n02": (12, 0.2),
+        "self12_n05": (12, 0.5),
         "self6_e0": (6, 0.0),
     }.items():
         dpp, dcc = truncated_draft(tp, t_cfg, layers)
         if eps:
-            # perturb ONE shared-structure copy of the ffn keys: shifts
-            # the draft's predictions off the target's -> acceptance < 1
+            # perturb the draft's HEAD: with reference-faithful random
+            # init the logits are dominated by the shared emb/head
+            # weights (block outputs start near zero), so only a head
+            # perturbation moves the draft's argmax off the target's
+            # -> acceptance < 1
             dpp = dict(dpp)
-            dpp["blocks"] = [dict(b) for b in dpp["blocks"]]
-            k0 = jax.random.PRNGKey(9)
-            for i, b in enumerate(dpp["blocks"]):
-                b["ffn"] = dict(b["ffn"])
-                k0, k1 = jax.random.split(k0)
-                w = b["ffn"]["key"]
-                b["ffn"]["key"] = w + eps * jax.random.normal(
-                    k1, w.shape, w.dtype
+            k1 = jax.random.PRNGKey(9)
+            w = dpp["head"]
+            dpp["head"] = w + (
+                eps * jnp.std(w.astype(jnp.float32))
+            ).astype(w.dtype) * jax.random.normal(
+                k1, w.shape, w.dtype
                 )
         spec = SpeculativeEngine(tp, t_cfg, dpp, dcc, gamma=gamma)
         spec.generate(prompt, max_tokens=8, token_stop=())  # compile

@@ -76,22 +76,31 @@ if not paths:
     raise SystemExit(f"no xplane under {TRACE_DIR}")
 xplane = paths[-1]
 
-from tensorboard_plugin_profile.convert import raw_to_tool_data
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-data, _ = raw_to_tool_data.xspace_to_tool_data(
-    [xplane], "framework_op_stats", params={}
-)
-if isinstance(data, bytes):
-    try:
-        data = gzip.decompress(data)
-    except OSError:
-        pass
-    data = data.decode()
-rows = json.loads(data)
-# framework_op_stats JSON: list of tables; find the op table
-print(json.dumps({"note": "top ops by self time", "xplane": xplane}))
-try:
-    table = rows[0]["data"] if isinstance(rows, list) else rows
-except Exception:
-    table = rows
-print(json.dumps(table)[:8000])
+space = xplane_pb2.XSpace()
+with open(xplane, "rb") as f:
+    space.ParseFromString(f.read())
+
+report = {"xplane": xplane, "planes": []}
+for plane in space.planes:
+    if "TPU" not in plane.name and "/device" not in plane.name.lower():
+        continue
+    ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+    totals = {}
+    for line in plane.lines:
+        for ev in line.events:
+            name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+            totals[name] = totals.get(name, 0) + ev.duration_ps
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:TOP]
+    tot = sum(totals.values())
+    report["planes"].append({
+        "plane": plane.name,
+        "total_ms": round(tot / 1e9, 2),
+        "top_ops": [
+            {"op": k[:120], "ms": round(v / 1e9, 3),
+             "pct": round(100.0 * v / max(tot, 1), 2)}
+            for k, v in top
+        ],
+    })
+print(json.dumps(report, indent=1))
