@@ -651,8 +651,11 @@ def cmd_bi_encoder(args):
     adapter = init_lora_params(jax.random.PRNGKey(args.seed), params, lc)
     use_infonce = args.loss == "infonce"
 
+    from rwkv_lm_ext_tpu.adapters import apply_lora_unfused
+
     def loss_fn(adapter_p, frozen, cfg_, batch):
-        merged = merge_lora(frozen, adapter_p, lc)
+        # unfused apply: dx-only backward (see cmd_sft / LoraUnfusedLeaf)
+        merged = apply_lora_unfused(frozen, adapter_p, lc)
         embs = {
             k: embed_sequences(
                 merged, cfg_, batch[k], pooling_type=args.pooling, remat=tc.grad_checkpoint
@@ -934,8 +937,11 @@ def cmd_cross_encoder(args):
 
     from rwkv_lm_ext_tpu.train.losses import classification_loss
 
+    from rwkv_lm_ext_tpu.adapters import apply_lora_unfused
+
     def loss_fn(tp, frozen, cfg_, batch):
-        merged = merge_lora(frozen, tp["adapter"], lc)
+        # unfused apply: dx-only backward (see cmd_sft / LoraUnfusedLeaf)
+        merged = apply_lora_unfused(frozen, tp["adapter"], lc)
         scores = classify_sequences(
             merged, cfg_, batch["input_ids"], tp["score"], remat=tc.grad_checkpoint
         )
