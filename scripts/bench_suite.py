@@ -35,7 +35,11 @@ STAGES = {
         "scripts/bench_batched_decode.py", [], {"SLOT_LORA": "4"},
     ),
     "encoder_train": ("scripts/bench_encoder_train.py", ["pallas"], {}),
-    "speculative": ("scripts/bench_speculative.py", [], {}),
+    "speculative": ("scripts/bench_speculative.py", [], {"E2E": "1"}),
+    "serving_load": (
+        "scripts/bench_serving_load.py", [],
+        {"SLOTS": "8", "LOADS": "1,4,8,16", "DURATION": "20"},
+    ),
     # the headline embed metric on the int8c native-compute path (int8
     # MXU GEMMs); meets the <=1e-3 embedding-cosine acceptance vs its
     # fp32 base (test_quant_kg int8c drift test)
