@@ -511,7 +511,9 @@ def _wkv_pallas_fwd_impl(
     """
     B, T, H, N = r.shape
     L = chunk_size
-    TB = min(t_block, max(L, ((T + L - 1) // L) * L))
+    # TB must be >= L (TB // L static chunk loop): chunks larger than
+    # t_block get a block to themselves, matching the fused impl
+    TB = min(max(t_block, L), max(L, ((T + L - 1) // L) * L))
     pad = (-T) % TB
     if pad:
         cfg = [(0, 0)] * 4

@@ -304,3 +304,42 @@ def test_fused_output_padded_geometry():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(sT), np.asarray(sT_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_chunk_256():
+    """L=256 chunks (now selectable by suggest_wkv_dispatch when the
+    decay bound allows): fwd + grads vs reference, incl. T > L and the
+    unfused impl's TB >= L block handling."""
+    from rwkv_lm_ext_tpu.ops.wkv_pallas import wkv_pallas
+
+    B, T, H, N = 1, 384, 1, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    r = jax.random.normal(ks[0], (B, T, H, N))
+    k = jax.random.normal(ks[1], (B, T, H, N))
+    v = jax.random.normal(ks[2], (B, T, H, N))
+    w = jax.random.uniform(ks[3], (B, T, H, N), minval=-6.0, maxval=-1.0)
+    u = jax.random.normal(ks[4], (H, N)) * 0.5
+    s0 = jax.random.normal(ks[5], (B, H, N, N)) * 0.1
+
+    for exact in (True, False):
+        y_p, s_p = wkv_pallas(
+            r, k, v, w, u, s0, chunk_size=256, interpret=True, exact=exact
+        )
+        y_r, s_r = wkv_reference(r, k, v, w, u, s0)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                                   rtol=5e-4, atol=5e-4)
+
+    def loss_p(v):
+        y, sT = wkv_pallas(r, k, v, w, u, s0, chunk_size=256, interpret=True)
+        return jnp.sum(y**2) + jnp.sum(sT**2)
+
+    def loss_r(v):
+        y, sT = wkv_reference(r, k, v, w, u, s0)
+        return jnp.sum(y**2) + jnp.sum(sT**2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_p)(v)), np.asarray(jax.grad(loss_r)(v)),
+        rtol=5e-3, atol=5e-3,
+    )
