@@ -26,6 +26,7 @@ from rwkv_lm_ext_tpu.models import init_rwkv_params
 from rwkv_lm_ext_tpu.models.bidirectional import encoder_forward
 
 backend = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
 B = int(os.environ.get("BENCH_BATCH", "8"))
 T = int(os.environ.get("BENCH_CTX", "512"))
 ITERS = int(os.environ.get("BENCH_ITERS", "6"))
@@ -43,7 +44,7 @@ toks0 = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4, 60000, jnp.int32)
 
 def loss(p, toks):
     h = encoder_forward(
-        p, cfg, toks, wkv_backend=backend, remat=True, chunk_size=64
+        p, cfg, toks, wkv_backend=backend, remat=REMAT, chunk_size=64
     )
     return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-6
 
