@@ -193,6 +193,21 @@ def _wrap_save(args, save_fn):
     return wrapped
 
 
+def _group_accum(batch_iter, accum: int):
+    """Group ``accum`` same-shape micro-batches into the (accum, micro,
+    T) layout make_train_step scans over. The bucketed sampler
+    round-robins fixed lengths, so grouping is per shape; a trailing
+    partial group per shape is dropped (the compiled step has a static
+    accum axis)."""
+    pending = {}
+    for b in batch_iter:
+        key = tuple(sorted((k, v.shape) for k, v in b.items()))
+        pending.setdefault(key, []).append(b)
+        if len(pending[key]) == accum:
+            grp = pending.pop(key)
+            yield {k: np.stack([g[k] for g in grp]) for k in grp[0]}
+
+
 def _host_local_tree(tree):
     """Main-process view of a (possibly multihost) pytree for .pth
     writes: fully-replicated global leaves are read from the local
@@ -244,7 +259,12 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
     step = 0
     epoch_losses = []
     for epoch in range(args.epochs):
-        for batch in batches(epoch):
+        epoch_batches = batches(epoch)
+        if tc.accumulate_grad_batches > 1:
+            epoch_batches = _group_accum(
+                epoch_batches, tc.accumulate_grad_batches
+            )
+        for batch in epoch_batches:
             if step < args.skip_steps:
                 step += 1
                 continue

@@ -348,3 +348,21 @@ def test_sft_lora_v4_checkpoint(sft_jsonl, tmp_path, tmp_path_factory):
     assert any(f.startswith("lora-step") for f in files)
     log = open(os.path.join(out, "train_log.txt")).read()
     assert "nan" not in log.lower()
+
+
+def test_sft_lora_grad_accumulation(base_ckpt, sft_jsonl, tmp_path):
+    """--accumulate-grad-batches: same-shape micro-batches group into
+    the (accum, micro, T) layout the step scans over (was broken —
+    the loop fed ungrouped (B, T) batches straight into the scan)."""
+    out = str(tmp_path / "out_accum")
+    main([
+        "sft", "--model", base_ckpt, "--train-data", sft_jsonl,
+        "--output-dir", out, "--train-type", "lora",
+        "--max-steps", "2", "--micro-bsz", "1",
+        "--accumulate-grad-batches", "2",
+        "--log-every", "1", "--warmup-steps", "1", "--dp", "1",
+    ])
+    log = open(os.path.join(out, "train_log.txt")).read().splitlines()
+    assert len(log) >= 1
+    loss = float(log[0].split()[1])
+    assert np.isfinite(loss)
