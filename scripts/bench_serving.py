@@ -31,6 +31,11 @@ DECODE_T = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
 
 cfg = rwkv6_1b6(param_dtype="bfloat16")
 params = jax.device_put(init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True))
+# serving-style dispatch (load_rwkv_checkpoint default): picks the
+# fastest exact-safe kernel path for these params
+from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+
+cfg = apply_wkv_dispatch(cfg, params, margin=0.0)
 score = init_classification_head(jax.random.PRNGKey(1), cfg, 1)
 tokens0 = jax.random.randint(jax.random.PRNGKey(2), (B, T), 4, 60000, jnp.int32)
 tokens0 = tokens0.at[:, T // 2].set(SEP_ID).at[:, -1].set(CLS_ID)
