@@ -101,3 +101,9 @@ if __name__ == "__main__":
     timed("wkv=identity (ceiling)", "chunked", stub=True)
     timed("full, chunked", "chunked")
     timed("full, pallas", "pallas")
+    # the headline serving config (decay-bound dispatch: rescale path,
+    # large fused chunk). NOTE the stub "ceiling" runs without the
+    # fused prologue (chunked backend), so this can exceed it.
+    from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
+    cfg = apply_wkv_dispatch(cfg, params, margin=0.0)
+    timed("full, pallas (dispatched)", "auto")
