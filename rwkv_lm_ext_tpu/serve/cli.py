@@ -77,6 +77,11 @@ def _parse(argv=None):
                    help="bidirectional encoder .pth for /fill_mask")
     p.add_argument("--batcher-slots", type=int, default=0,
                    help="enable continuous batching for /generate")
+    p.add_argument("--batcher-block", type=int, default=16,
+                   help="decode tokens per dispatch in the batcher (K-"
+                        "step fused blocks; amortizes host dispatch "
+                        "latency K-fold; streaming callbacks fire per "
+                        "block). 1 = per-token ticks")
     p.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                    help="LRU prompt-prefix state cache with N entries: "
                         "prompts sharing a cached prefix (system prompts, "
@@ -227,7 +232,10 @@ def build_service(args):
         if args.batcher_slots:
             from rwkv_lm_ext_tpu.infer.continuous import ContinuousBatcher
 
-            batcher = ContinuousBatcher(engine, n_slots=args.batcher_slots)
+            batcher = ContinuousBatcher(
+                engine, n_slots=args.batcher_slots,
+                block_size=args.batcher_block,
+            )
         elif args.draft or args.draft_layers:
             from rwkv_lm_ext_tpu.infer.speculative import (
                 SpeculativeEngine,

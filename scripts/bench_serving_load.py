@@ -46,6 +46,7 @@ from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
 from rwkv_lm_ext_tpu.serve.api import ServingService, serve_http
 
 SLOTS = int(os.environ.get("SLOTS", "8"))
+BLOCK = int(os.environ.get("BLOCK", "16"))
 LOADS = [int(x) for x in os.environ.get("LOADS", "1,4,8,16").split(",")]
 DURATION = float(os.environ.get("DURATION", "20"))
 DEC_TOKENS = 8 if SMALL else 64
@@ -69,7 +70,9 @@ def build_service():
         params, cfg, tok, state_cache=PrefixStateCache(32),
     )
     sp = SamplingParams(temperature=1.0, top_p=0.9, token_stop=())
-    batcher = ContinuousBatcher(engine, n_slots=SLOTS, sampling=sp)
+    batcher = ContinuousBatcher(
+        engine, n_slots=SLOTS, sampling=sp, block_size=BLOCK
+    )
     return ServingService(engine=engine, batcher=batcher, tokenizer=tok)
 
 
@@ -181,7 +184,7 @@ def main():
         print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({
-        "stage": "serving_load", "slots": SLOTS,
+        "stage": "serving_load", "slots": SLOTS, "block": BLOCK,
         "platform": jax.devices()[0].platform,
         "prefix_cache": svc.stats().get("prefix_cache"),
         "loads": results,

@@ -613,8 +613,9 @@ def test_suggest_wkv_dispatch_bounds():
         dtype="float32", param_dtype="float32",
     )
     params = init_rwkv_params(_jax.random.PRNGKey(0), cfg)
+    # r4: 256 offered when the decay bound proves it (margin 0)
     exact, chunk = suggest_wkv_dispatch(params, margin=0.0)
-    assert exact is False and chunk == 128
+    assert exact is False and chunk == 256
 
     # push one layer's decay bound into the unsafe regime
     params["blocks"][1]["att"]["time_decay"] = (
@@ -625,3 +626,70 @@ def test_suggest_wkv_dispatch_bounds():
 
     cfg2 = apply_wkv_dispatch(cfg, params)
     assert cfg2.wkv_exact is True
+
+
+def test_verify_wkv_dispatch_guards_decay_shift():
+    """VERDICT r4 #6: merging a LoRA that shifts time_decay_w2 past the
+    proven rescale bound must flip the engine back to the exact-A path
+    (with a warning) instead of running silently-inexact numerics. Also:
+    suggest_wkv_dispatch must see THROUGH adapter leaves (unfused LoRA
+    keeps the factors separate — the bound must include the delta)."""
+    import warnings as _warnings
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from rwkv_lm_ext_tpu.adapters.lora import (
+        LoraConfig,
+        apply_lora_unfused,
+        merge_lora,
+    )
+    from rwkv_lm_ext_tpu.config import ModelConfig
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import (
+        apply_wkv_dispatch,
+        suggest_wkv_dispatch,
+        verify_wkv_dispatch,
+    )
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=128, vocab_size=256, head_size=32,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(_jax.random.PRNGKey(0), cfg)
+    cfg = apply_wkv_dispatch(cfg, params, margin=0.0)
+    assert cfg.wkv_exact is False  # base checkpoint proves the fast path
+
+    w2 = params["blocks"][0]["att"]["time_decay_w2"]
+    lc = LoraConfig(r=1, alpha=1.0)
+    big = {"blocks.0.att.time_decay_w2": {
+        "A": _jnp.full((w2.shape[0], 1), 3.0, _jnp.float32),
+        "B": _jnp.full((1, w2.shape[1]), 3.0, _jnp.float32),
+    }}
+
+    # dense merge: the shifted bound must force the exact fallback
+    merged = merge_lora(params, big, lc)
+    exact, _ = suggest_wkv_dispatch(merged, margin=0.0)
+    assert exact is True
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        eng = GenerationEngine(merged, cfg, wkv_backend="reference")
+    assert eng.cfg.wkv_exact is True
+    assert any("decay bound" in str(w.message) for w in rec)
+
+    # unfused leaf (training path): the bound sees through the factors
+    unfused = apply_lora_unfused(params, big, lc)
+    exact, _ = suggest_wkv_dispatch(unfused, margin=0.0)
+    assert exact is True
+
+    # a benign adapter must NOT trigger the fallback
+    small = {"blocks.0.att.time_decay_w2": {
+        "A": _jnp.zeros((w2.shape[0], 1), _jnp.float32),
+        "B": _jnp.zeros((1, w2.shape[1]), _jnp.float32),
+    }}
+    merged_ok = merge_lora(params, small, lc)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        cfg_ok = verify_wkv_dispatch(cfg, merged_ok)
+    assert cfg_ok.wkv_exact is False and not rec
