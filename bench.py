@@ -370,6 +370,14 @@ def main():
             result["int8_roofline_fraction"] = round(
                 seqs_per_sec / i8_seqs, 3
             )
+    # VERDICT r4 missing #1: state the real-asset situation explicitly
+    result["real_checkpoint_validation"] = (
+        "NOT RUN: no real RWKV-World checkpoint exists in this image and "
+        "network egress is disabled, so the <=1e-3 CMTEB-style drift "
+        "acceptance has only been executed against synthetic weights + "
+        "the reference repo's own torch CPU WKV op "
+        "(eval.cli parity; tests/test_reference_parity.py)"
+    )
     print(json.dumps(result))
 
 

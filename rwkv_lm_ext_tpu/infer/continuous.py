@@ -48,6 +48,7 @@ class _Request:
     initial_state: Optional[object] = None   # e.g. a named tuned state
     adapter: Optional[str] = None            # slot-lora adapter name
     adapter_id: int = 0                      # 0 = base
+    finished: bool = False                   # result already delivered
 
 
 # knobs compiled into the batched step — every request must share them
@@ -138,6 +139,10 @@ class ContinuousBatcher:
         # cancelled slot harmlessly keeps decoding garbage until
         # re-admission overwrites it)
         if block_size > 1:
+            # double-buffering: the dispatched-but-unfetched block
+            # (toks, emits, active device arrays + the slot->request
+            # snapshot at dispatch time)
+            self._inflight = None
             self._active = jnp.zeros((n_slots,), jnp.bool_)
             self._budget = jnp.zeros((n_slots,), jnp.int32)
             self._stops = jnp.full(
@@ -191,7 +196,9 @@ class ContinuousBatcher:
 
         self._admit_fn = admit_fn
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        # NOT donated: the in-flight block record can hold a live
+        # reference to the pre-admission active array (fetched later)
+        @jax.jit
         def admit_slot_meta(active, budget, stops, slot, bgt0, stop_row):
             active = active.at[slot].set(True)
             budget = budget.at[slot].set(bgt0)
@@ -199,6 +206,27 @@ class ContinuousBatcher:
             return active, budget, stops
 
         self._admit_slot_meta = admit_slot_meta
+
+        # block-mode admission: scatter the prefix state (prompt[:-1])
+        # and the LAST prompt token as the row's fed token — the block's
+        # first step then recomputes exactly the prefill's last-position
+        # logits and samples the first output token ON DEVICE, so
+        # admission needs no host fetch at all (the K=1 path's
+        # first-sample fetch was the loop-stalling sync)
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 7))
+        def admit_block_fn(state, slot, single_state, rows, row1,
+                           tokens, last_tok, occ):
+            state = jax.tree_util.tree_map(
+                lambda b, s: b.at[:, slot].set(s[:, 0]), state, single_state
+            )
+            rows = jax.tree_util.tree_map(
+                lambda b, r: b.at[slot].set(r[0]), rows, row1
+            )
+            tokens = tokens.at[slot].set(last_tok)
+            occ = occ.at[slot].set(0.0)
+            return state, rows, tokens, occ
+
+        self._admit_block_fn = admit_block_fn
 
         @jax.jit
         def first_sample(logits, row1, rng):
@@ -275,7 +303,11 @@ class ContinuousBatcher:
 
     @property
     def busy(self) -> bool:
-        return any(s is not None for s in self._slots) or bool(self._queue)
+        return (
+            any(s is not None for s in self._slots)
+            or bool(self._queue)
+            or getattr(self, "_inflight", None) is not None
+        )
 
     def cancel(self, rid: int) -> bool:
         """Request cancellation: a pending request drops from the queue
@@ -296,12 +328,14 @@ class ContinuousBatcher:
             for r in self._queue:
                 if r.rid in snap:
                     done[r.rid] = r.out_ids
+                    r.finished = True
             self._queue = deque(
                 r for r in self._queue if r.rid not in snap
             )
         for i, r in enumerate(self._slots):
             if r is not None and r.rid in snap:
                 done[r.rid] = r.out_ids
+                r.finished = True
                 self._retire(i)
         # ids not found were already finished (or bogus) — drop them;
         # only the processed snapshot, adds that raced stay queued
@@ -312,14 +346,14 @@ class ContinuousBatcher:
         runtimes crash on first compilation from a worker thread — the
         serving driver runs step() in a background thread)."""
         eng = self.engine
-        logits, single = eng.prefill([1])
         row1 = slot_params(1, self.sampling)
-        tok0, occ0, rng = self._first_sample(logits, row1, self._rng)
-        state, rows, tokens, occ = self._admit_fn(
-            self._state, 0, single, self._rows, row1,
-            self._tokens, tok0, self._occ, occ0,
-        )
+        rng = self._rng
         if self.block_size > 1:
+            _, single = eng.prefill([1])
+            state, rows, tokens, occ = self._admit_block_fn(
+                self._state, 0, single, self._rows, row1,
+                self._tokens, 1, self._occ,
+            )
             active, budget, stops = self._admit_slot_meta(
                 self._active, self._budget, self._stops, 0, 4,
                 jnp.full((self.max_stop_tokens,), -1, jnp.int32),
@@ -335,6 +369,12 @@ class ContinuousBatcher:
                 (self.n_slots, self.max_stop_tokens), -1, jnp.int32
             )
         else:
+            logits, single = eng.prefill([1])
+            tok0, occ0, rng = self._first_sample(logits, row1, self._rng)
+            state, rows, tokens, occ = self._admit_fn(
+                self._state, 0, single, self._rows, row1,
+                self._tokens, tok0, self._occ, occ0,
+            )
             tokens, state, occ, rng = self._step_fn(
                 self._slotted_params, tokens, state, occ, rows, rng
             )
@@ -383,38 +423,125 @@ class ContinuousBatcher:
         self._finished.update(done)
         return done
 
-    def _step_block(self) -> Dict[int, List[int]]:
-        """One block tick: K batched decode+sample steps in a single
-        dispatch, then host-side bookkeeping from the (K, B) token/emit
-        arrays. Retirement reasons (stop token vs budget) were decided on
-        device; a row is finished iff its final active flag is False."""
-        done: Dict[int, List[int]] = {}
-        self._process_cancellations(done)
-        done.update(self._admit_pending())
-        if not any(s is not None for s in self._slots):
-            self._finished.update(done)
-            return done
+    def _dispatch_block(self) -> None:
+        """Enqueue one K-step block; record its outputs + the slot
+        snapshot for the NEXT step's fetch (double-buffering)."""
         (self._tokens, self._state, self._occ, self._rng, self._active,
          self._budget, toks, emits) = self._block_fn(
             self._slotted_params, self._tokens, self._state, self._occ,
             self._rows, self._rng, self._active, self._budget, self._stops,
         )
-        toks_h = np.asarray(toks)
-        emits_h = np.asarray(emits)
-        active_h = np.asarray(self._active)
-        for i, req in enumerate(self._slots):
-            if req is None:
-                continue
-            for k in range(toks_h.shape[0]):
-                if emits_h[k, i]:
-                    t = int(toks_h[k, i])
-                    req.out_ids.append(t)
-                    if req.callback is not None:
-                        req.callback(t)
-            if not active_h[i]:
-                done[req.rid] = req.out_ids
-                self._retire(i)
+        # self._active here is THIS block's output future; admissions
+        # that follow replace self._active with a scattered copy, so the
+        # record keeps its own reference for the fetch
+        self._inflight = (toks, emits, self._active, list(self._slots))
+
+    def _step_block(self) -> Dict[int, List[int]]:
+        """One pipelined block tick.
+
+        1. Fetch the in-flight block's (K, B) token/emit arrays (waits
+           for the device), then IMMEDIATELY re-dispatch the next block
+           for the rows still active — the device computes it while the
+           host does everything below (rows freed by the fetched block
+           idle for one block; admissions join the block after next).
+        2. Process emissions/retirements from the dispatch-time slot
+           snapshot (a slot re-admitted since then is a different
+           request object; finished flags keep attribution straight).
+        3. Apply cancellations, admit queued requests (async: prefix
+           prefill + scatters enqueue with NO host fetch), and dispatch
+           if nothing is in flight yet.
+
+        Retirement reasons (stop token vs budget) were decided on
+        device; a row is finished iff its block-final active flag is
+        False."""
+        done: Dict[int, List[int]] = {}
+        if self._inflight is not None:
+            toks, emits, active, snapshot = self._inflight
+            self._inflight = None
+            toks_h = np.asarray(toks)
+            emits_h = np.asarray(emits)
+            active_h = np.asarray(active)
+            if active_h.any():
+                self._dispatch_block()
+            for i, req in enumerate(snapshot):
+                if req is None or req.finished:
+                    continue
+                for k in range(toks_h.shape[0]):
+                    if emits_h[k, i]:
+                        t = int(toks_h[k, i])
+                        req.out_ids.append(t)
+                        if req.callback is not None:
+                            req.callback(t)
+                if not active_h[i]:
+                    req.finished = True
+                    done[req.rid] = req.out_ids
+                    self._retire(i)
+        self._process_cancellations(done)
+        done.update(self._admit_pending_block())
+        if self._inflight is None and any(
+            s is not None for s in self._slots
+        ):
+            self._dispatch_block()
         self._finished.update(done)
+        return done
+
+    def _admit_pending_block(self) -> Dict[int, List[int]]:
+        """Admit queued requests into free slots WITHOUT host syncs:
+        prefill the prompt PREFIX (all but the last token), scatter the
+        state + the last prompt token + sampling rows + stop/budget
+        meta. The first output token is sampled inside the next block
+        (identical logits to full prefill's last position)."""
+        done: Dict[int, List[int]] = {}
+        for i in range(self.n_slots):
+            if self._slots[i] is not None or not self._queue:
+                continue
+            req = self._queue.popleft()
+            if req.max_tokens < 1 or not req.prompt_ids:
+                done[req.rid] = req.out_ids
+                req.finished = True
+                continue
+            pparams = None
+            if self._slot_lora:
+                from rwkv_lm_ext_tpu.adapters.slot_lora import set_slot_idx
+
+                pparams = set_slot_idx(
+                    self.engine.params,
+                    jnp.full((1,), req.adapter_id, jnp.int32),
+                )
+            ids = req.prompt_ids
+            if len(ids) > 1:
+                _, single = self.engine.prefill(
+                    ids[:-1], state=req.initial_state,
+                    params=pparams, cache_salt=req.adapter,
+                )
+            elif req.initial_state is not None:
+                # the admit scatter donates its single-state argument;
+                # never donate a caller-owned state (e.g. a registry's)
+                single = jax.tree_util.tree_map(
+                    jnp.array, req.initial_state
+                )
+            else:
+                single = self.engine.init_state(1)
+            row1 = slot_params(1, req.sampling)
+            self._state, self._rows, self._tokens, self._occ = (
+                self._admit_block_fn(
+                    self._state, i, single, self._rows, row1,
+                    self._tokens, int(ids[-1]), self._occ,
+                )
+            )
+            stop_row = np.full((self.max_stop_tokens,), -1, np.int32)
+            for j, t in enumerate(req.sampling.token_stop):
+                stop_row[j] = t
+            self._active, self._budget, self._stops = (
+                self._admit_slot_meta(
+                    self._active, self._budget, self._stops, i,
+                    req.max_tokens, jnp.asarray(stop_row),
+                )
+            )
+            if self._slot_lora:
+                self._slot_idx = self._slot_idx.at[i].set(req.adapter_id)
+                self._slotted_params = self._reslot_params()
+            self._slots[i] = req
         return done
 
     def run(self) -> Dict[int, List[int]]:
@@ -465,19 +592,6 @@ class ContinuousBatcher:
                     self._tokens, tok0, self._occ, occ0,
                 )
             )
-            if self.block_size > 1:
-                stop_row = np.full(
-                    (self.max_stop_tokens,), -1, np.int32
-                )
-                for j, t in enumerate(req.sampling.token_stop):
-                    stop_row[j] = t
-                self._active, self._budget, self._stops = (
-                    self._admit_slot_meta(
-                        self._active, self._budget, self._stops, i,
-                        req.max_tokens - len(req.out_ids),
-                        jnp.asarray(stop_row),
-                    )
-                )
             if self._slot_lora:
                 self._slot_idx = self._slot_idx.at[i].set(req.adapter_id)
                 self._slotted_params = self._reslot_params()
@@ -613,3 +727,311 @@ class BatcherDriver:
             self._stop = True
             self._cv.notify_all()
         self._thread.join(timeout=5)
+
+
+def _sampling_to_wire(sp: Optional[SamplingParams]):
+    """SamplingParams -> JSON-able dict (broadcast_obj is JSON-based)."""
+    if sp is None:
+        return None
+    d = dataclasses.asdict(sp)
+    d["token_ban"] = list(d["token_ban"])
+    d["token_stop"] = list(d["token_stop"])
+    return d
+
+
+def _sampling_from_wire(d) -> Optional[SamplingParams]:
+    if d is None:
+        return None
+    d = dict(d)
+    d["token_ban"] = tuple(d["token_ban"])
+    d["token_stop"] = tuple(d["token_stop"])
+    return SamplingParams(**d)
+
+
+class LockstepBatcherDriver:
+    """Continuous batching across HOSTS (VERDICT r4 missing #3).
+
+    Every process holds an identical ContinuousBatcher over the same
+    mesh-sharded engine; the jitted admit/step programs are SPMD
+    collectives, so all processes must issue the IDENTICAL call sequence.
+    Request arrival is wall-clock on process 0 only — so instead of each
+    process reacting to its own clock, process 0 serializes the batcher's
+    DECISIONS into an op stream: before every tick it broadcasts
+    {submits, cancels, calls} (broadcast_obj; JSON), applies them, and
+    steps; workers replay the stream verbatim. rid assignment, admissions
+    and block boundaries are then deterministic replicas, and the sampled
+    tokens agree because every process computes the same jitted programs
+    on the same (replicated-seed) rng.
+
+    ``calls`` carries the NON-generate endpoints (similarity/rerank/
+    process_text/fill_mask …): process 0's HTTP threads enqueue
+    (route, payload) and the loop executes svc_handle inside the same
+    stream, so those engine/encoder programs also run in lockstep —
+    one stream, no interleaving races. /generate (including SSE
+    streaming) rides submits; per-request initial_state is not supported
+    (device arrays don't broadcast; named-states serving uses
+    process_text, which replays by name).
+
+    Process 0: construct with svc_handle and serve; workers: construct
+    and call worker_loop() (blocks until process 0 shuts down).
+    """
+
+    _MAX_SUBMITS_PER_TICK = 8   # bound the 64 KB broadcast payload
+
+    def __init__(self, batcher: ContinuousBatcher, svc_handle=None,
+                 poll: float = 0.01):
+        import threading
+
+        from rwkv_lm_ext_tpu.parallel.distributed import is_main_process
+
+        self.batcher = batcher
+        self.svc_handle = svc_handle
+        self.poll = poll
+        self._cv = threading.Condition()
+        self._stop = False
+        self._error: Optional[BaseException] = None
+        self._is_main = is_main_process()
+        if self._is_main:
+            self._pending: List[dict] = []       # tickets awaiting drain
+            self._pending_cancels: List[int] = []
+            self._pending_calls: List[dict] = []  # {"cid", "route", "payload"}
+            self._results: Dict[int, List[int]] = {}
+            self._call_results: Dict[int, object] = {}
+            self._abandoned: set = set()
+            self._next_cid = 0
+            self._thread = threading.Thread(target=self._main_loop,
+                                            daemon=True)
+            self._thread.start()
+
+    # ---- process-0 API (HTTP handler threads) -----------------------
+
+    def submit_and_wait(
+        self, prompt, *, max_tokens: int = 128,
+        sampling: Optional[SamplingParams] = None,
+        timeout: Optional[float] = None,
+        callback: Optional[Callable[[int], None]] = None,
+        initial_state=None, adapter: Optional[str] = None,
+        cancel: Optional["threading.Event"] = None,
+    ) -> List[int]:
+        assert self._is_main, "submit on process 0 only"
+        if initial_state is not None:
+            raise ValueError(
+                "per-request initial_state is not supported in lockstep "
+                "serving (use named states via /process_text)"
+            )
+        if isinstance(prompt, str):
+            prompt = self.batcher.engine.tokenizer.encode(prompt)
+        ticket = {
+            "ids": list(prompt), "max_tokens": max_tokens,
+            "sampling": sampling, "adapter": adapter,
+            "callback": callback, "rid": None, "error": None,
+        }
+        with self._cv:
+            if self._error is not None:
+                raise RuntimeError(
+                    "lockstep decode loop died"
+                ) from self._error
+            self._pending.append(ticket)
+            self._cv.notify_all()
+
+            def ready():
+                return (
+                    ticket["error"] is not None or self._stop
+                    or (ticket["rid"] is not None
+                        and ticket["rid"] in self._results)
+                )
+
+            if cancel is None:
+                ok = self._cv.wait_for(ready, timeout=timeout)
+            else:
+                deadline = (
+                    None if timeout is None else time.monotonic() + timeout
+                )
+                while not ready() and not cancel.is_set():
+                    step = self.poll
+                    if deadline is not None:
+                        step = min(step, deadline - time.monotonic())
+                        if step <= 0:
+                            break
+                    self._cv.wait(timeout=step)
+                ok = ready()
+                if not ok and cancel.is_set():
+                    self._cancel_ticket(ticket)
+                    self._cv.wait_for(ready, timeout=10.0)
+                    if ticket["rid"] is not None:
+                        return self._results.pop(ticket["rid"], [])
+                    return []
+            if ticket["error"] is not None:
+                raise ticket["error"]
+            if not ok:
+                self._cancel_ticket(ticket)
+                if ticket["rid"] is not None:
+                    self._abandoned.add(ticket["rid"])
+                raise TimeoutError("lockstep request timed out")
+            if (ticket["rid"] not in self._results
+                    and self._error is not None):
+                raise RuntimeError(
+                    "lockstep decode loop died"
+                ) from self._error
+            return self._results.pop(ticket["rid"], [])
+
+    def _cancel_ticket(self, ticket):
+        """Caller holds _cv. Pending tickets drop locally (never
+        broadcast); drained ones cancel through the op stream."""
+        if ticket in self._pending:
+            self._pending.remove(ticket)
+            ticket["error"] = TimeoutError("cancelled before admission")
+        elif ticket["rid"] is not None:
+            self._pending_cancels.append(ticket["rid"])
+
+    def call(self, route: str, payload: dict):
+        """Execute a non-generate endpoint inside the lockstep stream;
+        blocks until the loop ran it on every process. Exceptions from
+        svc_handle re-raise here."""
+        assert self._is_main
+        with self._cv:
+            if self._error is not None:
+                raise RuntimeError(
+                    "lockstep decode loop died"
+                ) from self._error
+            cid = self._next_cid
+            self._next_cid += 1
+            self._pending_calls.append(
+                {"cid": cid, "route": route, "payload": payload}
+            )
+            self._cv.notify_all()
+            self._cv.wait_for(
+                lambda: cid in self._call_results or self._stop
+            )
+            res = self._call_results.pop(cid, None)
+        if isinstance(res, BaseException):
+            raise res
+        if res is None and self._error is not None:
+            raise RuntimeError(
+                "lockstep decode loop died"
+            ) from self._error
+        return res
+
+    def cancel(self, rid: int) -> None:
+        with self._cv:
+            if self._results.pop(rid, None) is not None:
+                return
+            self._pending_cancels.append(rid)
+            self._abandoned.add(rid)
+            self._cv.notify_all()
+
+    # ---- loops ------------------------------------------------------
+
+    def _drain(self):
+        """Caller holds _cv: pending work -> one wire message + the
+        local tickets/calls it covers."""
+        submits = self._pending[: self._MAX_SUBMITS_PER_TICK]
+        self._pending = self._pending[self._MAX_SUBMITS_PER_TICK:]
+        cancels, self._pending_cancels = self._pending_cancels, []
+        calls, self._pending_calls = self._pending_calls, []
+        msg = {
+            "submits": [
+                {"ids": t["ids"], "max_tokens": t["max_tokens"],
+                 "sampling": _sampling_to_wire(t["sampling"]),
+                 "adapter": t["adapter"]}
+                for t in submits
+            ],
+            "cancels": cancels,
+            "calls": [
+                {"cid": c["cid"], "route": c["route"],
+                 "payload": c["payload"]} for c in calls
+            ],
+            "stop": False,
+        }
+        return msg, submits, calls
+
+    def _apply(self, msg, tickets=None):
+        """Apply one wire message to the local batcher (both roles).
+        Submission errors are deterministic across processes (same
+        inputs, same batcher config), so every process raises-and-drops
+        the same ones."""
+        for i, s in enumerate(msg["submits"]):
+            try:
+                rid = self.batcher.submit(
+                    s["ids"], max_tokens=s["max_tokens"],
+                    sampling=_sampling_from_wire(s["sampling"]),
+                    adapter=s["adapter"],
+                    callback=tickets[i]["callback"] if tickets else None,
+                )
+                if tickets:
+                    tickets[i]["rid"] = rid
+            except Exception as e:  # noqa: BLE001 — mirrored on every process
+                if tickets:
+                    tickets[i]["error"] = e
+        for rid in msg["cancels"]:
+            self.batcher.cancel(rid)
+
+    def _main_loop(self):
+        from rwkv_lm_ext_tpu.parallel.distributed import broadcast_obj
+
+        while True:
+            with self._cv:
+                while (not self._pending and not self._pending_calls
+                       and not self._pending_cancels
+                       and not self.batcher.busy and not self._stop):
+                    self._cv.wait(timeout=self.poll)
+                if self._stop:
+                    broadcast_obj({"stop": True})
+                    self._cv.notify_all()
+                    return
+                msg, tickets, calls = self._drain()
+            try:
+                broadcast_obj(msg)
+                with self._cv:
+                    self._apply(msg, tickets)
+                    self._cv.notify_all()
+                for c in calls:
+                    try:
+                        res = self.svc_handle(c["route"], c["payload"])
+                    except BaseException as e:  # noqa: BLE001 — to caller
+                        res = e
+                    with self._cv:
+                        self._call_results[c["cid"]] = res
+                        self._cv.notify_all()
+                done = (
+                    self.batcher.step() if self.batcher.busy else {}
+                )
+            except BaseException as e:  # noqa: BLE001 — surfaced to waiters
+                with self._cv:
+                    self._error = e
+                    self._stop = True
+                    self._cv.notify_all()
+                return
+            if done:
+                with self._cv:
+                    self._results.update(done)
+                    for rid in self._abandoned & set(self._results):
+                        self._results.pop(rid)
+                        self._abandoned.discard(rid)
+                    self._cv.notify_all()
+
+    def worker_loop(self):
+        """Non-zero processes: replay the op stream until shutdown."""
+        from rwkv_lm_ext_tpu.parallel.distributed import broadcast_obj
+
+        assert not self._is_main
+        while True:
+            msg = broadcast_obj()
+            if msg.get("stop"):
+                return
+            self._apply(msg)
+            for c in msg["calls"]:
+                try:
+                    self.svc_handle(c["route"], c["payload"])
+                except Exception:  # noqa: BLE001 — mirrors process 0
+                    pass
+            if self.batcher.busy:
+                self.batcher.step()
+
+    def close(self):
+        if not self._is_main:
+            return
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)

@@ -45,8 +45,24 @@ from rwkv_lm_ext_tpu.models.rwkv import block_forward, layer_norm, proj
 
 
 def make_pp_mesh(dp: int, pp: int, devices=None) -> Mesh:
+    """(dp, pp) mesh, dp outermost. Multi-host: jax.devices() is
+    process-major, so with dp outermost each pp group (a contiguous run
+    of ``pp`` devices) stays inside one host — the per-tick ppermute
+    stays on ICI while only the dp gradient psum crosses DCN. Guarded:
+    a pp group spanning two hosts would put the activation ring on DCN
+    every microbatch tick."""
     devices = list(devices if devices is not None else jax.devices())
     devices = devices[: dp * pp]
+    if len({d.process_index for d in devices}) > 1:
+        for g in range(dp):
+            grp = devices[g * pp:(g + 1) * pp]
+            if len({d.process_index for d in grp}) > 1:
+                raise ValueError(
+                    f"pp group {g} spans processes "
+                    f"{sorted({d.process_index for d in grp})}; pp must "
+                    f"divide the per-host device count so each pipeline "
+                    f"stays on one host's ICI"
+                )
     return Mesh(np.array(devices).reshape(dp, pp), ("dp", "pp"))
 
 

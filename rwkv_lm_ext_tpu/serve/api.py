@@ -53,6 +53,10 @@ class ServingService:
         mask_id: int = MASK_ID,
         batcher=None,                # ContinuousBatcher: concurrent /generate
         spec_engine=None,            # SpeculativeEngine: single-stream latency
+        driver_factory=None,         # batcher -> driver (default
+                                     # BatcherDriver; multi-host serving
+                                     # passes LockstepBatcherDriver, and
+                                     # worker processes an inert factory)
     ):
         self.engine = engine
         self.spec = spec_engine
@@ -64,7 +68,9 @@ class ServingService:
         self.tokenizer = tokenizer or (engine.tokenizer if engine else None)
         self.mask_id = mask_id
         self.batcher = batcher
+        self.driver_factory = driver_factory
         self._driver = None
+        self._driver_started = False
         self._lock = threading.Lock()
         self._fill_mask_jit = {}
         # stats have their own lock: handler threads mutate them while
@@ -97,11 +103,13 @@ class ServingService:
                 pass
         if self.spec is not None:
             self.spec.generate([1], max_tokens=max_tokens, token_stop=())
-        if self.batcher is not None and self._driver is None:
+        if self.batcher is not None and not self._driver_started:
             from rwkv_lm_ext_tpu.infer.continuous import BatcherDriver
 
             self.batcher.warmup()  # compile from this (main) thread
-            self._driver = BatcherDriver(self.batcher)
+            factory = self.driver_factory or BatcherDriver
+            self._driver = factory(self.batcher)
+            self._driver_started = True
 
     # ---- endpoints -------------------------------------------------
     def process_text(self, text: str, action: str, **gen_kw) -> Dict:

@@ -322,12 +322,22 @@ def main(argv=None):
 
 def _serve_multihost(args):
     """Serve a model sharded across hosts: every process builds the same
-    service; process 0 runs the HTTP frontend and broadcasts each
-    request before executing it; workers replay the broadcast copy so
-    all processes issue the identical jitted-call sequence (SPMD
-    lockstep). v1 limits: plain engine path only (no continuous
-    batching / speculative — their background loops aren't lockstep),
-    no SSE streaming."""
+    service and issues the identical jitted-call sequence (SPMD
+    lockstep). Two modes:
+
+    - plain engine (no --batcher-slots): process 0 broadcasts each HTTP
+      request before executing it; workers replay the copy. No SSE.
+    - continuous batching (--batcher-slots): process 0 serializes the
+      batcher's DECISIONS (admissions/blocks/cancels + the non-generate
+      endpoint calls) into one broadcast op stream via
+      infer.continuous.LockstepBatcherDriver; workers replay the stream.
+      /generate — including SSE streaming — batches across concurrent
+      clients exactly as in single-process serving.
+
+    Speculative decoding stays single-process (--draft/--draft-layers
+    rejected): its accept/rollback control flow branches on sampled
+    values fetched mid-round, so the broadcast would sit INSIDE the
+    latency-critical loop it exists to shorten."""
     import threading
 
     from rwkv_lm_ext_tpu.parallel.distributed import (
@@ -335,11 +345,14 @@ def _serve_multihost(args):
     )
     from rwkv_lm_ext_tpu.serve.api import BadRequest, serve_http
 
-    if args.batcher_slots or args.draft or args.draft_layers:
+    if args.draft or args.draft_layers:
         raise SystemExit(
-            "multi-host serving supports the plain engine path only "
-            "(drop --batcher-slots/--draft/--draft-layers)"
+            "multi-host serving does not support speculative decoding "
+            "(drop --draft/--draft-layers)"
         )
+    if args.batcher_slots:
+        _serve_multihost_batcher(args)
+        return
     svc = build_service(args)
     if is_main_process():
         inner_handle = svc.handle
@@ -372,6 +385,47 @@ def _serve_multihost(args):
                 svc.handle(msg["route"], msg["payload"])
             except Exception:  # noqa: BLE001 — worker mirrors proc 0's errors
                 pass
+
+
+def _serve_multihost_batcher(args):
+    """Multi-host continuous batching (see _serve_multihost): the
+    LockstepBatcherDriver op stream is the single broadcast channel for
+    admissions, decode blocks AND the non-generate endpoints."""
+    from rwkv_lm_ext_tpu.infer.continuous import LockstepBatcherDriver
+    from rwkv_lm_ext_tpu.parallel.distributed import is_main_process
+    from rwkv_lm_ext_tpu.serve.api import serve_http
+
+    svc = build_service(args)
+    inner_handle = svc.handle
+    if is_main_process():
+        svc.driver_factory = lambda b: LockstepBatcherDriver(
+            b, svc_handle=inner_handle
+        )
+        # warmup (incl. batcher compile) runs BEFORE the loop starts
+        # broadcasting; workers execute the identical warmup programs
+        server = serve_http(svc, host=args.host, port=args.port)
+        driver = svc._driver
+
+        def handle(route, payload):
+            # /generate rides the driver's submit stream (incl. SSE);
+            # everything else executes inside the op stream so its
+            # jitted programs run on every process in order
+            if route == "/generate":
+                return inner_handle(route, payload)
+            return driver.call(route, payload)
+
+        svc.handle = handle
+        print(f"serving on http://{args.host}:{server.server_address[1]}",
+              flush=True)
+        try:
+            server.serve_forever()
+        finally:
+            driver.close()
+    else:
+        svc.driver_factory = lambda b: None  # no stepping thread here
+        svc.warmup()
+        worker = LockstepBatcherDriver(svc.batcher, svc_handle=inner_handle)
+        worker.worker_loop()
 
 
 if __name__ == "__main__":

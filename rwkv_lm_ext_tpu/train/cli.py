@@ -270,15 +270,14 @@ def _run_loop(args, cfg, tc, init_params, step_fn, init_fn, batches, *,
                 continue
             if args.max_steps and step >= args.max_steps:
                 break
-            if multihost and place_batches:
+            if multihost:
                 # each host contributes its sampler shard; the global
-                # dp-sharded batch is micro_bsz * process_count rows
+                # dp-sharded batch is micro_bsz * process_count rows.
+                # pp (place_batches=False) takes the same construction:
+                # (B, T) rows shard over the pp mesh's dp axis (which
+                # spans hosts — make_pp_mesh keeps pp on-host) and the
+                # step fn's shard_map consumes the global array
                 batch = local_batch_to_global(batch, mesh)
-            elif multihost:
-                raise NotImplementedError(
-                    "multi-host + pipeline parallelism is not wired yet "
-                    "(pp step fns place their own batches)"
-                )
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if mesh is not None and place_batches:

@@ -109,6 +109,37 @@ def bench_decode():
     }))
 
 
+def bench_engine_stream():
+    """END-TO-END single-stream generation through GenerationEngine.
+    generate — host loop included (the r4 gap: ~30 tok/s through the
+    engine vs 244 for the bare jitted scan above; the K-per-dispatch
+    decode blocks close most of it). Reports tok/s per block size."""
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+
+    engine = GenerationEngine(params, cfg)
+    sp = SamplingParams(temperature=1.0, top_p=0.85, token_stop=())
+    prompt = list(range(10, 42))
+    n = DECODE_T
+    out = {}
+    for bs in (1, 8, 16, 32):
+        engine.generate(prompt, max_tokens=8, sampling=sp,
+                        block_size=bs, seed=0)  # compile
+        t0 = time.perf_counter()
+        ids = engine.generate(prompt, max_tokens=n, sampling=sp,
+                              block_size=bs, seed=1)
+        dt = time.perf_counter() - t0
+        assert len(ids) == n
+        out[f"block{bs}"] = round(n / dt, 2)
+    print(json.dumps({
+        "metric": "engine_generate_tok_s_single_stream (RWKV-6 1B6, "
+                  "host loop incl.)",
+        "value": out["block8"], "unit": "tok/s",
+        "by_block_size": out,
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
     bench_rerank()
     bench_decode()
+    bench_engine_stream()

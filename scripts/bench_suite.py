@@ -40,6 +40,10 @@ STAGES = {
         "scripts/bench_serving_load.py", [],
         {"SLOTS": "8", "LOADS": "1,4,8,16", "DURATION": "20"},
     ),
+    # rerank + raw scan decode + engine E2E single-stream (3 lines)
+    "serving": ("scripts/bench_serving.py", [], {}),
+    # beam search E2E (VERDICT r4 weak #6: no measured number existed)
+    "beam_search": ("scripts/bench_beam.py", [], {}),
     # the headline embed metric on the int8c native-compute path (int8
     # MXU GEMMs); meets the <=1e-3 embedding-cosine acceptance vs its
     # fp32 base (test_quant_kg int8c drift test)

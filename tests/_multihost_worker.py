@@ -3,6 +3,8 @@
   step <pid> <coord> <tmp>   one dp=4 train step over 2 procs, print loss
   single 0 - <tmp>           same global batch on one 4-device process
   cli  <pid> <coord> <tmp>   the real trainer CLI, 2 procs x 2 devices
+  serve <pid> <coord> <tmp>  serve CLI with a lockstep continuous
+                             batcher (SERVE_PORT env names p0's port)
 """
 import json
 import os
@@ -87,6 +89,55 @@ elif mode == "cli":
         "--output-dir", os.path.join(tmp, f"out_p{pid}"),
         "--train-type", "lora", "--max-steps", "2", "--micro-bsz", "2",
         "--log-every", "1",
+        "--coordinator", coord, "--num-processes", "2",
+        "--process-id", str(pid),
+    ])
+elif mode in ("pp", "pp_single"):
+    # dp=2 (across the 2 processes) x pp=2 (within each host): one GPipe
+    # train step; losses must agree across processes and vs the
+    # single-process run on the same global batch
+    if mode == "pp":
+        from rwkv_lm_ext_tpu.parallel.distributed import (
+            init_distributed, local_batch_to_global,
+        )
+
+        init_distributed(coord, 2, pid)
+    else:
+        from rwkv_lm_ext_tpu.parallel.distributed import (
+            local_batch_to_global,
+        )
+
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.stacked import stack_params_uniform
+    from rwkv_lm_ext_tpu.parallel import make_pp_mesh
+    from rwkv_lm_ext_tpu.train.loop import (
+        make_pp_train_step, place_pp_train_state,
+    )
+
+    cfg, tc = _cfg_tc()
+    params = stack_params_uniform(init_rwkv_params(jax.random.PRNGKey(0), cfg))
+    mesh = make_pp_mesh(dp=2, pp=2)
+    init_fn, step_fn = make_pp_train_step(cfg, tc, mesh, n_micro=2)
+    ts = place_pp_train_state(init_fn(params), mesh)
+    gb = _global_batch(8, 16, cfg.vocab_size)
+    if mode == "pp":
+        local = {k: v[pid * 4:(pid + 1) * 4] for k, v in gb.items()}
+        batch = local_batch_to_global(local, mesh)
+    else:
+        batch = {k: jnp.asarray(v) for k, v in gb.items()}
+    ts, metrics = step_fn(ts, batch)
+    print(json.dumps({"pid": pid, "loss": float(metrics["loss"])}))
+
+elif mode == "serve":
+    ckpt = os.path.join(tmp, "m.pth")
+
+    from rwkv_lm_ext_tpu.serve import cli as scli
+
+    scli.main([
+        "--model", ckpt, "--dtype", "float32",
+        "--batcher-slots", "2", "--batcher-block", "4",
+        "--host", "127.0.0.1",
+        "--port", os.environ.get("SERVE_PORT", "0") if pid == 0 else "0",
         "--coordinator", coord, "--num-processes", "2",
         "--process-id", str(pid),
     ])

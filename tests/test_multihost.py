@@ -88,6 +88,27 @@ def test_two_process_train_step_losses_agree(tmp_path):
     np.testing.assert_allclose(res[0]["loss"], ref["loss"], rtol=1e-5)
 
 
+def test_two_process_pp_train_step(tmp_path):
+    """pp x multihost (VERDICT r4 #7): dp=2 across processes, pp=2 on
+    each host's local devices. The GPipe step runs on a global batch
+    assembled by local_batch_to_global; loss agrees across processes
+    and with the single-process dp=2 x pp=2 run on the same batch."""
+    outs = _run_pair("pp", tmp_path)
+    res = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    assert res[0]["loss"] == res[1]["loss"]
+    assert np.isfinite(res[0]["loss"])
+    env = dict(os.environ)
+    _set_device_count(env, 4)
+    env["RWKV_FORCE_CPU"] = "1"
+    single = subprocess.run(
+        [sys.executable, WORKER, "pp_single", "0", "-", str(tmp_path)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert single.returncode == 0, single.stderr
+    ref = json.loads(single.stdout.strip().splitlines()[-1])
+    np.testing.assert_allclose(res[0]["loss"], ref["loss"], rtol=2e-4)
+
+
 def test_two_process_trainer_cli(tmp_path):
     """The real trainer CLI in two processes: per-host sampler shards,
     process-0-only logging and checkpoint writes."""
@@ -123,3 +144,118 @@ def test_two_process_trainer_cli(tmp_path):
     out1 = os.path.join(str(tmp_path), "out_p1")
     if os.path.exists(out1):
         assert not os.listdir(out1), "process 1 must not write artifacts"
+
+
+def test_two_process_lockstep_batcher_serving(tmp_path):
+    """Multi-host continuous batching (VERDICT r4 missing #3): two real
+    processes serve one lockstep ContinuousBatcher through the serve
+    CLI. Concurrent /generate requests batch (backend == "batcher"),
+    greedy outputs are deterministic and match a single-process engine,
+    SSE streaming works, and /stats rides the broadcast call stream."""
+    import json as _json
+    import time
+    import urllib.request
+
+    import jax
+
+    from rwkv_lm_ext_tpu.checkpoint.convert import params_to_state_dict
+    from rwkv_lm_ext_tpu.checkpoint.pth import save_torch_pth
+    from rwkv_lm_ext_tpu.config import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=65530, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    save_torch_pth(
+        str(tmp_path / "m.pth"), params_to_state_dict(params, cfg)
+    )
+
+    # single-process expectation for the same checkpoint
+    from rwkv_lm_ext_tpu.data.tokenizer import WorldTokenizer
+    from rwkv_lm_ext_tpu.infer.engine import GenerationEngine
+    from rwkv_lm_ext_tpu.infer.sampling import SamplingParams
+
+    tok = WorldTokenizer()
+    eng = GenerationEngine(params, cfg, tok)
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    expected = eng.generate("hello", max_tokens=6, sampling=sp)
+
+    coord = _free_port()
+    http_port = _free_port()
+    procs = [
+        _spawn(
+            [WORKER, "serve", str(pid), f"127.0.0.1:{coord}",
+             str(tmp_path)],
+            extra_env={"SERVE_PORT": str(http_port)},
+        )
+        for pid in (0, 1)
+    ]
+
+    def post(payload, path="/generate", timeout=120):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.read()
+
+    try:
+        # wait for the server (compile + warmup in both processes)
+        deadline = time.time() + 420
+        up = False
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                break
+            try:
+                post({"prompt": "hi", "max_tokens": 1,
+                      "temperature": 0.0, "token_stop": []}, timeout=10)
+                up = True
+                break
+            except Exception:
+                time.sleep(1.0)
+        if not up:
+            outs = [
+                p.communicate(timeout=10) if p.poll() is not None
+                else ("", "(still running)") for p in procs
+            ]
+            raise AssertionError(f"server never came up: {outs}")
+
+        # concurrent greedy requests: batched, deterministic, and equal
+        # to the single-process engine output
+        import threading
+
+        results = [None] * 3
+        def client(i):
+            results[i] = _json.loads(post({
+                "prompt": "hello", "max_tokens": 6,
+                "temperature": 0.0, "token_stop": [],
+            }))
+        ths = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=180)
+        for r in results:
+            assert r is not None and r["backend"] == "batcher", results
+            assert r["output"] == expected, (r["output"], expected)
+
+        # SSE streaming over the lockstep batcher
+        body = post({"prompt": "hello", "max_tokens": 4,
+                     "temperature": 0.0, "token_stop": [],
+                     "stream": True}).decode()
+        assert "data:" in body
+
+        # a non-generate endpoint rides the broadcast call stream
+        stats = _json.loads(post({}, path="/stats"))
+        assert stats["batcher"]["n_slots"] == 2
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
