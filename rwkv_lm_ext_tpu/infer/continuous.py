@@ -207,6 +207,12 @@ class ContinuousBatcher:
 
         self._admit_slot_meta = admit_slot_meta
 
+        @jax.jit
+        def clear_slot_fn(active, slot):
+            return active.at[slot].set(False)
+
+        self._clear_slot = clear_slot_fn
+
         # block-mode admission: scatter the prefix state (prompt[:-1])
         # and the LAST prompt token as the row's fed token — the block's
         # first step then recomputes exactly the prefill's last-position
@@ -337,6 +343,11 @@ class ContinuousBatcher:
                 done[r.rid] = r.out_ids
                 r.finished = True
                 self._retire(i)
+                if self.block_size > 1:
+                    # clear the device-side liveness too: a still-active
+                    # row would keep the pipelined dispatch loop alive
+                    # (and burning blocks) even with nothing to serve
+                    self._active = self._clear_slot(self._active, i)
         # ids not found were already finished (or bogus) — drop them;
         # only the processed snapshot, adds that raced stay queued
         self._cancelled -= snap

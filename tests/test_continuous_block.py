@@ -201,3 +201,22 @@ def test_batcher_block_driver_concurrent(engine):
         t.join(timeout=90)
     driver.close()
     assert results == expected, (results, expected)
+
+
+def test_batcher_block_cancel_sole_request_goes_idle(engine):
+    """Cancelling the ONLY active request must also clear the row's
+    device-side active flag — otherwise the pipelined dispatcher keeps
+    re-launching blocks for the garbage row and busy never goes False
+    (run() would spin forever)."""
+    sp = SamplingParams(temperature=0.0, token_stop=())
+    batcher = ContinuousBatcher(
+        engine, n_slots=2, sampling=sp, block_size=4
+    )
+    ra = batcher.submit([5, 9, 23], max_tokens=10_000)
+    for _ in range(3):
+        batcher.step()
+    batcher.cancel(ra)
+    results = batcher.run()  # must terminate
+    assert set(results) == {ra}
+    assert 1 <= len(results[ra]) < 10_000
+    assert not batcher.busy
