@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rwkv_lm_ext_tpu.infer.sampling import (
+    SLOT_PARAM_FIELDS,
     SamplingParams,
     slot_params,
     sample_token_rows,
@@ -196,17 +197,6 @@ class ContinuousBatcher:
 
         self._admit_fn = admit_fn
 
-        # NOT donated: the in-flight block record can hold a live
-        # reference to the pre-admission active array (fetched later)
-        @jax.jit
-        def admit_slot_meta(active, budget, stops, slot, bgt0, stop_row):
-            active = active.at[slot].set(True)
-            budget = budget.at[slot].set(bgt0)
-            stops = stops.at[slot].set(stop_row)
-            return active, budget, stops
-
-        self._admit_slot_meta = admit_slot_meta
-
         @jax.jit
         def clear_slot_fn(active, slot):
             return active.at[slot].set(False)
@@ -218,21 +208,33 @@ class ContinuousBatcher:
         # first step then recomputes exactly the prefill's last-position
         # logits and samples the first output token ON DEVICE, so
         # admission needs no host fetch at all (the K=1 path's
-        # first-sample fetch was the loop-stalling sync)
-        @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 7))
-        def admit_block_fn(state, slot, single_state, rows, row1,
-                           tokens, last_tok, occ):
+        # first-sample fetch was the loop-stalling sync).
+        #
+        # GROUPED: admissions with the same remaining-prefix length run
+        # ONE batched prefill padded to n_slots rows (prefill at these
+        # shapes is weight-read-bound, so B=8 costs about the same as
+        # B=1 — per-request prefills were ~37% of serving device time)
+        # and land in one multi-row scatter. Pad rows duplicate row 0's
+        # slot AND payload, so the duplicate scatter indices write
+        # identical values (well-defined).
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 4, 5))
+        def admit_group_fn(state, slots, rows, tokens, occ,
+                           batch_state, rows_g, last, active, budget,
+                           stops, bgts, stop_rows):
             state = jax.tree_util.tree_map(
-                lambda b, s: b.at[:, slot].set(s[:, 0]), state, single_state
+                lambda b, s: b.at[:, slots].set(s), state, batch_state
             )
             rows = jax.tree_util.tree_map(
-                lambda b, r: b.at[slot].set(r[0]), rows, row1
+                lambda b, r: b.at[slots].set(r), rows, rows_g
             )
-            tokens = tokens.at[slot].set(last_tok)
-            occ = occ.at[slot].set(0.0)
-            return state, rows, tokens, occ
+            tokens = tokens.at[slots].set(last)
+            occ = occ.at[slots].set(0.0)
+            active = active.at[slots].set(True)
+            budget = budget.at[slots].set(bgts)
+            stops = stops.at[slots].set(stop_rows)
+            return state, rows, tokens, occ, active, budget, stops
 
-        self._admit_block_fn = admit_block_fn
+        self._admit_group_fn = admit_group_fn
 
         @jax.jit
         def first_sample(logits, row1, rng):
@@ -360,20 +362,13 @@ class ContinuousBatcher:
         row1 = slot_params(1, self.sampling)
         rng = self._rng
         if self.block_size > 1:
-            _, single = eng.prefill([1])
-            state, rows, tokens, occ = self._admit_block_fn(
-                self._state, 0, single, self._rows, row1,
-                self._tokens, 1, self._occ,
-            )
-            active, budget, stops = self._admit_slot_meta(
-                self._active, self._budget, self._stops, 0, 4,
-                jnp.full((self.max_stop_tokens,), -1, jnp.int32),
-            )
-            out = self._block_fn(
-                self._slotted_params, tokens, state, occ, rows, rng,
-                active, budget, stops,
-            )
-            jax.block_until_ready(out[0])
+            # drive one real dummy request through the public path: this
+            # compiles the (n_slots, chunk_len) grouped prefill, the
+            # group scatter and the decode block from THIS thread
+            rid = self.submit([1] * (eng.chunk_len + 1), max_tokens=2)
+            while self.busy:
+                self.step()
+            self._finished.pop(rid, None)
             self._active = jnp.zeros((self.n_slots,), jnp.bool_)
             self._budget = jnp.zeros((self.n_slots,), jnp.int32)
             self._stops = jnp.full(
@@ -498,62 +493,144 @@ class ContinuousBatcher:
 
     def _admit_pending_block(self) -> Dict[int, List[int]]:
         """Admit queued requests into free slots WITHOUT host syncs:
-        prefill the prompt PREFIX (all but the last token), scatter the
-        state + the last prompt token + sampling rows + stop/budget
-        meta. The first output token is sampled inside the next block
-        (identical logits to full prefill's last position)."""
+        prefill each prompt's PREFIX (all but the last token), scatter
+        the states + last prompt tokens + sampling rows + stop/budget
+        meta. The first output token of each request is sampled inside
+        the next block (identical logits to full prefill's last
+        position). Requests whose remaining prefix (after prefix-cache
+        resume) has the same length share ONE batched prefill."""
         done: Dict[int, List[int]] = {}
-        for i in range(self.n_slots):
-            if self._slots[i] is not None or not self._queue:
-                continue
+        free = [i for i in range(self.n_slots) if self._slots[i] is None]
+        picked: List[_Request] = []
+        while self._queue and len(picked) < len(free):
             req = self._queue.popleft()
             if req.max_tokens < 1 or not req.prompt_ids:
                 done[req.rid] = req.out_ids
                 req.finished = True
                 continue
-            pparams = None
-            if self._slot_lora:
-                from rwkv_lm_ext_tpu.adapters.slot_lora import set_slot_idx
+            picked.append(req)
+        if not picked:
+            return done
+        cache = self.engine.state_cache
+        plans = []
+        for req in picked:
+            prefix = req.prompt_ids[:-1]
+            cached, consumed = None, 0
+            use_cache = req.initial_state is None and cache is not None
+            if use_cache and prefix:
+                cached, consumed = cache.lookup(prefix, salt=req.adapter)
+            plans.append((req, prefix, consumed, cached, use_cache))
+        groups: Dict[tuple, list] = {}
+        for p in plans:
+            req, prefix, consumed, _, _ = p
+            key = (len(prefix) - consumed, req.adapter_id)
+            groups.setdefault(key, []).append(p)
+        for (rem, aid), grp in groups.items():
+            slots = [free.pop(0) for _ in grp]
+            self._admit_group(grp, slots, rem, aid)
+        if self._slot_lora:
+            self._slotted_params = self._reslot_params()
+        return done
 
-                pparams = set_slot_idx(
-                    self.engine.params,
-                    jnp.full((1,), req.adapter_id, jnp.int32),
-                )
-            ids = req.prompt_ids
-            if len(ids) > 1:
-                _, single = self.engine.prefill(
-                    ids[:-1], state=req.initial_state,
-                    params=pparams, cache_salt=req.adapter,
-                )
+    def _admit_group(self, grp, slots, rem: int, aid: int) -> None:
+        """One admission wave: batched prefix prefill (padded to
+        n_slots rows — weight-read-bound, so padding is ~free) + one
+        multi-row scatter. All dispatches, no host fetch."""
+        from rwkv_lm_ext_tpu.infer.engine import _chunk_plan
+
+        eng = self.engine
+        G, g = self.n_slots, len(grp)
+        tree_map = jax.tree_util.tree_map
+
+        # start states: cached resume / caller-provided / fresh
+        fresh = None
+        rows_states = []
+        for req, prefix, consumed, cached, use_cache in grp:
+            if cached is not None:
+                rows_states.append(cached)
             elif req.initial_state is not None:
-                # the admit scatter donates its single-state argument;
-                # never donate a caller-owned state (e.g. a registry's)
-                single = jax.tree_util.tree_map(
-                    jnp.array, req.initial_state
+                # the group scatter donates batch_state; never donate a
+                # caller-owned state (e.g. a states registry's)
+                rows_states.append(
+                    tree_map(jnp.array, req.initial_state)
                 )
             else:
-                single = self.engine.init_state(1)
-            row1 = slot_params(1, req.sampling)
-            self._state, self._rows, self._tokens, self._occ = (
-                self._admit_block_fn(
-                    self._state, i, single, self._rows, row1,
-                    self._tokens, int(ids[-1]), self._occ,
-                )
+                if fresh is None:
+                    fresh = eng.init_state(1)
+                rows_states.append(fresh)
+        if g < G:
+            rows_states.extend([rows_states[0]] * (G - g))
+        if all(s is fresh for s in rows_states):
+            state = eng.init_state(G)
+        else:
+            state = tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *rows_states
             )
-            stop_row = np.full((self.max_stop_tokens,), -1, np.int32)
-            for j, t in enumerate(req.sampling.token_stop):
-                stop_row[j] = t
-            self._active, self._budget, self._stops = (
-                self._admit_slot_meta(
-                    self._active, self._budget, self._stops, i,
-                    req.max_tokens, jnp.asarray(stop_row),
-                )
+
+        params_g = self._slotted_params if not self._slot_lora else None
+        if self._slot_lora:
+            from rwkv_lm_ext_tpu.adapters.slot_lora import set_slot_idx
+
+            params_g = set_slot_idx(
+                eng.params, jnp.full((G,), aid, jnp.int32)
             )
+
+        if rem > 0:
+            toks = np.zeros((G, rem), np.int32)
+            for j, (req, prefix, consumed, _, _) in enumerate(grp):
+                toks[j] = prefix[consumed:]
+            toks[g:] = toks[0]
+            off = 0
+            for size in _chunk_plan(rem, eng.chunk_len):
+                piece = jnp.asarray(toks[:, off:off + size])
+                _, state = eng._fwd(params_g, piece, state)
+                off += size
+                for j, (req, prefix, consumed, _, use_cache) in (
+                    enumerate(grp)
+                ):
+                    if use_cache:
+                        eng.state_cache.insert(
+                            prefix[: consumed + off],
+                            tree_map(lambda x: x[:, j:j + 1], state),
+                            salt=req.adapter,
+                        )
+
+        last = np.array(
+            [p[0].prompt_ids[-1] for p in grp]
+            + [grp[0][0].prompt_ids[-1]] * (G - g), np.int32,
+        )
+        slots_arr = np.array(slots + [slots[0]] * (G - g), np.int32)
+        rows_g = {
+            f: np.array(
+                [getattr(p[0].sampling, f) for p in grp]
+                + [getattr(grp[0][0].sampling, f)] * (G - g), np.float32,
+            )
+            for f in SLOT_PARAM_FIELDS
+        }
+        bgts = np.array(
+            [p[0].max_tokens for p in grp]
+            + [grp[0][0].max_tokens] * (G - g), np.int32,
+        )
+        stop_rows = np.full((G, self.max_stop_tokens), -1, np.int32)
+        for j, (req, *_rest) in enumerate(grp):
+            for k, t in enumerate(req.sampling.token_stop):
+                stop_rows[j, k] = t
+        stop_rows[g:] = stop_rows[0]
+
+        (self._state, self._rows, self._tokens, self._occ, self._active,
+         self._budget, self._stops) = self._admit_group_fn(
+            self._state, jnp.asarray(slots_arr), self._rows,
+            self._tokens, self._occ, state,
+            {k: jnp.asarray(v) for k, v in rows_g.items()},
+            jnp.asarray(last), self._active, self._budget, self._stops,
+            jnp.asarray(bgts), jnp.asarray(stop_rows),
+        )
+        for j, (req, *_rest) in enumerate(grp):
             if self._slot_lora:
-                self._slot_idx = self._slot_idx.at[i].set(req.adapter_id)
-                self._slotted_params = self._reslot_params()
-            self._slots[i] = req
-        return done
+                self._slot_idx = self._slot_idx.at[slots[j]].set(
+                    req.adapter_id
+                )
+            self._slots[slots[j]] = req
 
     def run(self) -> Dict[int, List[int]]:
         """Drain: step until queue and slots are empty; returns all

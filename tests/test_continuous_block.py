@@ -220,3 +220,37 @@ def test_batcher_block_cancel_sole_request_goes_idle(engine):
     assert set(results) == {ra}
     assert 1 <= len(results[ra]) < 10_000
     assert not batcher.busy
+
+
+def test_batcher_block_grouped_admission_with_cache(engine):
+    """Same-length prompts admit as one batched prefill (grouped
+    admission); with a prefix cache attached, repeated prompts resume
+    from cached boundary states. Outputs must equal standalone
+    generation in every case."""
+    from rwkv_lm_ext_tpu.infer.state_cache import PrefixStateCache
+
+    old_cache = engine.state_cache
+    engine.state_cache = PrefixStateCache(16)
+    try:
+        sp = SamplingParams(temperature=0.0, token_stop=())
+        # same length -> one group; different content -> different rows
+        # (> min_prefix=8 so chunk-boundary inserts actually cache)
+        pa = [5, 9, 23] + list(range(40, 57))
+        pb = [7, 11, 29] + list(range(80, 97))
+        exp_a = engine.generate(pa, max_tokens=6, sampling=sp)
+        exp_b = engine.generate(pb, max_tokens=6, sampling=sp)
+        batcher = ContinuousBatcher(
+            engine, n_slots=4, sampling=sp, block_size=4
+        )
+        r1 = batcher.submit(pa, max_tokens=6)
+        r2 = batcher.submit(pb, max_tokens=6)
+        res = batcher.run()
+        assert res[r1] == exp_a and res[r2] == exp_b
+        # repeat: now the cache resumes both prefixes mid-way
+        r3 = batcher.submit(pa, max_tokens=6)
+        r4 = batcher.submit(pb, max_tokens=6)
+        res = batcher.run()
+        assert res[r3] == exp_a and res[r4] == exp_b
+        assert engine.state_cache.stats()["hits"] >= 1
+    finally:
+        engine.state_cache = old_cache
