@@ -233,6 +233,71 @@ class LoraUnfusedLeaf(LoraDeltaLeaf):
     unfused_lora = True  # marker for models.rwkv.proj
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TransposedPair:
+    """A frozen projection weight paired with a pre-transposed copy.
+
+    The LoRA backward's dominant HBM cost is dx = dy @ W^T over the
+    frozen base: the train-step profile shows XLA materializing
+    transposed copies of the big FFN kernels every step (PERF.json
+    train_accounting). Storing W^T ONCE beside W (frozen, so it never
+    changes) lets a custom-vjp matmul read it directly — the backward
+    becomes a plain NN-contraction with zero per-step transpose
+    traffic, for +1x weight HBM capacity (frozen LoRA training has
+    plenty: the 1B6 base is 3.2 GB on a 16 GB chip).
+    Consumed by models.rwkv.proj via the ``transposed_pair`` marker.
+    """
+
+    w: Any
+    wt: Any
+    transposed_pair = True
+
+    # non-proj consumers (LoraDeltaLeaf.materialize, dispatch bound
+    # checks) see the plain dense weight
+    def astype(self, dt):
+        return self.w.astype(dt)
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+    def tree_flatten(self):
+        return (self.w, self.wt), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def add_transposed_bases(params: Dict, adapter: Dict) -> Dict:
+    """Pair every adapter-targeted plain-array 2D projection weight with
+    a contiguous transposed copy (TransposedPair). Run ONCE on the
+    frozen tree before training; quantized bases and non-2D leaves are
+    left untouched (they fall back to the normal path)."""
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    out["blocks"] = [dict(b) for b in params["blocks"]]
+    for b in out["blocks"]:
+        b["att"] = dict(b["att"])
+        b["ffn"] = dict(b["ffn"])
+
+    def pair(leaf):
+        if isinstance(leaf, jax.Array) and leaf.ndim == 2:
+            return TransposedPair(leaf, jnp.asarray(leaf.T))
+        return leaf
+
+    for keyname in adapter:
+        if keyname == "emb":
+            continue
+        if keyname.startswith("blocks."):
+            _, idx, sub, name = keyname.split(".")
+            i = int(idx)
+            out["blocks"][i][sub][name] = pair(out["blocks"][i][sub][name])
+        else:
+            out[keyname] = pair(out[keyname])
+    return out
+
+
 def apply_lora_unfused(params: Dict, adapter: Dict, lc: LoraConfig) -> Dict:
     """Training twin of merge_lora: wrap every adapted projection leaf in
     a LoraUnfusedLeaf (see its docstring for why this halves the

@@ -144,43 +144,59 @@ class ContinuousBatcher:
             # (toks, emits, active device arrays + the slot->request
             # snapshot at dispatch time)
             self._inflight = None
+            # adaptive block length: candidates are pow2s from 8 up to
+            # block_size (block_size itself always included). The
+            # dispatcher picks the largest candidate <= the minimum
+            # remaining budget among occupied slots, so a row about to
+            # finish doesn't strand the whole pool in wasted steps
+            # while long runs still amortize dispatch overhead over
+            # block_size tokens.
+            cands = [k for k in (8, 16, 32, 64, 128)
+                     if 8 <= k < block_size]
+            self._block_sizes = sorted(set(cands + [block_size]))
             self._active = jnp.zeros((n_slots,), jnp.bool_)
             self._budget = jnp.zeros((n_slots,), jnp.int32)
             self._stops = jnp.full(
                 (n_slots, max_stop_tokens), -1, jnp.int32
             )
 
-            @functools.partial(jax.jit, donate_argnums=(2, 3))
-            def block_fn(params, tokens, state, occ, rows, rng,
-                         active, budget, stops):
-                def body(carry, _):
+            def make_block_fn(K):
+                @functools.partial(jax.jit, donate_argnums=(2, 3))
+                def block_fn(params, tokens, state, occ, rows, rng,
+                             active, budget, stops):
+                    def body(carry, _):
+                        tokens, state, occ, rng, active, budget = carry
+                        logits, state = rwkv_forward(
+                            params, cfg, tokens[:, None], state,
+                            wkv_backend=be,
+                        )
+                        rng, sub = jax.random.split(rng)
+                        nxt, occ = sample_token_rows(
+                            sub, logits[:, -1], occ, rows, sp
+                        )
+                        stopped = jnp.any(nxt[:, None] == stops, axis=-1)
+                        emit = active & ~stopped
+                        budget = budget - emit.astype(jnp.int32)
+                        active = emit & (budget > 0)
+                        # inactive rows freeze their fed token (their
+                        # state/occ may advance on garbage — admission
+                        # overwrites)
+                        tokens = jnp.where(emit, nxt, tokens)
+                        return (tokens, state, occ, rng, active,
+                                budget), (nxt, emit)
+
+                    carry = (tokens, state, occ, rng, active, budget)
+                    carry, (toks, emits) = jax.lax.scan(
+                        body, carry, None, length=K
+                    )
                     tokens, state, occ, rng, active, budget = carry
-                    logits, state = rwkv_forward(
-                        params, cfg, tokens[:, None], state, wkv_backend=be
-                    )
-                    rng, sub = jax.random.split(rng)
-                    nxt, occ = sample_token_rows(
-                        sub, logits[:, -1], occ, rows, sp
-                    )
-                    stopped = jnp.any(nxt[:, None] == stops, axis=-1)
-                    emit = active & ~stopped
-                    budget = budget - emit.astype(jnp.int32)
-                    active = emit & (budget > 0)
-                    # inactive rows freeze their fed token (their state/
-                    # occ may advance on garbage — admission overwrites)
-                    tokens = jnp.where(emit, nxt, tokens)
-                    return (tokens, state, occ, rng, active, budget), \
-                        (nxt, emit)
+                    return (tokens, state, occ, rng, active, budget,
+                            toks, emits)
 
-                carry = (tokens, state, occ, rng, active, budget)
-                carry, (toks, emits) = jax.lax.scan(
-                    body, carry, None, length=block_size
-                )
-                tokens, state, occ, rng, active, budget = carry
-                return (tokens, state, occ, rng, active, budget,
-                        toks, emits)
+                return block_fn
 
-            self._block_fn = block_fn
+            self._block_fns: Dict[int, Callable] = {}
+            self._make_block_fn = make_block_fn
 
         @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
         def admit_fn(state, slot, single_state, rows, row1,
@@ -364,8 +380,12 @@ class ContinuousBatcher:
         if self.block_size > 1:
             # drive one real dummy request through the public path: this
             # compiles the (n_slots, chunk_len) grouped prefill, the
-            # group scatter and the decode block from THIS thread
-            rid = self.submit([1] * (eng.chunk_len + 1), max_tokens=2)
+            # group scatter and EVERY adaptive block length from THIS
+            # thread (max_tokens = sum of sizes walks the ladder down)
+            rid = self.submit(
+                [1] * (eng.chunk_len + 1),
+                max_tokens=sum(self._block_sizes),
+            )
             while self.busy:
                 self.step()
             self._finished.pop(rid, None)
@@ -429,11 +449,43 @@ class ContinuousBatcher:
         self._finished.update(done)
         return done
 
-    def _dispatch_block(self) -> None:
+    def _pick_block_size(self, emitted=None, live=None) -> int:
+        """Largest candidate length <= the minimum remaining budget of
+        the live slots (floor: the smallest candidate): a nearly-
+        finished row trims the block so the pool doesn't decode wasted
+        steps past its stop. emitted/live adjust for a just-fetched
+        block whose host bookkeeping hasn't run yet (the immediate
+        redispatch path)."""
+        sizes = self._block_sizes
+        rem = []
+        for i, r in enumerate(self._slots):
+            if r is None or r.finished:
+                continue
+            if live is not None and not live[i]:
+                continue  # finished in the just-fetched block
+            n = r.max_tokens - len(r.out_ids)
+            if emitted is not None:
+                n -= int(emitted[i])
+            if n > 0:
+                rem.append(n)
+        if not rem:
+            return sizes[0]
+        m = min(rem)
+        pick = sizes[0]
+        for k in sizes:
+            if k <= m:
+                pick = k
+        return pick
+
+    def _dispatch_block(self, emitted=None, live=None) -> None:
         """Enqueue one K-step block; record its outputs + the slot
         snapshot for the NEXT step's fetch (double-buffering)."""
+        k = self._pick_block_size(emitted, live)
+        fn = self._block_fns.get(k)
+        if fn is None:
+            fn = self._block_fns[k] = self._make_block_fn(k)
         (self._tokens, self._state, self._occ, self._rng, self._active,
-         self._budget, toks, emits) = self._block_fn(
+         self._budget, toks, emits) = fn(
             self._slotted_params, self._tokens, self._state, self._occ,
             self._rows, self._rng, self._active, self._budget, self._stops,
         )
@@ -468,7 +520,9 @@ class ContinuousBatcher:
             emits_h = np.asarray(emits)
             active_h = np.asarray(active)
             if active_h.any():
-                self._dispatch_block()
+                self._dispatch_block(
+                    emitted=emits_h.sum(axis=0), live=active_h
+                )
             for i, req in enumerate(snapshot):
                 if req is None or req.finished:
                     continue

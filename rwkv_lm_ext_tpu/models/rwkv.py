@@ -164,6 +164,27 @@ def verify_wkv_dispatch(cfg, params, *, margin: float = 0.0):
     return dataclasses.replace(cfg, wkv_exact=exact, fused_chunk=chunk)
 
 
+@jax.custom_vjp
+def _matmul_tbwd(x, w, wt):
+    return x @ w
+
+
+def _matmul_tbwd_fwd(x, w, wt):
+    return x @ w, (x, wt)
+
+
+def _matmul_tbwd_bwd(res, dy):
+    x, wt = res
+    # dx through the STORED transpose: a plain NN contraction, no
+    # per-step transpose copy of the big frozen weight (see
+    # adapters.lora.TransposedPair). w/wt are frozen — their cotangent
+    # branches are dead and pruned by partial eval.
+    return dy @ wt, jnp.zeros_like(wt).T, jnp.zeros_like(wt)
+
+
+_matmul_tbwd.defvjp(_matmul_tbwd_fwd, _matmul_tbwd_bwd)
+
+
 def proj(x, leaf, dt):
     """Projection matmul x @ W through a (possibly quantized) weight leaf.
 
@@ -171,6 +192,10 @@ def proj(x, leaf, dt):
     natively on the MXU's int8 path — the variant travels WITH the
     parameter tree, not through config/global state. Everything else
     dequantizes/materializes via as_weight and rides the bf16 MXU."""
+    if hasattr(leaf, "transposed_pair"):
+        # frozen base with a stored transpose: backward's dx reads wt
+        # directly instead of re-transposing w (adapters.lora)
+        return _matmul_tbwd(x, leaf.w.astype(dt), leaf.wt.astype(dt))
     if hasattr(leaf, "slot_apply"):
         # per-row multi-adapter LoRA (adapters.slot_lora): base
         # projection (recursing — the base may itself be quantized)

@@ -77,11 +77,13 @@ def _parse(argv=None):
                    help="bidirectional encoder .pth for /fill_mask")
     p.add_argument("--batcher-slots", type=int, default=0,
                    help="enable continuous batching for /generate")
-    p.add_argument("--batcher-block", type=int, default=16,
-                   help="decode tokens per dispatch in the batcher (K-"
-                        "step fused blocks; amortizes host dispatch "
-                        "latency K-fold; streaming callbacks fire per "
-                        "block). 1 = per-token ticks")
+    p.add_argument("--batcher-block", type=int, default=32,
+                   help="max decode tokens per dispatch in the batcher "
+                        "(K-step fused blocks; the dispatcher adapts K "
+                        "down in pow2s when a slot is near its budget). "
+                        "Amortizes host dispatch latency K-fold; "
+                        "streaming callbacks fire per block. "
+                        "1 = per-token ticks")
     p.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                    help="LRU prompt-prefix state cache with N entries: "
                         "prompts sharing a cached prefix (system prompts, "

@@ -476,6 +476,16 @@ def cmd_sft(args):
             from rwkv_lm_ext_tpu.adapters import apply_lora_unfused
 
             apply_fn = apply_lora_unfused if unfused else merge_lora
+            if (getattr(args, "bwd_transpose", False) and unfused
+                    and getattr(args, "quant", "none") == "none"):
+                # store W^T beside each frozen adapted base so the
+                # backward's dx never re-transposes the big weights
+                # (adapters.lora.TransposedPair; +1x frozen-base HBM)
+                from rwkv_lm_ext_tpu.adapters.lora import (
+                    add_transposed_bases,
+                )
+
+                params = add_transposed_bases(params, adapter)
 
             def loss_fn(adapter_p, frozen, cfg_, batch):
                 merged = apply_fn(frozen, adapter_p, lc)
@@ -1296,6 +1306,12 @@ def main(argv=None):
                    help="QLoRA: quantize the frozen base (reference "
                         "LORA_CONFIG['quant']); the base stays quantized "
                         "in HBM and LoRA rides as a lazy delta")
+    p.add_argument("--bwd-transpose", action="store_true",
+                   help="store a pre-transposed copy of each frozen "
+                        "adapted base weight so the backward's dx reads "
+                        "W^T directly instead of re-transposing per "
+                        "step (+1x frozen-base HBM; unfused, unquantized "
+                        "LoRA only)")
     p.add_argument("--peft-checkpoint", default=None)
     p.add_argument("--lisa-k", type=int, default=0,
                    help="LISA: train k random layers, resampled every "

@@ -46,7 +46,7 @@ from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
 from rwkv_lm_ext_tpu.serve.api import ServingService, serve_http
 
 SLOTS = int(os.environ.get("SLOTS", "8"))
-BLOCK = int(os.environ.get("BLOCK", "16"))
+BLOCK = int(os.environ.get("BLOCK", "32"))
 LOADS = [int(x) for x in os.environ.get("LOADS", "1,4,8,16").split(",")]
 DURATION = float(os.environ.get("DURATION", "20"))
 DEC_TOKENS = 8 if SMALL else 64
@@ -65,6 +65,12 @@ def build_service():
         init_rwkv_params(jax.random.PRNGKey(0), cfg, fast_init=True)
     )
     cfg = apply_wkv_dispatch(cfg, params)
+    if os.environ.get("QUANT"):
+        from rwkv_lm_ext_tpu.adapters.quant import quantize_tree
+
+        params = jax.device_put(
+            quantize_tree(params, os.environ["QUANT"])
+        )
     tok = WorldTokenizer()
     engine = GenerationEngine(
         params, cfg, tok, state_cache=PrefixStateCache(32),
@@ -185,6 +191,7 @@ def main():
 
     print(json.dumps({
         "stage": "serving_load", "slots": SLOTS, "block": BLOCK,
+        "quant": os.environ.get("QUANT") or "bf16",
         "platform": jax.devices()[0].platform,
         "prefix_cache": svc.stats().get("prefix_cache"),
         "loads": results,

@@ -56,6 +56,12 @@ if TRAIN_TYPE in ("lora", "qlora"):
         from rwkv_lm_ext_tpu.adapters import apply_lora_unfused as _apply
     else:
         _apply = merge_lora
+    if os.environ.get("TBWD") == "1" and TRAIN_TYPE == "lora":
+        # frozen base stored with pre-transposed copies: the backward's
+        # dx reads W^T directly (adapters.lora.TransposedPair)
+        from rwkv_lm_ext_tpu.adapters.lora import add_transposed_bases
+
+        params = jax.device_put(add_transposed_bases(params, adapter))
 
     def loss_fn(adapter_p, frozen, cfg_, b):
         merged = _apply(frozen, adapter_p, lc)

@@ -283,3 +283,48 @@ def test_unfused_lora_stacked_and_quant_base():
     l_q, _ = rwkv_forward(qu, CFG, tokens)
     l_dq, _ = rwkv_forward(merge_lora(qp, adapter, LC), CFG, tokens)
     np.testing.assert_allclose(l_q, l_dq, rtol=1e-3, atol=1e-3)
+
+
+def test_transposed_base_backward_matches():
+    """TransposedPair (stored W^T for the frozen base): forward and
+    LoRA grads are identical to the plain unfused path — only the
+    backward's dx contraction reads the stored transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_lm_ext_tpu.adapters import (
+        LoraConfig,
+        apply_lora_unfused,
+        init_lora_params,
+    )
+    from rwkv_lm_ext_tpu.adapters.lora import add_transposed_bases
+    from rwkv_lm_ext_tpu.config import ModelConfig
+    from rwkv_lm_ext_tpu.models import init_rwkv_params
+    from rwkv_lm_ext_tpu.models.rwkv import rwkv_forward
+
+    cfg = ModelConfig(
+        n_layer=2, n_embd=64, vocab_size=128, head_size=16,
+        dtype="float32", param_dtype="float32",
+    )
+    params = init_rwkv_params(jax.random.PRNGKey(0), cfg)
+    lc = LoraConfig(r=4, alpha=8.0)
+    adapter = init_lora_params(jax.random.PRNGKey(1), params, lc)
+    # non-zero B so adapter grads flow through both factors
+    adapter = jax.tree_util.tree_map(
+        lambda x: x + 0.01, adapter
+    )
+    paired = add_transposed_bases(params, adapter)
+    tok = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 127)
+
+    def loss(ad, frozen):
+        merged = apply_lora_unfused(frozen, ad, lc)
+        logits, _ = rwkv_forward(merged, cfg, tok)
+        return jnp.mean(jnp.square(logits.astype(jnp.float32)))
+
+    l0, g0 = jax.value_and_grad(loss)(adapter, params)
+    l1, g1 = jax.value_and_grad(loss)(adapter, paired)
+    assert jnp.allclose(l0, l1, rtol=1e-6), (l0, l1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        assert jnp.allclose(a, b, rtol=1e-5, atol=1e-7)
