@@ -77,6 +77,7 @@ class ContinuousBatcher:
         seed: int = 0,
         block_size: int = 1,
         max_stop_tokens: int = 8,
+        adaptive_block: bool = False,
     ):
         """block_size > 1 decodes K tokens per dispatch: one jitted
         lax.scan runs K batched decode+sample steps with per-slot
@@ -144,16 +145,20 @@ class ContinuousBatcher:
             # (toks, emits, active device arrays + the slot->request
             # snapshot at dispatch time)
             self._inflight = None
-            # adaptive block length: candidates are pow2s from 8 up to
-            # block_size (block_size itself always included). The
-            # dispatcher picks the largest candidate <= the minimum
-            # remaining budget among occupied slots, so a row about to
-            # finish doesn't strand the whole pool in wasted steps
-            # while long runs still amortize dispatch overhead over
-            # block_size tokens.
-            cands = [k for k in (8, 16, 32, 64, 128)
-                     if 8 <= k < block_size]
-            self._block_sizes = sorted(set(cands + [block_size]))
+            # adaptive_block (OPT-IN): candidates are pow2s from 8 up
+            # to block_size; the dispatcher picks the largest candidate
+            # <= the minimum remaining budget among live slots, so a
+            # row about to finish doesn't strand the pool in wasted
+            # steps. MEASURED NET-NEGATIVE on the mixed serving load
+            # (12 slots/16 clients: 444 adaptive vs 536 fixed tok/s —
+            # extra block transitions cost more than the trimmed waste)
+            # — default is one fixed block length.
+            if adaptive_block:
+                cands = [k for k in (8, 16, 32, 64, 128)
+                         if 8 <= k < block_size]
+                self._block_sizes = sorted(set(cands + [block_size]))
+            else:
+                self._block_sizes = [block_size]
             self._active = jnp.zeros((n_slots,), jnp.bool_)
             self._budget = jnp.zeros((n_slots,), jnp.int32)
             self._stops = jnp.full(

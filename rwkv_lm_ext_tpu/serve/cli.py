@@ -77,13 +77,15 @@ def _parse(argv=None):
                    help="bidirectional encoder .pth for /fill_mask")
     p.add_argument("--batcher-slots", type=int, default=0,
                    help="enable continuous batching for /generate")
-    p.add_argument("--batcher-block", type=int, default=32,
-                   help="max decode tokens per dispatch in the batcher "
-                        "(K-step fused blocks; the dispatcher adapts K "
-                        "down in pow2s when a slot is near its budget). "
-                        "Amortizes host dispatch latency K-fold; "
-                        "streaming callbacks fire per block. "
-                        "1 = per-token ticks")
+    p.add_argument("--batcher-block", type=int, default=16,
+                   help="decode tokens per dispatch in the batcher "
+                        "(K-step fused blocks; amortizes host dispatch "
+                        "latency K-fold; streaming callbacks fire per "
+                        "block). 1 = per-token ticks")
+    p.add_argument("--batcher-adaptive", action="store_true",
+                   help="adapt the block length down (pow2s >= 8) when "
+                        "a slot nears its token budget — measured "
+                        "net-negative on mixed loads; opt-in")
     p.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                    help="LRU prompt-prefix state cache with N entries: "
                         "prompts sharing a cached prefix (system prompts, "
@@ -237,6 +239,7 @@ def build_service(args):
             batcher = ContinuousBatcher(
                 engine, n_slots=args.batcher_slots,
                 block_size=args.batcher_block,
+                adaptive_block=args.batcher_adaptive,
             )
         elif args.draft or args.draft_layers:
             from rwkv_lm_ext_tpu.infer.speculative import (

@@ -46,7 +46,8 @@ from rwkv_lm_ext_tpu.models.rwkv import apply_wkv_dispatch
 from rwkv_lm_ext_tpu.serve.api import ServingService, serve_http
 
 SLOTS = int(os.environ.get("SLOTS", "8"))
-BLOCK = int(os.environ.get("BLOCK", "32"))
+BLOCK = int(os.environ.get("BLOCK", "16"))
+ADAPTIVE = os.environ.get("ADAPTIVE") == "1"
 LOADS = [int(x) for x in os.environ.get("LOADS", "1,4,8,16").split(",")]
 DURATION = float(os.environ.get("DURATION", "20"))
 DEC_TOKENS = 8 if SMALL else 64
@@ -77,7 +78,8 @@ def build_service():
     )
     sp = SamplingParams(temperature=1.0, top_p=0.9, token_stop=())
     batcher = ContinuousBatcher(
-        engine, n_slots=SLOTS, sampling=sp, block_size=BLOCK
+        engine, n_slots=SLOTS, sampling=sp, block_size=BLOCK,
+        adaptive_block=ADAPTIVE,
     )
     return ServingService(engine=engine, batcher=batcher, tokenizer=tok)
 

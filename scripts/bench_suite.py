@@ -38,7 +38,9 @@ STAGES = {
     "speculative": ("scripts/bench_speculative.py", [], {"E2E": "1"}),
     "serving_load": (
         "scripts/bench_serving_load.py", [],
-        {"SLOTS": "8", "LOADS": "1,4,8,16", "DURATION": "20"},
+        # 12 slots / block 16 measured best at the 16-client point
+        {"SLOTS": "12", "BLOCK": "16", "LOADS": "1,4,8,16,32",
+         "DURATION": "20"},
     ),
     # rerank + raw scan decode + engine E2E single-stream (3 lines)
     "serving": ("scripts/bench_serving.py", [], {}),
