@@ -119,6 +119,47 @@ def _select_candidates(
     return top_ids.astype(jnp.int32), top_acc
 
 
+@functools.lru_cache(maxsize=64)
+def _sel_jit(reserve, do_sample, top_k, top_p, rep_penalty):
+    """Compiled candidate selection, cached across generate calls (a
+    fresh jit per call would re-trace every generation; unjitted, the
+    warp/top_k pipeline ran op-by-op — dozens of relay dispatches per
+    step, the bulk of the r5-measured 278 ms/step). Packs ids+scores
+    into ONE (NB, 2*reserve) fp32 fetch (vocab ids < 2^24 are exact in
+    fp32)."""
+
+    def f(logp, scores, occ, key):
+        ids, acc = _select_candidates(
+            logp, scores, occ, key, reserve=reserve,
+            do_sample=do_sample, top_k=top_k, top_p=top_p,
+            rep_penalty=rep_penalty,
+        )
+        return jnp.concatenate([ids.astype(jnp.float32), acc], axis=-1)
+
+    return jax.jit(f)
+
+
+def _beam_decode_fn(engine):
+    """Per-engine cached jitted decode+log_softmax step (a fresh jit
+    per generate_beamsearch call would recompile every generation)."""
+    fn = getattr(engine, "_beam_decode_step", None)
+    if fn is None:
+        cfg, be = engine.cfg, engine.wkv_backend
+
+        @jax.jit
+        def decode_step(model_params, tokens, st):
+            lg, st = rwkv_forward(
+                model_params, cfg, tokens[:, None], st, wkv_backend=be
+            )
+            return (
+                jax.nn.log_softmax(lg[:, -1].astype(jnp.float32), axis=-1),
+                st,
+            )
+
+        engine._beam_decode_step = fn = decode_step
+    return fn
+
+
 @jax.jit
 def _reorder_beams(state, occ, parents, tokens):
     """Gather state + occurrence rows to the new beam order and record the
@@ -155,25 +196,14 @@ def generate_beamsearch(
         lambda x: jnp.repeat(x, bp.num_beams, axis=1), state
     )
 
-    @jax.jit
-    def decode_step(model_params, tokens, st):
-        lg, st = rwkv_forward(
-            model_params, cfg, tokens[:, None], st,
-            wkv_backend=engine.wkv_backend,
-        )
-        return jax.nn.log_softmax(lg[:, -1].astype(jnp.float32), axis=-1), st
+    decode_step = _beam_decode_fn(engine)
 
     key = jax.random.PRNGKey(seed)
     V = cfg.vocab_size
     eos = frozenset(int(e) for e in bp.eos_ids)
     reserve = max(2, 1 + len(bp.eos_ids)) * group_size
-    sel = functools.partial(
-        _select_candidates,
-        reserve=reserve,
-        do_sample=bp.do_sample,
-        top_k=bp.top_k,
-        top_p=bp.top_p,
-        rep_penalty=bp.repetition_penalty,
+    sel = _sel_jit(
+        reserve, bp.do_sample, bp.top_k, bp.top_p, bp.repetition_penalty
     )
 
     # host bookkeeping: token lists + per-group hypothesis sets only
@@ -199,10 +229,11 @@ def generate_beamsearch(
                 engine.params, jnp.asarray(last_tokens, jnp.int32), state
             )
         key, sub = jax.random.split(key)
-        top_ids_d, top_acc_d = sel(logp, scores_d, occ, sub)
-        # the ONLY per-step device->host transfer: (NB, reserve) each
-        top_ids = np.asarray(top_ids_d)
-        top_acc = np.asarray(top_acc_d, np.float64)
+        packed_d = sel(logp, scores_d, occ, sub)
+        # the ONLY per-step device->host transfer: one (NB, 2*reserve)
+        packed = np.asarray(packed_d, np.float64)
+        top_ids = packed[:, :reserve].astype(np.int64)
+        top_acc = packed[:, reserve:]
 
         next_seqs: List[List[int]] = [None] * bp.num_beams  # type: ignore
         next_scores = np.full(bp.num_beams, -np.inf)

@@ -195,8 +195,15 @@ class ContinuousBatcher:
                         body, carry, None, length=K
                     )
                     tokens, state, occ, rng, active, budget = carry
+                    # ONE host fetch per block: [(K,B) toks | (K,B)
+                    # emits | (1,B) active] packed (separate fetches
+                    # each pay a relay round-trip)
+                    packed = jnp.concatenate([
+                        toks.astype(jnp.int32), emits.astype(jnp.int32),
+                        active[None].astype(jnp.int32),
+                    ], axis=0)
                     return (tokens, state, occ, rng, active, budget,
-                            toks, emits)
+                            packed)
 
                 return block_fn
 
@@ -490,14 +497,14 @@ class ContinuousBatcher:
         if fn is None:
             fn = self._block_fns[k] = self._make_block_fn(k)
         (self._tokens, self._state, self._occ, self._rng, self._active,
-         self._budget, toks, emits) = fn(
+         self._budget, packed) = fn(
             self._slotted_params, self._tokens, self._state, self._occ,
             self._rows, self._rng, self._active, self._budget, self._stops,
         )
-        # self._active here is THIS block's output future; admissions
-        # that follow replace self._active with a scattered copy, so the
-        # record keeps its own reference for the fetch
-        self._inflight = (toks, emits, self._active, list(self._slots))
+        # packed carries this block's toks/emits AND its output active
+        # row — admissions that follow may replace self._active with a
+        # scattered copy, but the fetch reads the packed snapshot
+        self._inflight = (packed, list(self._slots))
 
     def _step_block(self) -> Dict[int, List[int]]:
         """One pipelined block tick.
@@ -519,11 +526,13 @@ class ContinuousBatcher:
         False."""
         done: Dict[int, List[int]] = {}
         if self._inflight is not None:
-            toks, emits, active, snapshot = self._inflight
+            packed, snapshot = self._inflight
             self._inflight = None
-            toks_h = np.asarray(toks)
-            emits_h = np.asarray(emits)
-            active_h = np.asarray(active)
+            packed_h = np.asarray(packed)
+            k = (packed_h.shape[0] - 1) // 2
+            toks_h = packed_h[:k]
+            emits_h = packed_h[k:2 * k].astype(bool)
+            active_h = packed_h[-1].astype(bool)
             if active_h.any():
                 self._dispatch_block(
                     emitted=emits_h.sum(axis=0), live=active_h

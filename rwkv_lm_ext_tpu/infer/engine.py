@@ -168,7 +168,13 @@ class GenerationEngine:
             (tok, state, occ, rng, done), (toks, emits) = jax.lax.scan(
                 body, carry, None, length=k
             )
-            return tok, state, occ, rng, done, toks, emits
+            # ONE host fetch per block: [toks | emits | done] packed
+            # (separate fetches each pay a relay round-trip)
+            packed = jnp.concatenate([
+                toks.astype(jnp.int32), emits.astype(jnp.int32),
+                done[None].astype(jnp.int32),
+            ])
+            return tok, state, occ, rng, packed
 
         self._block_decode[key] = block
         return block
@@ -441,17 +447,17 @@ class GenerationEngine:
             while remaining > 0:
                 k = min(block_size, remaining)
                 blk = self._block_decode_fn(k, sampling)
-                token, state, occ, key, done, toks, emits = blk(
+                token, state, occ, key, packed = blk(
                     params, token, state, occ, key
                 )
-                toks_h = np.asarray(toks)
-                emits_h = np.asarray(emits)
+                packed_h = np.asarray(packed)
+                toks_h, emits_h = packed_h[:k], packed_h[k:2 * k]
                 for t, e in zip(toks_h, emits_h):
                     if not e:
                         break
                     _emit(int(t))
                 remaining -= k
-                if bool(done):
+                if packed_h[-1]:
                     break
         else:
             for _ in range(max_tokens):

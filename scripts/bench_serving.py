@@ -122,8 +122,10 @@ def bench_engine_stream():
     n = DECODE_T
     out = {}
     for bs in (1, 8, 16, 32):
-        engine.generate(prompt, max_tokens=8, sampling=sp,
-                        block_size=bs, seed=0)  # compile
+        # warm with the SAME max_tokens so every block shape (bs and
+        # the remainder) compiles before the timed run
+        engine.generate(prompt, max_tokens=n, sampling=sp,
+                        block_size=bs, seed=0)
         t0 = time.perf_counter()
         ids = engine.generate(prompt, max_tokens=n, sampling=sp,
                               block_size=bs, seed=1)
