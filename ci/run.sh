@@ -26,7 +26,7 @@ case "$tier" in
   bench)
     python bench.py
     python scripts/bench_suite.py
-    SLOTS=8 LOADS=1,4,8,16 python scripts/bench_serving_load.py
+    SLOTS=12 BLOCK=16 LOADS=1,4,8,16,32 python scripts/bench_serving_load.py
     ;;
   *)
     echo "usage: ci/run.sh {fast|nightly|bench}" >&2; exit 2

@@ -558,6 +558,29 @@ def serve_http(
             self.end_headers()
             self.wfile.write(body)
 
+        def do_GET(self):
+            # built-in browser chat UI (serve.webui) — the reference's
+            # desktop GUI (gui/main.py) re-imagined as a zero-dependency
+            # page over the same endpoints. GET /stats mirrors the POST
+            # route for curl/monitoring convenience.
+            if self.path in ("/", "/index.html"):
+                from rwkv_lm_ext_tpu.serve.webui import INDEX_HTML
+
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+            elif self.path == "/stats":
+                body = json.dumps(service.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+            else:
+                body = b'{"error": "unknown route"}'
+                self.send_response(404)
+                self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def log_message(self, *a):
             pass
 

@@ -72,12 +72,7 @@ def main():
         for _ in range(STEPS):
             batcher.step()
         dt = (time.perf_counter() - t0) / STEPS
-        for s in list(range(SLOTS)):
-            batcher.cancel(s + (0 if label == "sort_gumbel" else 0))
-        # cancel by rid: rids are sequential per batcher
-        for r in list(batcher._finished) or []:
-            pass
-        # drain: cancel all active rids
+        # drain: cancel every active request, then run to idle
         for slot in batcher._slots:
             if slot is not None:
                 batcher.cancel(slot.rid)

@@ -337,3 +337,40 @@ def test_eval_cli_parity(tmp_path, capsys):
     if "skipped" not in ref:
         assert ref["rel_err"] < 1e-5
     assert out["score_delta"]
+
+
+def test_http_get_serves_web_ui_and_stats():
+    """GET / serves the built-in chat page (serve.webui — the
+    reference's desktop GUI re-imagined as a browser page over the same
+    endpoints); GET /stats mirrors the POST stats route."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from rwkv_lm_ext_tpu.serve.api import ServingService, serve_http
+
+    svc = ServingService()  # endpoint-less service is enough for GET
+    server = serve_http(svc, port=0, warmup=False)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ) as r:
+            body = r.read().decode()
+            assert r.headers["Content-Type"].startswith("text/html")
+            assert "/generate" in body and "EventSource" not in body
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            stats = _json.loads(r.read())
+            assert "counts" in stats or isinstance(stats, dict)
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=30
+            )
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
