@@ -383,7 +383,7 @@ class GenerationEngine:
         callback: Optional[Callable[[str], None]] = None,
         return_state: bool = False,
         adapter: Optional[str] = None,
-        block_size: int = 8,
+        block_size: int = 16,
     ):
         """Autoregressive sampling generation (the reference's generate,
         src/model_run.py:1264-1315: occurrence penalties, token ban/stop,
